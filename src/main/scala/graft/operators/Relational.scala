@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Reference-operator parity surface (SURVEY.md §2.1, observable subset).
+  *
+  * The reference's data plane is scan → flatMap → hash-shuffle → sort →
+  * group → reduce → sink (/root/reference/src/mr/worker.rs:88-231). Each
+  * query here isolates one observable operator Spark-natively; the shuffle
+  * machinery (O4-O6) is Spark's ShuffleExchange and is exercised implicitly
+  * by every groupBy/join below.
+  *
+  * Every query ends in a total ORDER BY so the DuckDB oracle hash-compare
+  * is row-order-deterministic (SURVEY.md §7.4-8). Money aggregates are cast
+  * to DECIMAL(18,2) *before* summing on both engines — integer-scaled exact
+  * arithmetic, immune to floating-point summation-order differences.
+  */
+object Relational {
+
+  /** O1 + projection: column pruning must reach the parquet scan
+    * (ReadSchema carries only 3 of 16 columns — at 100 TB that is the
+    * difference between reading ~20% and 100% of the table bytes). */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** Filter pushdown: both predicates land in PushedFilters on the scan. */
+  def filterPred(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** O2/O3 flatMap observable as rows: (doc_id, token) pairs, pre-shuffle
+    * shape of the reference's map phase output (mr-i-r.txt lines). */
+  def flatmapTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .orderBy("doc_id", "word")
+
+  /** O12 + limit: Catalyst plans TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver, never a full global sort.
+    * Tie-broken on the unique (l_orderkey, l_linenumber) pair. */
+  def topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+
+  /** O6 fan-in as UNION ALL: two disjoint scans concatenated, then
+    * aggregated. DECIMAL(18,2) sum for exact cross-engine arithmetic. */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cheap = o.filter(col("o_totalprice") < 10000)
+    val pricey = o.filter(col("o_totalprice") >= 400000)
+    cheap.union(pricey)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** DISTINCT (exact dedup of a projection). */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** LEFT SEMI join (EXISTS): customers with at least one order.
+    * The orders side is reduced to its join key before the shuffle. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** LEFT ANTI join (NOT EXISTS): customers with no orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** INTERSECT (distinct semantics on both engines). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+      .intersect(Tables.orders(spark, dir).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** EXCEPT (distinct semantics on both engines). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(spark, dir).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project" -> scanProject,
+    "filter_pred" -> filterPred,
+    "flatmap_tokens" -> flatmapTokens,
+    "topk" -> topk,
+    "union_all" -> unionAll,
+    "distinct_pairs" -> distinctPairs,
+    "semi_join" -> semiJoin,
+    "anti_join" -> antiJoin,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY 1, 2, 3",
+    "filter_pred" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 45 ORDER BY 1, 2"),
+    "flatmap_tokens" ->
+      ("SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+')) AS word " +
+        "FROM documents) WHERE length(word) > 0 ORDER BY doc_id, word"),
+    "topk" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"),
+    "union_all" ->
+      ("SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total FROM " +
+        "(SELECT * FROM orders WHERE o_totalprice < 10000 UNION ALL SELECT * FROM orders WHERE o_totalprice >= 400000) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "distinct_pairs" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "set_intersect" ->
+      ("SELECT c_custkey AS custkey FROM customer INTERSECT " +
+        "SELECT o_custkey AS custkey FROM orders ORDER BY custkey"),
+    "set_except" ->
+      ("SELECT c_custkey AS custkey FROM customer EXCEPT " +
+        "SELECT o_custkey AS custkey FROM orders ORDER BY custkey"),
+  )
+}
