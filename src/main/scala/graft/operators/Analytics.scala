@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Grouped analytics, joins, windows, and event-time queries over the
+  * star schema — the capability categories the reference lacks entirely
+  * (SURVEY.md §2.3: joins/aggregations/windows/sorts ABSENT in
+  * /root/reference; only COUNT(*)-per-key exists, src/mr/function.rs:18-20).
+  *
+  * Scale posture:
+  *  - Dimension tables (region, nation) are `broadcast()` — no shuffle of
+  *    the fact table for dim joins at any SF.
+  *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key and are
+  *    left to AQE (on by default in Spark 4) for runtime coalescing / skew
+  *    splitting.
+  *  - Aggregates use DECIMAL(18,2) sums (exact, order-independent) and
+  *    derive averages as exact-decimal-sum ÷ count cast through double —
+  *    deterministic on both engines, never a float-accumulation race.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: the canonical partial+final
+    * HashAggregate over the biggest table, 4 aggregate shapes. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: segment customers ⋈ orders ⋈ lineitem, top-10 open
+    * orders by revenue. Customer side collapses to keys before the join. */
+  def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem,
+    * revenue by nation. region+nation broadcast (tiny dims); the
+    * orders⋈lineitem fact join shuffles on the order key. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name").isin("ASIA", "EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Ranking window: top-3 line items per supplier by price.
+    * At scale this is one shuffle on l_suppkey + an in-partition sort —
+    * no global sort, no driver materialization. */
+  def windowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Running-total window: cumulative spend per customer over order date. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("running_spend", sum(col("p")).over(w).cast("double"))
+      .drop("p")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** ROLLUP grouping sets with explicit NULLS FIRST ordering (Spark's
+    * default ascending order) so both engines agree on row order. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** CUBE over two lineitem dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Exact + grouped distinct counting. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Approximate distinct (HLL). Engine-specific sketch → no SQL oracle;
+    * the driver records a rows-only check. A dedicated spec bounds the
+    * error against the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour event-time windows, batch form of the streaming
+    * aggregation (graft.streaming). Hour-bucket keys sidestep the
+    * ns-vs-µs parquet timestamp precision gap (events.ts is ns; Spark
+    * truncates to µs — raw ts output would never hash-match). */
+  def eventHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("n"), col("total_value"))
+      .orderBy("hour")
+
+  /** Sliding 2-hour windows advancing hourly — each event lands in two
+    * buckets; expressed for the oracle as an explicit 2-element unnest. */
+  def eventSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+      .orderBy("win_start")
+
+  /** JSON field extraction from events.props (regexp on both engines —
+    * engine-portable and pushdown-friendly). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Monthly revenue rollup on orders (date_trunc bucketing, ms-precision
+    * timestamps are exact at µs on both engines). */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
+  /** Sessionization (30-min inactivity gap) via window functions — the
+    * batch twin of the streaming flatMapGroupsWithState sessionizer.
+    * All arithmetic on unix micros so both engines see identical values. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        floor((max("us") - min("us")) / lit(1000000L)).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_revenue" -> q3Revenue,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "window_topn" -> windowTopn,
+    "window_running" -> windowRunning,
+    "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
+    "distinct_users" -> distinctUsers,
+    "approx_distinct" -> approxDistinct,
+    "event_hourly" -> eventHourly,
+    "event_sliding" -> eventSliding,
+    "json_extract" -> jsonExtract,
+    "monthly_revenue" -> monthlyRevenue,
+    "sessionize" -> sessionize,
+  )
+
+  private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, " +
+        s"sum($disc) AS sum_disc_price, count(*) AS count_order, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_revenue" ->
+      (s"SELECT l_orderkey, o_orderdate, CAST(sum($disc) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q5_region_revenue" ->
+      (s"SELECT n_name, CAST(sum($disc) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name IN ('ASIA', 'EUROPE') " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "window_topn" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM " +
+        "(SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
+        "FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn"),
+    "window_running" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend " +
+        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
+    "rollup_agg" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "cube_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "event_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "event_sliding" ->
+      ("SELECT win_start, count(*) AS n FROM (SELECT unnest([date_trunc('hour', ts), " +
+        "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start FROM events) " +
+        "GROUP BY win_start ORDER BY win_start"),
+    "json_extract" ->
+      ("SELECT CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS INT) AS k, count(*) AS n " +
+        "FROM events GROUP BY k ORDER BY k"),
+    "monthly_revenue" ->
+      ("SELECT date_trunc('month', o_orderdate) AS month, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    "sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "flagged AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "sessions AS (SELECT user_id, us, " +
+        "sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+        "FROM flagged) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+  )
+}

@@ -62,7 +62,7 @@ object Relational {
     cheap.union(pricey)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -127,7 +127,7 @@ object Relational {
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"),
     "union_all" ->
-      ("SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total FROM " +
+      ("SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM " +
         "(SELECT * FROM orders WHERE o_totalprice < 10000 UNION ALL SELECT * FROM orders WHERE o_totalprice >= 400000) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "distinct_pairs" ->

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1 groups cover all (returnflag, linestatus) pairs and counts sum to filtered rows") {
+    val q1 = Analytics.q1Pricing(spark, sf).cache()
+    val n = q1.agg(sum("count_order")).as[Long].head()
+    val expect = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" <= to_timestamp(lit("2001-09-01"))).count()
+    assert(n == expect)
+    q1.unpersist()
+  }
+
+  test("q5 revenue covers only ASIA/EUROPE nations") {
+    val nations = Analytics.q5RegionRevenue(spark, sf)
+      .select("n_name").as[String].collect().toSet
+    val allowed = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name".isin("ASIA", "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select("n_name").as[String].collect().toSet
+    assert(nations.subsetOf(allowed) && nations.nonEmpty)
+  }
+
+  test("window_topn keeps at most 3 rows per supplier, rn ascending") {
+    val bad = Analytics.windowTopn(spark, sf)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"), max("rn").as("m"))
+      .filter($"n" > 3 || $"m" > 3).count()
+    assert(bad == 0)
+  }
+
+  test("rollup has grand total row equal to table count") {
+    val total = Analytics.rollupAgg(spark, sf)
+      .filter($"o_orderstatus".isNull && $"o_orderpriority".isNull)
+      .select("n").as[Long].head()
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val exact = Analytics.distinctUsers(spark, sf)
+      .select($"event_type", $"users").as[(String, Long)].collect().toMap
+    val approx = Analytics.approxDistinct(spark, sf)
+      .select($"event_type", $"approx_users").as[(String, Long)].collect().toMap
+    approx.foreach { case (t, a) =>
+      assert(math.abs(a - exact(t)).toDouble / exact(t) < 0.10, s"type $t: $a vs ${exact(t)}")
+    }
+  }
+
+  test("sessionize: session event counts sum to total events") {
+    val total = Analytics.sessionize(spark, sf).agg(sum("n_events")).as[Long].head()
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("event_sliding counts are exactly 2x event count in aggregate") {
+    val slid = Analytics.eventSliding(spark, sf).agg(sum("n")).as[Long].head()
+    assert(slid == 2 * Tables.events(spark, sf).count())
+  }
+}
