@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, document fingerprinting (north-star extensions —
+  * SURVEY.md §2.3; absent from the reference).
+  *
+  * Everything is a row-local Column expression over the token array — no
+  * shuffle at all until the final ORDER BY, so each of these streams
+  * through a 100 TB corpus in a single map phase.
+  */
+object TextAnalysis {
+
+  private def toks: Column = TextFunctions.tokens(col("text"))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est"),
+  )
+
+  private def markerCount(lang: String): Column =
+    size(filter(col("toks"), t => t.isin(stopwords(lang): _*)))
+
+  /** Heuristic language ID: argmax of per-language marker-word counts,
+    * first-match tie-break, 'und' when no marker hits. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks"))
+      .select(col("doc_id"), col("labeled_lang"),
+        markerCount("en").as("s_en"), markerCount("es").as("s_es"),
+        markerCount("de").as("s_de"), markerCount("fr").as("s_fr"))
+    val best = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+    scored.select(col("doc_id"), col("labeled_lang"),
+      when(best === 0, "und")
+        .when(col("s_en") === best, "en")
+        .when(col("s_es") === best, "es")
+        .when(col("s_de") === best, "de")
+        .otherwise("fr").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score: stopword ratio + length saturation, rounded. The exact
+    * formula matters less than it being deterministic and monotone in
+    * signals a curation pipeline would use. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).as("n_tokens"))
+    val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
+    val stopRatio = when(col("n_tokens") > 0,
+      stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
+    val punctRatio = when(length(col("text")) > 0,
+      punct / length(col("text"))).otherwise(0.0)
+    val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
+    d.select(col("doc_id"), col("n_tokens"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (ceil(len/4) pieces per token, the usual chars-per-token heuristic). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), length(col("text")).as("n_chars"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + floor((length(t) + lit(3)) / lit(4))).as("n_subwords"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Content fingerprints: md5 of whitespace-normalized lowercase text
+    * (exact-dup key) + min rolling-hash over char-8-grams (winnowing-style
+    * near-dup key, stable under local edits). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val minGram = array_min(transform(
+      TextFunctions.charNGrams(col("text"), 8), g => md5(g)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("fp_norm"),
+        coalesce(minGram, md5(col("text"))).as("fp_mingram"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id" -> langId,
+    "quality_score" -> qualityScore,
+    "token_count" -> tokenCount,
+    "doc_fingerprint" -> docFingerprint,
+  )
+
+  // ---- oracle SQL ----
+
+  private val toksSql =
+    "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+'), t -> len(t) > 0)"
+
+  private def markersSql(lang: String): String = {
+    val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($lst, t)))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "lang_id" ->
+      (s"WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents), " +
+        s"s AS (SELECT doc_id, labeled_lang, ${markersSql("en")} AS s_en, ${markersSql("es")} AS s_es, " +
+        s"${markersSql("de")} AS s_de, ${markersSql("fr")} AS s_fr FROM t) " +
+        "SELECT doc_id, labeled_lang, CASE " +
+        "WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
+        "WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en' " +
+        "WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es' " +
+        "WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de' " +
+        "ELSE 'fr' END AS pred_lang FROM s ORDER BY doc_id"),
+    "quality_score" ->
+      (s"WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents), " +
+        "d AS (SELECT doc_id, text, toks, len(toks) AS n_tokens, " +
+        s"${markersSql("en")} AS stop_hits, " +
+        "len(text) - len(regexp_replace(text, '[^\\w\\s]+', '', 'g')) AS punct FROM t) " +
+        "SELECT doc_id, n_tokens, " +
+        "round(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio, " +
+        "round(CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END, 6) AS punct_ratio, " +
+        "round(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 0.4 + " +
+        "least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.5 + " +
+        "(1.0 - CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END) * 0.1, 6) AS quality " +
+        "FROM d ORDER BY doc_id"),
+    "token_count" ->
+      (s"SELECT doc_id, len(toks) AS n_tokens, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST((len(t) + 3) // 4 AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS n_subwords, " +
+        s"len(text) AS n_chars FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
+    "doc_fingerprint" ->
+      ("SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_norm, " +
+        "coalesce(list_min(list_transform(generate_series(1, len(text) - 7), i -> md5(substr(text, i, 8)))), md5(text)) AS fp_mingram " +
+        "FROM documents ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Similarity, TextAnalysis}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1.0") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+      .select(VectorFunctions.toDoubleVec($"embedding").as("v"))
+    val c = df.select(round(VectorFunctions.cosine($"v", $"v"), 9).as("c"))
+      .as[Double].head()
+    assert(c == 1.0)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFunctions.toDoubleVec($"a").as("a"),
+        VectorFunctions.toDoubleVec($"b").as("b"))
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head() == 0.0)
+  }
+
+  test("cosine_topk: 10 queries x 5 neighbors, cos in [-1,1], rn 1..5") {
+    val t = Similarity.cosineTopk(spark, sf).collect()
+    assert(t.length == 50)
+    assert(t.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    assert(t.map(_.getInt(3)).toSet == Set(1, 2, 3, 4, 5))
+  }
+
+  test("lsh buckets are stable and within [0, 256)") {
+    val b = Similarity.annLshBuckets(spark, sf).as[(Long, Int)].collect()
+    assert(b.forall { case (_, bk) => bk >= 0 && bk < 256 })
+    val b2 = Similarity.annLshBuckets(spark, sf).as[(Long, Int)].collect()
+    assert(b.sameElements(b2))
+  }
+
+  test("lsh pair cosines skew higher than random-pair baseline") {
+    val pairCos = Similarity.annLshPairs(spark, sf)
+      .agg(avg("cos")).as[Double].head()
+    // same-bucket pairs agree on all 8 hyperplanes; expect positive mean
+    assert(pairCos > 0.0)
+  }
+
+  test("lang_id predicts a label for every doc; token counts positive") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(TextAnalysis.langId(spark, sf).count() == n)
+    val tc = TextAnalysis.tokenCount(spark, sf)
+      .filter($"n_tokens" <= 0 || $"n_subwords" < $"n_tokens").count()
+    assert(tc == 0) // every token contributes >= 1 subword
+  }
+
+  test("quality score in [0,1]") {
+    val bad = TextAnalysis.qualityScore(spark, sf)
+      .filter($"quality" < 0 || $"quality" > 1).count()
+    assert(bad == 0)
+  }
+
+  test("doc_fingerprint: equal normalized text => equal fp_norm") {
+    val df = Seq((1L, "a  b\tc"), (2L, "A B C"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(md5(lower(regexp_replace($"text", "\\s+", " "))).as("fp"))
+      .as[String].collect()
+    assert(df(0) == df(1) && df(1) == df(2))
+  }
+}
