@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (north-star extension; the
+  * reference is strings-only, /root/reference/src/mr/worker.rs:9-13).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB (`decodeStub`); everything around it —
+  * binary column handling, the typed mapPartitions batch shape, the frame
+  * sampling expressions, schemas, partition behavior — is real and tested.
+  * Swapping `decodeStub` for a JNI/codec call is a one-function change.
+  *
+  * Scale notes: payload bytes never shuffle — metadata extraction is
+  * map-only; frame sampling emits fixed-size slices (bounded fan-out) and
+  * the per-partition iterator shape is exactly what a batched native
+  * decoder (arrow batches into a codec) needs.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, digest: String,
+      width: Int, height: Int, channels: Int)
+
+  /** STUB decoder: a real implementation would hand `bytes` to an image
+    * codec. Deterministic fake: dimensions derived from the first two
+    * payload bytes, mirroring how a header parse would behave. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    (64 + b0 % 64, 64 + b1 % 64, 3)
+  }
+
+  private def hexMd5(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** The typed per-partition decode pipeline: Dataset[MediaRecord] →
+    * Dataset[MediaMeta], one iterator pass per partition (the JVM-side
+    * equivalent of a Pandas-UDF mapInPandas batch loop). */
+  def decodeMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val (w, h, c) = decodeStub(r.media)
+      MediaMeta(r.doc_id, r.media.length.toLong, hexMd5(r.media), w, h, c)
+    })
+  }
+
+  /** Documents' text bytes standing in for media payloads (no binary
+    * testdata exists; UTF-8 ASCII text keeps the oracle expressible). */
+  private def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+  }
+
+  /** Metadata extraction over binary payloads via the typed pipeline. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(asMedia(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Frame sampling: one 16-byte slice every 64 bytes of payload —
+    * bounded fan-out explode, fingerprint per frame. Pure codegen'd
+    * expressions (the fast path when the sampler doesn't need a codec). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bin.as("media"), octet_length(bin).as("n_bytes"))
+      .filter(col("n_bytes") >= 16)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((col("n_bytes") - 16) / 64).cast("int")),
+          i => struct(i.as("frame_idx"),
+            md5(col("media").substr(i * 64 + 1, lit(16))).as("frame_md5")))).as("f"))
+      .select(col("doc_id"), col("f.frame_idx"), col("f.frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> multimodalMeta,
+    "frame_sample" -> frameSample,
+  )
+
+  // Oracle: text is ASCII, so byte arithmetic == char arithmetic and
+  // md5(blob) == md5(text) — the stub's behavior is fully SQL-expressible.
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      ("SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
+        "CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width, " +
+        "CAST(64 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height, " +
+        "3 AS channels FROM documents ORDER BY doc_id"),
+    "frame_sample" ->
+      ("SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5 " +
+        "FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((len(text) - 16) / 64) AS BIGINT))) AS i " +
+        "FROM documents WHERE len(text) >= 16) ORDER BY doc_id, frame_idx"),
+  )
+}

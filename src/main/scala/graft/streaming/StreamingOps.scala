@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming twins of the batch
+  * event-time queries in graft.operators.Analytics. The reference is batch
+  * only (SURVEY.md §2.4 — its leases are worker liveness, not event time),
+  * so this whole module is north-star extension.
+  *
+  * Designed for incremental state at scale:
+  *  - windowed aggregation carries only (window, type) → (count, sum)
+  *    state, bounded by the 10-minute watermark;
+  *  - sessionization state is one open session per user key, closed and
+  *    emitted via event-time timeout — no unbounded buffering.
+  * The same code runs over Kafka/files in production; tests drive it with
+  * MemoryStream + processAllAvailable for deterministic batches.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+  case class SessionOut(user_id: Long, n_events: Long, duration_s: Long)
+
+  /** Tumbling 1-hour windowed counts with a 10-minute watermark (streaming
+    * twin of Analytics.eventHourly). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("n"), col("total_value"))
+
+  private val GapUs: Long = 30L * 60 * 1000000
+
+  /** Event-time sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState (streaming twin of Analytics.sessionize).
+    * Emits a session when the gap elapses (event-time timeout) — state per
+    * key is O(1). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      if (sorted.isEmpty && state.hasTimedOut) {
+        cur.foreach { s =>
+          out ::= SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000)
+        }
+        state.remove()
+        return out.iterator
+      }
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.last_us <= GapUs =>
+            cur = Some(s.copy(last_us = us, n = s.n + 1))
+          case Some(s) =>
+            out ::= SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last_us / 1000 + GapUs / 1000)
+      }
+      out.reverse.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Multimodal}
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def loadEvents(): Seq[Event] =
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+  test("streaming hourly counts == batch event_hourly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.hourlyCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      mem.addData(loadEvents(): _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("hour")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      val want = Analytics.eventHourly(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize totals == batch sessionize (closed sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      val evs = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // push watermark far past the last event so every session closes
+      val last = evs.last
+      mem.addData(Event(9999999L,
+        new java.sql.Timestamp(last.ts.getTime + 24L * 3600 * 1000),
+        -1L, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter($"user_id" >= 0)
+        .groupBy("user_id").agg(sum("n_events").as("total"))
+        .as[(Long, Long)].collect().toMap
+      val want = Analytics.sessionize(spark, sf)
+        .groupBy("user_id").agg(sum("n_events").as("total"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("multimodal decode stub is deterministic and matches byte math") {
+    val (w, h, c) = Multimodal.decodeStub("the fast".getBytes("UTF-8"))
+    assert(w == 64 + 't'.toInt % 64 && h == 64 + 'h'.toInt % 64 && c == 3)
+    val empty = Multimodal.decodeStub(Array.emptyByteArray)
+    assert(empty == (64, 64, 3))
+  }
+
+  test("frame_sample frames are 16-byte slices at 64-byte stride") {
+    val fs = Multimodal.frameSample(spark, sf)
+    val one = fs.filter($"doc_id" === 0).collect()
+    val text = Tables.documents(spark, sf)
+      .filter($"doc_id" === 0).select("text").as[String].head()
+    val expected = (0 to (text.length - 16) / 64).map { i =>
+      val slice = text.substring(i * 64, i * 64 + 16)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(slice.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    assert(one.map(_.getString(2)).toSeq == expected)
+  }
+}
