@@ -38,11 +38,13 @@ object VectorFunctions {
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id over `planes`
-    * hyperplanes in `dim` dimensions: bit h = [dot(v, plane_h) >= 0]. */
+    * hyperplanes in `dim` dimensions: bit h = [dot(v, plane_h) >= 0].
+    * The projection is a fold against a literal ±1 array — a small
+    * expression tree that loops at runtime, instead of a dim×planes-term
+    * sum that would bloat codegen compilation. */
   def lshBucket(v: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { h =>
-      val proj = (0 until dim).map(i => v.getItem(i) * lit(planeSign(h, i).toDouble))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1 << h)).otherwise(lit(0))
+      val signs = array((0 until dim).map(i => lit(planeSign(h, i).toDouble)): _*)
+      when(dot(v, signs) >= 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ + _)
 }

@@ -43,67 +43,105 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** MinHash + LSH candidate pairs. k=8 hashes, 4 bands × 2 rows. */
+  /** MinHash + LSH candidate pairs. k=8 permutations of ONE md5-derived
+    * base hash per shingle (universal hashing), 4 bands × 2 rows; the
+    * band key is the raw (h_2j, h_2j+1) pair — no re-hashing needed. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3) // ≡ shingle set nonempty; cheap to push down
       .select(col("doc_id"),
-        array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sig = sh.select(col("doc_id"),
-      TextFunctions.minhashSignature(col("shingles"), K).as("sig"))
+        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)).as("shingles"))
+    val based = sh.select(col("doc_id"),
+      TextFunctions.minhashBases(col("shingles")).as("bases"))
+    val sig = based.select(col("doc_id"),
+      array((0 until K).map(i =>
+        TextFunctions.minhashFromBases(col("bases"), i)): _*).as("sig"))
     val bands = sig.select(col("doc_id"), explode(array((0 until B).map { j =>
-      struct(lit(j).as("band"),
-        md5(concat(col("sig")(2 * j), col("sig")(2 * j + 1))).as("bh"))
+      struct(lit(j).as("band"), col("sig")(2 * j).as("h1"),
+        col("sig")(2 * j + 1).as("h2"))
     }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
+      .select(col("doc_id"), col("e.band"), col("e.h1"), col("e.h2"))
     bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
       .orderBy("id1", "id2")
   }
 
-  /** Hex digit value of the 1-based j-th char of an md5 prefix. */
-  private def hexVal(h: Column, j: Int): Column = {
-    val a = ascii(substring(h, j, 1))
-    a - lit(48) - when(a >= 97, lit(39)).otherwise(lit(0))
-  }
-
-  /** 32-bit SimHash per document from token md5s (majority vote per bit). */
+  /** 32-bit SimHash per document (majority vote per bit) over one
+    * 32-bit md5-derived integer per token — bit tests are integer
+    * shifts, not string surgery. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = transform(toksCol, t => substring(md5(t), 1, 8))
-    val withH = Tables.documents(spark, dir)
-      .select(col("doc_id"), hashes.as("hashes"), size(hashes).as("n"))
+    val vals = transform(toksCol, t => TextFunctions.md5Base32(t))
+    val withV = Tables.documents(spark, dir)
+      .select(col("doc_id"), vals.as("vals"))
+      .select(col("doc_id"), col("vals"), size(col("vals")).as("n"))
     val simhash = (0 until 32).map { b =>
-      val j = b / 4 + 1
-      val s = b % 4
-      val cnt = size(filter(col("hashes"),
-        h => shiftright(hexVal(h, j), s).bitwiseAND(lit(1)) === 1))
+      val cnt = size(filter(col("vals"),
+        v => shiftright(v, b).bitwiseAND(lit(1L)) === 1))
       when(cnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    withH.select(col("doc_id"), simhash.cast("long").as("simhash"))
+    withV.select(col("doc_id"), simhash.cast("long").as("simhash"))
       .orderBy("doc_id")
   }
 
   /** Exact Jaccard over distinct char-5-grams for pairs inside a
     * (lang, source) blocking group — the verification stage an LSH
-    * pipeline runs on its candidates. */
+    * pipeline runs on its candidates. Set sizes are precomputed per doc
+    * and the intersection is evaluated exactly once per pair. */
+  /** Base-31 rolling hash of text[i..i+n) — JVM twin of the SQL polynomial
+    * in the oracle (ascii-exact on the ASCII corpus). */
+  private def gramHash(s: String, i: Int, n: Int): Long = {
+    var h = 0L
+    var j = 0
+    while (j < n) { h = h * 31 + s.charAt(i + j).toLong; j += 1 }
+    h
+  }
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Gram sets are computed in a typed mapPartitions: a tight JVM loop
+    // AND a hard optimizer barrier. Expressing this with Column transforms
+    // let Catalyst/AQE inline the gram pipeline into downstream operators
+    // (the self-join predicate, pushed filters) and recompute it per
+    // CANDIDATE PAIR — thread dumps showed ArrayDistinct inside the join's
+    // SpecificPredicate and O(len²) ascii loops in the scan; 813 s vs ~10 s
+    // at sf0.1. Deserialize/Serialize boundaries are opaque to the
+    // optimizer, so the arrays are materialized exactly once per doc.
     val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextFunctions.charNGrams(col("text"), 5)).as("g"))
-      .filter(size(col("g")) > 0)
-    val inter = size(array_intersect(col("a.g"), col("b.g")))
-    val jac = inter / (size(col("a.g")) + size(col("b.g")) - inter)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, lang, src, text) =>
+        val set = new scala.collection.mutable.LinkedHashSet[Long]
+        var i = 0
+        while (i <= text.length - 5) { set += gramHash(text, i, 5); i += 1 }
+        (id, lang, src, set.toArray, set.size)
+      })
+      .toDF("doc_id", "lang", "source", "g", "sz")
+      // co-located self-join: both sides arrive partitioned by block key
+      // (the second side is a ReusedExchange), no broadcast of wide arrays
+      .repartition(col("lang"), col("source"))
     g.as("a")
       .join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        round(jac, 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
+        size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
+        (col("a.sz") + col("b.sz")).as("tot"))
+      // threshold BEFORE the jaccard projection, as integer arithmetic
+      // referencing `inter` exactly once: J = i/(tot-i) >= 0.2 ⟺ 6i >= tot.
+      // Catalyst folds this into the join condition — which is fine (and
+      // fast) precisely because the substituted expression computes the
+      // intersect once. Filtering on the rounded jaccard instead would
+      // substitute a formula with TWO intersect occurrences into the join
+      // (measured 4x slowdown).
+      .filter(col("inter") * 6 >= col("tot"))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
       .orderBy("id1", "id2")
   }
 
@@ -119,16 +157,20 @@ object Dedup {
   private val toksSql =
     "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+'), t -> len(t) > 0)"
 
-  private def sigSql: String =
+  /** DuckDB twin of TextFunctions.md5Base32. */
+  private def base32Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
+
+  private def sigSql: String = {
+    import TextFunctions.{MinhashA, MinhashB, MinhashP}
     (0 until K).map(i =>
-      s"list_min(list_transform(shingles, s -> md5('$i:' || s)))").mkString("[", ", ", "]")
+      s"list_min(list_transform(bases, b -> (${MinhashA(i)} * b + ${MinhashB(i)}) % $MinhashP))")
+      .mkString("[", ", ", "]")
+  }
 
   private def simhashTermsSql: String =
     (0 until 32).map { b =>
-      val j = b / 4 + 1
-      val s = b % 4
-      val hv = s"(ascii(substr(h, $j, 1)) - 48 - CASE WHEN ascii(substr(h, $j, 1)) >= 97 THEN 39 ELSE 0 END)"
-      s"CASE WHEN 2 * len(list_filter(hashes, h -> (($hv >> $s) & 1) = 1)) > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+      s"CASE WHEN 2 * len(list_filter(vals, v -> ((v >> $b) & 1) = 1)) > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
@@ -139,23 +181,28 @@ object Dedup {
       (s"WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), " +
         "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles FROM toks WHERE len(toks) >= 3), " +
-        s"sig AS (SELECT doc_id, $sigSql AS sig FROM sh), " +
-        "bands AS (SELECT doc_id, t.i AS band, md5(sig[2*t.i+1] || sig[2*t.i+2]) AS bh " +
+        s"based AS (SELECT doc_id, list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP}) AS bases FROM sh), " +
+        s"sig AS (SELECT doc_id, $sigSql AS sig FROM based), " +
+        "bands AS (SELECT doc_id, t.i AS band, sig[2*t.i+1] AS h1, sig[2*t.i+2] AS h2 " +
         "FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)) " +
         "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
-        "JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id " +
+        "JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id " +
         "ORDER BY id1, id2"),
     "dedup_simhash" ->
       (s"SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash FROM " +
-        s"(SELECT doc_id, list_transform($toksSql, t -> substr(md5(t), 1, 8)) AS hashes, " +
+        s"(SELECT doc_id, list_transform($toksSql, t -> ${base32Sql("t")}) AS vals, " +
         s"len($toksSql) AS n FROM documents) ORDER BY doc_id"),
     "dedup_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, lang, source, " +
-        "list_distinct(list_transform(generate_series(1, len(text) - 4), i -> substr(text, i, 5))) AS g " +
+        "list_distinct(list_transform(generate_series(1, len(text) - 4), i -> " +
+        "CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 923521 + ascii(substr(text, CAST(i+1 AS INT), 1)) * 29791 + " +
+        "ascii(substr(text, CAST(i+2 AS INT), 1)) * 961 + ascii(substr(text, CAST(i+3 AS INT), 1)) * 31 + " +
+        "ascii(substr(text, CAST(i+4 AS INT), 1)))) AS g " +
         "FROM documents WHERE len(text) >= 5) " +
-        "SELECT id1, id2, jaccard FROM (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
-        "round(len(list_intersect(a.g, b.g)) / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard " +
+        "SELECT id1, id2, round(inter / (tot - inter), 6) AS jaccard FROM " +
+        "(SELECT a.doc_id AS id1, b.doc_id AS id2, len(list_intersect(a.g, b.g)) AS inter, " +
+        "len(a.g) + len(b.g) AS tot " +
         "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) " +
-        "WHERE jaccard >= 0.2 ORDER BY id1, id2"),
+        "WHERE inter * 6 >= tot ORDER BY id1, id2"),
   )
 }

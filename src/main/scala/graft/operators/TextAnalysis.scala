@@ -81,15 +81,17 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Content fingerprints: md5 of whitespace-normalized lowercase text
-    * (exact-dup key) + min rolling-hash over char-8-grams (winnowing-style
-    * near-dup key, stable under local edits). */
+    * (exact-dup key) + min base-31 rolling hash over char-8-grams
+    * (winnowing-style near-dup key, stable under local edits — and pure
+    * integer arithmetic, no per-gram digest). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-    val minGram = array_min(transform(
-      TextFunctions.charNGrams(col("text"), 8), g => md5(g)))
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5(norm).as("fp_norm"),
-        coalesce(minGram, md5(col("text"))).as("fp_mingram"))
+        TextFunctions.asciiCodes(col("text")).as("codes"))
+      .select(col("doc_id"), col("fp_norm"),
+        coalesce(array_min(TextFunctions.charNGramHashesFromCodes(col("codes"), 8)),
+          lit(-1L)).as("fp_mingram"))
       .orderBy("doc_id")
   }
 
@@ -137,9 +139,13 @@ object TextAnalysis {
       (s"SELECT doc_id, len(toks) AS n_tokens, " +
         "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST((len(t) + 3) // 4 AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS n_subwords, " +
         s"len(text) AS n_chars FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
-    "doc_fingerprint" ->
-      ("SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_norm, " +
-        "coalesce(list_min(list_transform(generate_series(1, len(text) - 7), i -> md5(substr(text, i, 8)))), md5(text)) AS fp_mingram " +
-        "FROM documents ORDER BY doc_id"),
+    "doc_fingerprint" -> {
+      val pows = (0 until 8).map(j => math.pow(31, 7 - j).toLong)
+      val poly = (0 until 8).map(j =>
+        s"CAST(ascii(substr(text, CAST(i+$j AS INT), 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+      "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_norm, " +
+        s"coalesce(list_min(list_transform(generate_series(1, len(text) - 7), i -> $poly)), -1) AS fp_mingram " +
+        "FROM documents ORDER BY doc_id"
+    },
   )
 }

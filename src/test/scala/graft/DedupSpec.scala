@@ -37,8 +37,9 @@ class DedupSpec extends SparkSpec {
       .select(graft.functions.TextFunctions
         .minhashSignature(array_distinct(
           graft.functions.TextFunctions.wordShingles($"text", 3)), 8).as("s"))
-      .as[Seq[String]].head()
-    assert(sig.length == 8 && sig.forall(_.length == 32))
+      .as[Seq[Long]].head()
+    assert(sig.length == 8 &&
+      sig.forall(h => h >= 0 && h < graft.functions.TextFunctions.MinhashP))
   }
 
   test("simhash: 32-bit range, deterministic, identical text => identical hash") {
