@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.plans.VectorExpressions.{lsh_bucket, vec_cosine}
 import graft.sources.Tables
 
 /** Similarity search over the embeddings table (north-star extension; the
@@ -36,7 +37,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(vec_cosine(col("qv"), col("v")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select("qid", "vec_id", "cos", "rn")
@@ -46,19 +47,19 @@ object Similarity {
   /** LSH bucket assignment (the signature stage of the ANN index). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
-      .select(col("vec_id"), lshBucket(col("v"), Planes, Dim).as("bucket"))
+      .select(col("vec_id"), lsh_bucket(col("v"), Planes, Dim).as("bucket"))
       .orderBy("vec_id")
 
   /** Candidate pairs that share an LSH bucket, scored with exact cosine —
     * generate-then-verify, the standard ANN shape. */
   def annLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val b = emb(spark, dir)
-      .select(col("vec_id"), col("v"), lshBucket(col("v"), Planes, Dim).as("bucket"))
+      .select(col("vec_id"), col("v"), lsh_bucket(col("v"), Planes, Dim).as("bucket"))
     b.as("a")
       .join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(vec_cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .orderBy("id1", "id2")
   }
 

@@ -82,16 +82,34 @@ object TextAnalysis {
 
   /** Content fingerprints: md5 of whitespace-normalized lowercase text
     * (exact-dup key) + min base-31 rolling hash over char-8-grams
-    * (winnowing-style near-dup key, stable under local edits — and pure
-    * integer arithmetic, no per-gram digest). */
+    * (winnowing-style near-dup key, stable under local edits).
+    * Computed in a typed mapPartitions: a per-row JVM loop and a hard
+    * optimizer barrier (Column-transform versions of this pipeline got
+    * inlined/recomputed by Catalyst — see Dedup.dedupNgramJaccard). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(norm).as("fp_norm"),
-        TextFunctions.asciiCodes(col("text")).as("codes"))
-      .select(col("doc_id"), col("fp_norm"),
-        coalesce(array_min(TextFunctions.charNGramHashesFromCodes(col("codes"), 8)),
-          lit(-1L)).as("fp_mingram"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val norm = text.toLowerCase.replaceAll("\\s+", " ")
+          val fpNorm = md.digest(norm.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          var minH = Long.MaxValue
+          var i = 0
+          while (i <= text.length - 8) {
+            var h = 0L
+            var j = 0
+            while (j < 8) { h = h * 31 + text.charAt(i + j).toLong; j += 1 }
+            if (h < minH) minH = h
+            i += 1
+          }
+          (id, fpNorm, if (minH == Long.MaxValue) -1L else minH)
+        }
+      }
+      .toDF("doc_id", "fp_norm", "fp_mingram")
       .orderBy("doc_id")
   }
 

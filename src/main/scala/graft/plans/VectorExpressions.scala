@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+import graft.functions.VectorFunctions
+
+/** Native Catalyst expressions for the vector hot paths (SURVEY.md §4.3
+  * allowed these as fallback; measured need, not speculation):
+  *
+  *  - `VectorDot` replaces the `aggregate(zip_with(...))` fold. The fold
+  *    works but each evaluation allocates a zipped intermediate array and
+  *    the 8-projection LSH variant produced a codegen tree large enough
+  *    that janino compilation dominated the query (~6 s for 2000 rows).
+  *    Here `doGenCode` emits one tight primitive loop.
+  *  - `HyperplaneBucket` evaluates all `planes` signed projections in one
+  *    pass with a precomputed sign matrix (CodegenFallback — its eval is
+  *    a primitive double loop; nothing to gain from codegen).
+  *
+  * Determinism contract: both run strict sequential accumulation in
+  * element order — identical IEEE doubles to the previous fold AND to the
+  * DuckDB oracle's `list_reduce`, so oracle hashes are unchanged.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** LSH bucket id over `planes` md5-derived random hyperplanes (shared sign
+  * matrix with VectorFunctions.planeSign / the DuckDB oracle literals). */
+case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(planes, dim)((h, i) => VectorFunctions.planeSign(h, i).toDouble)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0
+    var h = 0
+    while (h < planes) {
+      val row = signs(h)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += row(i) * v.getDouble(i); i += 1 }
+      if (s >= 0) bucket |= 1 << h
+      h += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  /** Column wrappers (the public library surface for these expressions). */
+  def vec_dot(a: Column, b: Column): Column =
+    column(VectorDot(expression(a), expression(b)))
+
+  def vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    vec_dot(a, b) / sqrt(vec_dot(a, a) * vec_dot(b, b))
+  }
+
+  def lsh_bucket(v: Column, planes: Int, dim: Int): Column =
+    column(HyperplaneBucket(expression(v), planes, dim))
+}

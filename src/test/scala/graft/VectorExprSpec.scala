@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions._
+
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VectorDot matches the fold-based dot bit-exactly on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(VectorFunctions.toDoubleVec($"embedding").as("v"))
+    val both = e.select(
+      vec_dot($"v", $"v").as("native"),
+      VectorFunctions.dot($"v", $"v").as("fold"))
+    assert(both.filter($"native" =!= $"fold").count() == 0)
+  }
+
+  test("vec_cosine matches fold cosine bit-exactly") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(20)
+      .select($"vec_id", VectorFunctions.toDoubleVec($"embedding").as("v"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+    val diff = pairs.select(
+      vec_cosine(col("a.v"), col("b.v")).as("n"),
+      VectorFunctions.cosine(col("a.v"), col("b.v")).as("f"))
+      .filter($"n" =!= $"f").count()
+    assert(diff == 0)
+  }
+
+  test("HyperplaneBucket matches the fold-based lshBucket") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(100)
+      .select(VectorFunctions.toDoubleVec($"embedding").as("v"))
+    val diff = e.select(
+      lsh_bucket($"v", 8, 64).as("n"),
+      VectorFunctions.lshBucket($"v", 8, 64).as("f"))
+      .filter($"n" =!= $"f").count()
+    assert(diff == 0)
+  }
+
+  test("VectorDot codegen handles nulls") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0, 1.0)))).toDF("a", "b")
+    val got = df.select(vec_dot($"a", $"b").as("d")).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0))
+  }
+}
