@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.plans.{HyperplaneBucket, VectorDot}
+
+/** SQL-surface registration for the custom Catalyst expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API
+  * (the reference's "register your own function" contract,
+  * /root/reference/src/mr/function.rs:1, translated to Spark's
+  * FunctionRegistry). */
+object GraftFunctions {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("vec_dot",
+      exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("lsh_bucket",
+      exprs => HyperplaneBucket(exprs(0),
+        intLit(exprs(1), "planes"), intLit(exprs(2), "dim")), "built-in")
+  }
+}

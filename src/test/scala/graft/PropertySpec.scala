@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions
+import graft.mr.MapReduce
+
+/** Property-style tests (SURVEY.md §5-3): scalacheck generators drive a
+  * batch of inputs through the Column-expression tokenizer and compare
+  * against the plain-Scala reference implementation row by row. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf(
+    "the", "The", "spark", "Hello_again", "a", "héllo", "词", "x1")
+  private val sepGen = Gen.oneOf(" ", "  ", "\t", ", ", "! ", " . ", "; ")
+  private val lineGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, wordGen)
+    seps <- Gen.listOfN(math.max(n, 1), sepGen)
+  } yield ws.zipAll(seps.take(ws.length), "", " ").map { case (w, s) => w + s }.mkString
+
+  private def samples(n: Int): Seq[String] =
+    (0 until n).flatMap(i => lineGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: Column tokenizer == Scala reference tokenizer on 300 random lines") {
+    val data = samples(300)
+    val got = data.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    val want = data.map(s => MapReduce.wordCountMap(s).map(_._1))
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"line $i: ${data(i)}")
+    }
+  }
+
+  test("property: sum of wordcount == total token count on random corpus") {
+    val data = samples(200)
+    val df = data.toDF("text")
+    val totalTokens = df.select(size(TextFunctions.tokens(col("text"))).as("n"))
+      .agg(sum("n")).as[Long].head()
+    val sumCounts = df
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().agg(sum("count")).as[Long].head()
+    assert(totalTokens == sumCounts)
+  }
+
+  test("property: tokenization invariant under punctuation-only insertion") {
+    val data = samples(150)
+    val punct = data.map(s => s.replace(" ", " ... ").replace("e", "e,"))
+    val a = data.toDF("text").select(TextFunctions.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    val b = punct.toDF("text").select(TextFunctions.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    // inserting pure punctuation between/inside words never creates or
+    // destroys word characters in the reference semantics (strip then split)
+    a.zip(b).foreach { case (x, y) => assert(x.mkString == y.mkString) }
+  }
+
+  test("property: exact dedup is idempotent") {
+    val data = samples(100) ++ samples(100) // guaranteed duplicates
+    val df = data.toDF("text")
+    val once = df.dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).count() == 0)
+  }
+
+  test("property: minhash signature equal for equal shingle sets, in-range") {
+    val data = samples(120).filter(_.trim.nonEmpty)
+    val sig = data.toDF("text")
+      .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("text"),
+        TextFunctions.minhashSignature(
+          array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)), 8).as("s"))
+      .as[(String, Seq[Long])].collect()
+    sig.groupBy(_._1).values.foreach { group =>
+      assert(group.map(_._2).distinct.length == 1) // determinism per text
+    }
+    sig.foreach { case (_, s) =>
+      assert(s.forall(h => h >= 0 && h < TextFunctions.MinhashP))
+    }
+  }
+
+  test("sql surface: registered vec_dot and lsh_bucket work from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val d = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").as[Double].head()
+    assert(d == 32.0)
+    val bk = spark.sql("SELECT lsh_bucket(a, 4, 3) AS bk FROM vecs")
+      .selectExpr("bk").head().getInt(0)
+    assert(bk >= 0 && bk < 16)
+  }
+}
