@@ -195,7 +195,57 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join (composed from built-ins, SURVEY preference (a)): for each
+    * error event, the most recent prior purchase by the same user — the
+    * classic event-enrichment shape. One shuffle on user_id; the "join"
+    * is a running IGNORE NULLS last_value, so it never materializes
+    * candidate pairs. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_purchase_us",
+        last(when(col("event_type") === "purchase", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        coalesce(floor((col("us") - col("prev_purchase_us")) / lit(1000000L)).cast("long"),
+          lit(-1L)).as("secs_since_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Exact interpolated quantiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`; rounded to absorb last-ulp interpolation drift). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Mean/variance from exact decimal moments: var = (Σx² − (Σx)²/n)/(n−1)
+    * computed on DECIMAL sums, so the result is order-independent — the
+    * float-safe way to do distributed second-moment statistics. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sum_x2"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sum_x") / col("n"), 6).as("mean"),
+        round((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1), 6).as("variance"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> asofJoin,
+    "quantiles" -> quantiles,
+    "stats_agg" -> statsAgg,
     "q1_pricing" -> q1Pricing,
     "q3_revenue" -> q3Revenue,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -215,6 +265,26 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "enriched AS (SELECT user_id, event_id, event_type, us, " +
+        "last_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_us " +
+        "FROM e) " +
+        "SELECT user_id, event_id, coalesce(CAST(floor((us - prev_purchase_us) / 1000000) AS BIGINT), -1) AS secs_since_purchase " +
+        "FROM enriched WHERE event_type = 'error' ORDER BY user_id, event_id"),
+    "quantiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "stats_agg" ->
+      ("SELECT l_returnflag, n, round(sum_x / n, 6) AS mean, " +
+        "round((sum_x2 - sum_x * sum_x / n) / (n - 1), 6) AS variance FROM " +
+        "(SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_x2 " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
         "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, " +

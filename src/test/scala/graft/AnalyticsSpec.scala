@@ -60,4 +60,27 @@ class AnalyticsSpec extends SparkSpec {
     val slid = Analytics.eventSliding(spark, sf).agg(sum("n")).as[Long].head()
     assert(slid == 2 * Tables.events(spark, sf).count())
   }
+
+  test("asof_join: every error event appears once; gaps nonnegative or -1") {
+    val a = Analytics.asofJoin(spark, sf).cache()
+    val errs = Tables.events(spark, sf).filter($"event_type" === "error").count()
+    assert(a.count() == errs)
+    assert(a.filter($"secs_since_purchase" < -1).count() == 0)
+    a.unpersist()
+  }
+
+  test("quantiles are monotone: p50 <= p90 <= p99") {
+    val bad = Analytics.quantiles(spark, sf)
+      .filter($"p50" > $"p90" || $"p90" > $"p99").count()
+    assert(bad == 0)
+  }
+
+  test("stats_agg variance matches var_samp within fp tolerance") {
+    val got = Analytics.statsAgg(spark, sf)
+      .select($"l_returnflag", $"variance").as[(String, Double)].collect().toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(var_samp($"l_quantity").as("v"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6) }
+  }
 }
