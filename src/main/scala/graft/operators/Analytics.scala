@@ -242,7 +242,25 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Range (interval-containment) join: orders banded by a broadcast
+    * interval table — BroadcastNestedLoopJoin against 11 rows, which is
+    * exactly the right plan: the fact side streams map-only. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 11).select(
+      col("id").cast("int").as("band"),
+      (col("id") * 50000).cast("double").as("lo"),
+      ((col("id") + 1) * 50000).cast("double").as("hi"))
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "quantiles" -> quantiles,
     "stats_agg" -> statsAgg,
@@ -265,6 +283,12 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "range_join" ->
+      ("WITH bands AS (SELECT CAST(i AS INT) AS band, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi " +
+        "FROM (SELECT unnest(generate_series(0, 10)) AS i)) " +
+        "SELECT band, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi " +
+        "GROUP BY band ORDER BY band"),
     "asof_join" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
         "enriched AS (SELECT user_id, event_id, event_type, us, " +

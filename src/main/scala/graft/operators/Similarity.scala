@@ -63,10 +63,18 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** Embedding-cosine near-duplicate pairs: the dedup-flavored use of the
+    * ANN path — LSH candidates filtered to cosine ≥ 0.5. Same
+    * generate-then-verify shape; the threshold makes it a dedup decision
+    * rather than a ranking. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    annLshPairs(spark, dir).filter(col("cos") >= 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_pairs" -> annLshPairs,
+    "dedup_embedding" -> dedupEmbedding,
   )
 
   // ---- oracle SQL ----
@@ -111,5 +119,12 @@ object Similarity {
         s"round(${cosSql("x.v", "y.v")}, 6) AS cos " +
         "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
         "ORDER BY id1, id2"),
+    "dedup_embedding" ->
+      (s"WITH b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket " +
+        s"FROM (SELECT vec_id, $toDoubleSql AS v FROM embeddings)) " +
+        "SELECT id1, id2, cos FROM (SELECT x.vec_id AS id1, y.vec_id AS id2, " +
+        s"round(${cosSql("x.v", "y.v")}, 6) AS cos " +
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) " +
+        "WHERE cos >= 0.5 ORDER BY id1, id2"),
   )
 }

@@ -36,6 +36,14 @@ object StreamingOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: first event per (user, type) key, state
+    * bounded by the watermark — the streaming twin of the exact-dedup
+    * batch operator (keeps only the earliest-seen row per key). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   private val GapUs: Long = 30L * 60 * 1000000
 
   /** Event-time sessionization with a 30-minute inactivity gap via

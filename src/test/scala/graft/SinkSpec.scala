@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.WordCount
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Sink parity (reference O5/O11: space-separated "{key} {value}" text
+  * files, /root/reference/src/mr/worker.rs:155,215) and source round-trips
+  * for the formats the library supports. */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("wordcount text sink round-trip in the reference's 'key value' line format") {
+    val out = tmpDir("txtsink") + "/wc"
+    val wc = WordCount.wordcount(spark, sf)
+    wc.select(concat_ws(" ", col("word"), col("cnt"))).write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+      .select(split(col("value"), " ").as("kv"))
+      .select(col("kv")(0).as("word"), col("kv")(1).cast("long").as("cnt"))
+      .orderBy("word")
+    assert(back.collect().toSeq == wc.collect().toSeq)
+  }
+
+  test("csv and json round-trips preserve the pricing summary") {
+    val q1 = graft.operators.Analytics.q1Pricing(spark, sf)
+    val csv = tmpDir("csv") + "/q1"
+    q1.write.mode("overwrite").option("header", "true").csv(csv)
+    val backCsv = spark.read.option("header", "true").schema(q1.schema).csv(csv)
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(backCsv.collect().toSeq == q1.collect().toSeq)
+
+    val json = tmpDir("json") + "/q1"
+    q1.write.mode("overwrite").json(json)
+    val backJson = spark.read.schema(q1.schema).json(json)
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(backJson.collect().toSeq == q1.collect().toSeq)
+  }
+
+  test("streaming dedup keeps one row per (user, type) and matches batch distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      val evs = Tables.events(spark, sf)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event].collect().toSeq
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      val want = Tables.events(spark, sf)
+        .select("user_id", "event_type").distinct().count()
+      assert(got == want)
+    } finally q.stop()
+  }
+}
