@@ -51,8 +51,11 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
       .select("l_orderkey", "l_extendedprice", "l_discount")
+    // no broadcast() hint on customer: it scales with SF (unlike
+    // region/nation), so size-based selection — AQE at runtime — must
+    // decide; a forced broadcast would OOM a 1000-executor job at 100 TB
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -259,7 +262,22 @@ object Analytics {
       .orderBy("band")
   }
 
+  /** Skew-tolerant two-phase aggregation: deterministic salt spreads a hot
+    * key over 8 reducers in phase 1 (partial per (key, salt)), phase 2
+    * combines the 8 partials per key. On a skewed 100 TB key distribution
+    * this bounds any single reducer's input; with a deterministic salt the
+    * result is exactly the plain groupBy. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+      .groupBy("user_id")
+      .agg(sum("pn").as("n"), sum("pv").cast("double").as("total_value"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_agg" -> saltedAgg,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "quantiles" -> quantiles,
@@ -283,6 +301,9 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "salted_agg" ->
+      ("SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "range_join" ->
       ("WITH bands AS (SELECT CAST(i AS INT) AS band, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi " +
         "FROM (SELECT unnest(generate_series(0, 10)) AS i)) " +
