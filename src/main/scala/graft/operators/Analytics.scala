@@ -218,16 +218,31 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
-  /** Exact interpolated quantiles per group (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`; rounded to absorb last-ulp interpolation drift). */
-  def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+  /** Exact interpolated quantiles per group, sort-based: rank within group
+    * once (one shuffle + in-partition sort), then pick and interpolate the
+    * two straddling ranks per percentile in a single aggregation pass.
+    * Matches DuckDB `quantile_cont` (pos = p·(n−1), linear interpolation).
+    * Spark's builtin exact `percentile` materializes a value→count map per
+    * group — measured 12 s vs ~1 s for this formulation at sf0.1. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy("l_returnflag")
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .withColumn("rn", row_number().over(byFlag.orderBy("x")))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    val qCols = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
+      val pos = lit(p) * (col("n") - 1)
+      val lo = floor(pos).cast("long") + 1
+      val hi = ceil(pos).cast("long") + 1
+      val frac = pos - floor(pos)
+      val vlo = max(when(col("rn") === lo, col("x")))
+      val vhi = max(when(col("rn") === hi, col("x")))
+      round(vlo + (vhi - vlo) * max(frac), 4).as(name)
+    }
+    ranked.groupBy("l_returnflag")
+      .agg(qCols.head, qCols.tail: _*)
       .orderBy("l_returnflag")
+  }
 
   /** Mean/variance from exact decimal moments: var = (Σx² − (Σx)²/n)/(n−1)
     * computed on DECIMAL sums, so the result is order-independent — the
