@@ -101,7 +101,55 @@ object Relational {
       .except(Tables.orders(spark, dir).select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
 
+  /** Scalar string/date/math function sampler (SURVEY §2.3 row
+    * "String/date/math scalar fns") — one codegen'd projection, no shuffle
+    * until the output sort. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        lower(col("o_orderpriority")).as("prio_l"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_rank"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(trim(col("o_orderpriority"))).as("prio_len"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        round(ln(col("o_totalprice")), 6).as("ln_price"),
+        pmod(col("o_orderkey"), lit(7)).as("k_mod7"),
+        (col("o_totalprice") > 200000).cast("int").as("is_big"))
+      .orderBy("o_orderkey")
+
+  /** Array function sampler over the embedding column (SURVEY §2.3 row
+    * "array fns"): slicing, sorting, reductions — all row-local. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first"),
+        round(array_min(col("embedding")).cast("double"), 6).as("vmin"),
+        round(array_max(col("embedding")).cast("double"), 6).as("vmax"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(element_at(array_sort(col("embedding")), 32).cast("double"), 6).as("median_lo"))
+      .orderBy("vec_id")
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen group combos. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         |FROM parquet.`$dir/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+         |""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_funcs" -> scalarFuncs,
+    "array_funcs" -> arrayFuncs,
+    "grouping_sets" -> groupingSets,
     "scan_project" -> scanProject,
     "filter_pred" -> filterPred,
     "flatmap_tokens" -> flatmapTokens,
@@ -115,6 +163,28 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "scalar_funcs" ->
+      ("SELECT o_orderkey, upper(o_orderstatus) AS status_u, lower(o_orderpriority) AS prio_l, " +
+        "CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_rank, " +
+        "concat_ws('#', o_orderstatus, o_orderpriority) AS tag, " +
+        "CAST(length(trim(o_orderpriority)) AS INT) AS prio_len, " +
+        "CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, " +
+        "CAST(day(o_orderdate) AS INT) AS d, " +
+        "round(sqrt(o_totalprice), 6) AS sqrt_price, round(ln(o_totalprice), 6) AS ln_price, " +
+        "o_orderkey % 7 AS k_mod7, CAST(o_totalprice > 200000 AS INT) AS is_big " +
+        "FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"),
+    "array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, " +
+        "round(CAST(embedding[1] AS DOUBLE), 6) AS first, " +
+        "round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin, " +
+        "round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, " +
+        "round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS median_lo " +
+        "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"),
+    "grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY 1, 2, 3",
     "filter_pred" ->
