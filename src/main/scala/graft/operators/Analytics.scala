@@ -291,7 +291,18 @@ object Analytics {
       .agg(sum("pn").as("n"), sum("pv").cast("double").as("total_value"))
       .orderBy("user_id")
 
+  /** Pivot (crosstab): events per user × event_type. Explicit value list
+    * keeps it a single pass (no distinct-values pre-query). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_counts" -> pivotCounts,
     "salted_agg" -> saltedAgg,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
@@ -316,6 +327,14 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "pivot_counts" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "salted_agg" ->
       ("SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
