@@ -37,13 +37,36 @@ object MrQueries {
       .orderBy("word")
   }
 
+  /** Inverted index through the generic surface — a reduce that genuinely
+    * needs the whole group (sorted distinct posting list), i.e. the case
+    * where the reference's holistic contract is the right tool and a
+    * combiner isn't. Output as a comma-joined string for engine-portable
+    * comparison. */
+  def mrInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)]
+    MapReduce.mapReduce(
+      docs,
+      (d: (Long, String)) => MapReduce.wordCountMap(d._2).map { case (w, _) => (w, d._1) },
+      (word: String, docIds: Iterator[Long]) =>
+        (word, docIds.toSeq.distinct.sorted.mkString(",")))
+      .toDF("word", "doc_ids")
+      .orderBy("word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> mrWordcount,
     "mr_wordcount_combine" -> mrWordcountCombine,
+    "mr_inverted_index" -> mrInvertedIndex,
   )
 
   val oracle: Map[String, String] = Map(
     "mr_wordcount" -> WordCount.oracle("wordcount"),
     "mr_wordcount_combine" -> WordCount.oracle("wordcount"),
+    "mr_inverted_index" ->
+      ("SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids " +
+        "FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+')) AS word " +
+        "FROM documents) WHERE length(word) > 0 GROUP BY word ORDER BY word"),
   )
 }
