@@ -65,4 +65,25 @@ class SimilaritySpec extends SparkSpec {
       .as[String].collect()
     assert(df(0) == df(1) && df(1) == df(2))
   }
+
+  test("ivf: every vector gets exactly one cell; search returns top-3 per query") {
+    val assign = graft.operators.Similarity.ivfAssign(spark, sf)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(assign.count() == n)
+    assert(assign.select("vec_id").distinct().count() == n)
+    val search = graft.operators.Similarity.ivfSearch(spark, sf).collect()
+    assert(search.length == 30) // 10 queries x 3
+    assert(search.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+  }
+
+  test("ivf recall sanity: probed search finds mostly the same top-1 as brute force") {
+    val brute = graft.operators.Similarity.cosineTopk(spark, sf)
+      .filter($"rn" === 1).select($"qid", $"vec_id").as[(Long, Long)].collect().toMap
+    val ivf = graft.operators.Similarity.ivfSearch(spark, sf)
+      .filter($"rn" === 1).select($"qid", $"cand_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, v) => ivf.get(q).contains(v) }
+    // 2 of 16 cells probed => recall well below 1.0 is expected, but the
+    // query's own cell almost always holds several true near neighbors
+    assert(hits >= 3, s"top-1 recall too low: $hits/10")
+  }
 }
