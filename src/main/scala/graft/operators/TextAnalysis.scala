@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -113,7 +114,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document. IDF is integer-scaled
+    * (floor(1e6·N/df)) instead of log-scaled: IEEE division of integers is
+    * exactly rounded and therefore bit-identical across engines, where
+    * ln() may differ in the last ulp between libms. Classic two-aggregate
+    * + broadcast-model + window shape; model tables are tiny vs corpus. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = pairs.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = pairs.select("doc_id").distinct().count()
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))
+    tf.join(df, "word")
+      .select(col("doc_id"), col("word"),
+        (col("tf") * floor(lit(1000000.0) * lit(n) / col("df")).cast("long")).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "word", "tfidf")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Corpus bigram language-model scoring — the model is trained on the
+    * corpus and applied back to each document (the self-referential shape
+    * of a data-quality pipeline). P(w2|w1) is integer-scaled like TF-IDF.
+    * Output: per-doc average scaled bigram probability (fluency proxy). */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShinglesFromTokens(col("toks"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cBg = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val cW1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    bigrams
+      .join(cBg, "bg").join(cW1, "w1")
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * col("c_bg") / col("c_w1")).cast("long").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum("p") / count(lit(1))).cast("long").as("avg_p_scaled"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> tfidfTopTerms,
+    "lm_bigram_score" -> lmBigramScore,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
     "token_count" -> tokenCount,
@@ -131,6 +179,26 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      (s"WITH pairs AS (SELECT doc_id, unnest(toks) AS word FROM (SELECT doc_id, $toksSql AS toks FROM documents)), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs GROUP BY doc_id, word), " +
+        "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM pairs GROUP BY word), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n FROM pairs), " +
+        "scored AS (SELECT doc_id, tf.word, tf * CAST(floor(1000000.0 * n.n / df.df) AS BIGINT) AS tfidf " +
+        "FROM tf JOIN df ON tf.word = df.word CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, word, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM scored) " +
+        "SELECT doc_id, CAST(rn AS INT) AS rn, word, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"),
+    "lm_bigram_score" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg FROM t WHERE len(toks) >= 2), " +
+        "bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg), " +
+        "c_bg AS (SELECT bg, count(*) AS c_bg FROM bgw GROUP BY bg), " +
+        "c_w1 AS (SELECT w1, count(*) AS c_w1 FROM bgw GROUP BY w1), " +
+        "scored AS (SELECT doc_id, CAST(floor(1000000.0 * c_bg.c_bg / c_w1.c_w1) AS BIGINT) AS p " +
+        "FROM bgw JOIN c_bg ON bgw.bg = c_bg.bg JOIN c_w1 ON bgw.w1 = c_w1.w1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, CAST(floor(sum(p) / count(*)) AS BIGINT) AS avg_p_scaled " +
+        "FROM scored GROUP BY doc_id ORDER BY doc_id"),
     "lang_id" ->
       (s"WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents), " +
         s"s AS (SELECT doc_id, labeled_lang, ${markersSql("en")} AS s_en, ${markersSql("es")} AS s_es, " +
