@@ -80,9 +80,31 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** STUB resize: a real implementation would decode, scale, re-encode;
+    * the deterministic fake keeps every 4th payload byte (stride
+    * downsample) — the plumbing (bytes in, smaller bytes + digest out,
+    * map-only) is exactly what a codec-backed resize needs. */
+  def resizeStub(bytes: Array[Byte]): Array[Byte] =
+    bytes.indices.by(4).map(bytes(_)).toArray
+
+  /** Resize pipeline over binary payloads via typed mapPartitions. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val resized = resizeStub(r.media)
+        (r.doc_id, r.media.length.toLong, resized.length.toLong, hexMd5(resized))
+      })
+      .toDF("doc_id", "orig_bytes", "resized_bytes", "resized_digest")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "frame_sample" -> frameSample,
+    "media_resize" -> mediaResize,
   )
 
   // Oracle: text is ASCII, so byte arithmetic == char arithmetic and
@@ -97,5 +119,11 @@ object Multimodal {
       ("SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5 " +
         "FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((len(text) - 16) / 64) AS BIGINT))) AS i " +
         "FROM documents WHERE len(text) >= 16) ORDER BY doc_id, frame_idx"),
+    "media_resize" ->
+      ("SELECT doc_id, CAST(len(text) AS BIGINT) AS orig_bytes, " +
+        "CAST((len(text) + 3) // 4 AS BIGINT) AS resized_bytes, " +
+        "md5(array_to_string(list_transform(generate_series(0, (len(text) - 1) // 4), " +
+        "i -> substr(text, CAST(i * 4 + 1 AS INT), 1)), '')) AS resized_digest " +
+        "FROM documents ORDER BY doc_id"),
   )
 }
