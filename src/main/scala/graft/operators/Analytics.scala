@@ -301,7 +301,43 @@ object Analytics {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Pearson correlation from exact decimal moments — same
+    * order-independence argument as statsAgg: five exact sums, then one
+    * deterministic double formula. */
+  def corrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"),
+        sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** RANGE-frame window: per-user rolling 1-hour event-value sum (frame
+    * bounded by event-time distance, not row count) on unix micros. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600L * 1000000, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        dec(col("value")).as("v"))
+      .withColumn("rolling_1h", sum("v").over(w).cast("double"))
+      .select("user_id", "event_id", "rolling_1h")
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corr_agg" -> corrAgg,
+    "window_range_frame" -> windowRangeFrame,
     "pivot_counts" -> pivotCounts,
     "salted_agg" -> saltedAgg,
     "range_join" -> rangeJoin,
@@ -327,6 +363,20 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "corr_agg" ->
+      ("SELECT l_returnflag, n, round((n * sxy - sx * sy) / " +
+        "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr FROM " +
+        "(SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
+    "window_range_frame" ->
+      ("SELECT user_id, event_id, CAST(sum(CAST(value AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h " +
+        "FROM events ORDER BY user_id, event_id"),
     "pivot_counts" ->
       ("SELECT user_id, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +
