@@ -415,9 +415,9 @@ object Analytics {
         "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_x2 " +
         "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
     "q1_pricing" ->
-      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, " +
-        s"sum($disc) AS sum_disc_price, count(*) AS count_order, " +
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        s"CAST(sum($disc) AS DOUBLE) AS sum_disc_price, count(*) AS count_order, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -468,7 +468,10 @@ object Analytics {
         "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start FROM events) " +
         "GROUP BY win_start ORDER BY win_start"),
     "json_extract" ->
-      ("SELECT CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS INT) AS k, count(*) AS n " +
+      // TRY_CAST: on a row without "k" regexp_extract yields '' — DuckDB
+      // CAST('' AS INT) errors while Spark returns null; TRY_CAST mirrors
+      // Spark's null-on-no-match instead of aborting the oracle.
+      ("SELECT TRY_CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS INT) AS k, count(*) AS n " +
         "FROM events GROUP BY k ORDER BY k"),
     "monthly_revenue" ->
       ("SELECT date_trunc('month', o_orderdate) AS month, " +
@@ -479,8 +482,11 @@ object Analytics {
         "flagged AS (SELECT user_id, event_id, us, " +
         "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        // CAST: DuckDB sum(int) is HUGEINT, which pandas renders as float
+        // ("1.0") while Spark's window sum is BIGINT ("1") — the driver's
+        // value-hash compare is representation-sensitive, so pin BIGINT.
         "sessions AS (SELECT user_id, us, " +
-        "sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
         "FROM flagged) " +
         "SELECT user_id, session_id, count(*) AS n_events, " +
         "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +

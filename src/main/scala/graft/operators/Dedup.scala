@@ -46,8 +46,14 @@ object Dedup {
   /** MinHash + LSH candidate pairs. k=8 permutations of ONE md5-derived
     * base hash per shingle (universal hashing), 4 bands × 2 rows; the
     * band key is the raw (h_2j, h_2j+1) pair — no re-hashing needed. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir))
+
+  /** LSH candidate pairs over any (doc_id, text) frame — the reusable
+    * generate stage (dedupMinhashLsh is this over the documents table;
+    * dedupVerifyCandidates re-ranks its output with exact Jaccard). */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3) // ≡ shingle set nonempty; cheap to push down
       .select(col("doc_id"),

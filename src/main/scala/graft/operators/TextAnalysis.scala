@@ -123,13 +123,25 @@ object TextAnalysis {
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("word"))
     val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = pairs.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
-    val n = pairs.select("doc_id").distinct().count()
+    // df and N both derive from tf (one row per distinct (doc_id, word)),
+    // so all three branches can share tf's corpus-scan shuffle via AQE
+    // exchange reuse, and N becomes a broadcast 1-row DataFrame instead of
+    // a driver-side count() action (which eagerly ran a full extra corpus
+    // scan at plan-build time). The `tf >= 1` filters are semantic no-ops
+    // (counts are always ≥ 1) whose job is to reference the aggregated
+    // column: without them Catalyst prunes count(1) out of the df/N
+    // branches' inner aggregate, the three exchange subtrees stop being
+    // canonically identical, and ReuseExchange never fires — measured as
+    // three full corpus scans instead of one.
+    val df = tf.filter(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
+    val n = tf.filter(col("tf") >= 1).agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))
-    tf.join(df, "word")
+    // IDF model tables are vocabulary-sized (tiny vs corpus) → broadcast,
+    // keeping the corpus-sized tf side shuffle-free through both joins
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"),
-        (col("tf") * floor(lit(1000000.0) * lit(n) / col("df")).cast("long")).as("tfidf"))
+        (col("tf") * floor(lit(1000000.0) * col("n") / col("df")).cast("long")).as("tfidf"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("doc_id", "rn", "word", "tfidf")

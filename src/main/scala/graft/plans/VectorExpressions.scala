@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.GraftColumnBridge.{column, expression, AbstractType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 import graft.functions.VectorFunctions
 
@@ -26,14 +26,25 @@ import graft.functions.VectorFunctions
   * DuckDB oracle's `list_reduce`, so oracle hashes are unchanged.
   */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  /** Declared element type is load-bearing, not documentation: ArrayData
+    * .getDouble reads raw 8-byte slots, so an un-cast array<float> column
+    * (the schema's native embedding type) would yield silent garbage.
+    * Declaring array<double> makes the analyzer insert the float→double
+    * cast (or fail for non-castable types) before eval ever runs. */
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -46,7 +57,11 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -63,9 +78,12 @@ case class VectorDot(left: Expression, right: Expression)
 /** LSH bucket id over `planes` md5-derived random hyperplanes (shared sign
   * matrix with VectorFunctions.planeSign / the DuckDB oracle literals). */
 case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def dataType: DataType = IntegerType
+
+  /** See VectorDot.inputTypes — same getDouble-on-float-storage hazard. */
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(DoubleType))
 
   @transient private lazy val signs: Array[Array[Double]] =
     Array.tabulate(planes, dim)((h, i) => VectorFunctions.planeSign(h, i).toDouble)

@@ -10,4 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** types.AbstractDataType is private[sql]; custom expressions outside
+    * this package need it to declare `inputTypes` (ImplicitCastInputTypes).
+    * A public alias defined inside the package is the minimal exposure. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -31,9 +31,6 @@ class BucketingSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
 
       val plan = joined.queryExecution.executedPlan.toString
-      val joinExchanges = plan.linesIterator
-        .takeWhile(l => !l.contains("HashAggregate"))
-        .count(l => l.contains("Exchange hashpartitioning"))
       // the join itself must not shuffle; only the groupBy above it may
       assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
       val fullExchanges = plan.linesIterator

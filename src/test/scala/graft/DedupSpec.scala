@@ -27,12 +27,15 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.dedupMinhashLsh(spark, sf)
       .as[(Long, Long)].collect()
     assert(pairs.forall { case (a, b) => a < b })
-    // a doc joined with a copy of itself must be a candidate pair
+    // a doc unioned with a copy of itself must come back as a candidate
+    // pair: identical text => identical signature => same band buckets
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-    val dup = docs.limit(1).select(($"doc_id" + 100000).as("doc_id"), $"text")
-    docs.union(dup).createOrReplaceTempView("documents_dup")
-    // signature of identical text is identical => same bands => pair found
-    // (verified structurally via the signature function)
+    val orig = docs.orderBy("doc_id").limit(1)
+    val origId = orig.select("doc_id").as[Long].head()
+    val dup = orig.select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val dupPairs = Dedup.minhashLshPairs(docs.union(dup))
+      .as[(Long, Long)].collect()
+    assert(dupPairs.contains((origId, origId + 100000)))
     val sig = docs.limit(1)
       .select(graft.functions.TextFunctions
         .minhashSignature(array_distinct(

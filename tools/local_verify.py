@@ -71,6 +71,15 @@ for name, sql in sorted(oracle.items()):
     mismatch = None
     for c in gs.columns:
         a, b = gs[c], ws[c]
+        # the driver's hash is representation-sensitive: an int64 Spark
+        # column vs a float64 oracle column (e.g. DuckDB HUGEINT sum →
+        # pandas float) renders "1" vs "1.0" and hash-mismatches even
+        # though the values are equal. Flag dtype-kind drift hard here —
+        # this is exactly what sank `sessionize` in round 1.
+        ka, kb = a.dtype.kind, b.dtype.kind
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            mismatch = (c, f"dtype {a.dtype}", f"dtype {b.dtype}", "kind")
+            break
         try:
             av = a.astype(str).str.replace(r"\.0$", "", regex=True)
             bv = b.astype(str).str.replace(r"\.0$", "", regex=True)
