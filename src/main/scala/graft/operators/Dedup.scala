@@ -77,6 +77,108 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Candidate-driven exact-Jaccard verification — the scale-safe verify
+    * stage: instead of an O(n²)-per-block self-join, the exact measure is
+    * evaluated ONLY on LSH candidate pairs, joined back to per-doc shingle
+    * sets on doc_id (plain equi-joins; pair count is bounded by LSH bucket
+    * occupancy, never by block size). Jaccard is computed over the same
+    * word-3-shingle universe the MinHash signatures approximate, as
+    * md5-derived long sets (identical on both engines, cheap to shuffle).
+    */
+  def dedupVerifyCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = minhashLshPairs(docs)
+    val grams = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
+        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
+      .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
+    cands
+      .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"), col("sz").as("sz1")), "id1")
+      .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("g1"), col("g2"))).as("inter"),
+        (col("sz1") + col("sz2")).as("tot"))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"),
+        // integer threshold algebra: J = i/(tot−i) ≥ 0.2 ⟺ 6i ≥ tot
+        (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Connected components over the verified dup-pair graph: the step that
+    * turns pairwise candidates into usable clusters. Iterative min-label
+    * propagation — each round every node adopts the smallest label in its
+    * neighborhood — converges in O(component diameter) rounds, and
+    * near-dup components are shallow in practice (dup clusters are
+    * near-cliques, so diameter ≈ 2–3 even when the cluster is huge). Each
+    * round is one shuffle-join of the (node, label) table against the
+    * edge list; the only driver-side value is the scalar changed-count
+    * that decides convergence — labels never leave the executors.
+    *
+    * Output: (doc_id, cluster_id) for every document that has at least one
+    * verified near-duplicate, cluster_id = min doc_id of the component. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      dedupVerifyCandidates(spark, dir)
+        .filter(col("is_dup") === 1)
+        .select("id1", "id2"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected (id1, id2) edge list.
+    * Returns (id, label) with label = min id of the component, for every
+    * node that appears in an edge. See dedupClusters for the scale
+    * argument. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // undirected adjacency, cached: re-read every round
+    val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
+      .union(edges.select(col("id2").as("id"), col("id1").as("nbr")))
+      .persist()
+    var labels = adj.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .groupBy("id").agg(min("nbr_label").as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** Deduplicated corpus: drop exact-dup non-keepers (min doc_id per
+    * content fingerprint survives) and near-dup cluster non-representatives
+    * (cluster_id survives), via one anti-join on doc_id — the emit step an
+    * LLM-data pipeline actually runs. The drop list is tiny relative to
+    * the corpus, so AQE broadcasts it and the corpus streams map-only. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nearDrops = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val exactDrops = docs
+      .select(col("doc_id"), min(col("doc_id")).over(byFp).as("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    docs.join(nearDrops.union(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash per document (majority vote per bit) over one
     * 32-bit md5-derived integer per token — bit tests are integer
     * shifts, not string surgery. */
@@ -154,6 +256,9 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_verify_candidates" -> dedupVerifyCandidates,
+    "dedup_clusters" -> dedupClusters,
+    "dedup_apply" -> dedupApply,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
   )
@@ -179,21 +284,59 @@ object Dedup {
       s"CASE WHEN 2 * len(list_filter(vals, v -> ((v >> $b) & 1) = 1)) > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
 
+  /** Shared CTE chain: documents → shingles → minhash signatures → LSH
+    * bands → distinct candidate pairs (the SQL twin of minhashLshPairs). */
+  private val lshCtesSql: String =
+    s"toks AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles FROM toks WHERE len(toks) >= 3), " +
+      s"based AS (SELECT doc_id, list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP}) AS bases FROM sh), " +
+      s"sig AS (SELECT doc_id, $sigSql AS sig FROM based), " +
+      "bands AS (SELECT doc_id, t.i AS band, sig[2*t.i+1] AS h1, sig[2*t.i+2] AS h2 " +
+      "FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
     "dedup_minhash_lsh" ->
-      (s"WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), " +
-        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles FROM toks WHERE len(toks) >= 3), " +
-        s"based AS (SELECT doc_id, list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP}) AS bases FROM sh), " +
-        s"sig AS (SELECT doc_id, $sigSql AS sig FROM based), " +
-        "bands AS (SELECT doc_id, t.i AS band, sig[2*t.i+1] AS h1, sig[2*t.i+2] AS h2 " +
-        "FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)) " +
-        "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
-        "JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id " +
+      s"WITH $lshCtesSql SELECT id1, id2 FROM cands ORDER BY id1, id2",
+    "dedup_verify_candidates" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +
+        "SELECT id1, id2, round(inter / (tot - inter), 6) AS jaccard, " +
+        "CAST(inter * 6 >= tot AS INT) AS is_dup FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
         "ORDER BY id1, id2"),
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id) " +
+        "SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "dedup_apply" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "near_drops AS (SELECT id FROM (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id) WHERE id != cl), " +
+        "exact_drops AS (SELECT doc_id AS id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents) WHERE doc_id != keep) " +
+        "SELECT doc_id, lang, source FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM near_drops UNION SELECT id FROM exact_drops) " +
+        "ORDER BY doc_id"),
     "dedup_simhash" ->
       (s"SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash FROM " +
         s"(SELECT doc_id, list_transform($toksSql, t -> ${base32Sql("t")}) AS vals, " +

@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     assert(s1.sameElements(s2))
   }
 
+  test("connected components: chain + triangle + isolated pair resolve to min-id labels") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup_apply keeps one representative per cluster and all singletons") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.dedupClusters(spark, sf)
+    val kept = Dedup.dedupApply(spark, sf)
+    val dropped = clusters.filter($"doc_id" =!= $"cluster_id").count()
+    assert(kept.count() == docs.count() - dropped)
+    // every cluster representative survives
+    val reps = clusters.filter($"doc_id" === $"cluster_id").select("doc_id")
+    assert(reps.join(kept, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("jaccard of a doc with itself is 1.0") {
     val g = Tables.documents(spark, sf).limit(5)
       .select($"doc_id",
