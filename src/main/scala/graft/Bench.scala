@@ -11,6 +11,21 @@ import org.apache.spark.sql.SparkSession
   * under-measure).
   */
 object Bench {
+
+  /** Cumulative JVM GC milliseconds across all collectors. */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Process CPU nanoseconds (−1 if the platform bean is unavailable). */
+  private def cpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +45,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val gc0 = gcMillis
+    val cpu0 = cpuNanos
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -47,7 +64,16 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Self-diagnosing telemetry: wall time alone can't distinguish a slow
+    // plan from a contended machine (BENCH_r02 ran 6x slow on an otherwise
+    // unchanged commit). gc_s is this JVM's collector time over the run;
+    // cpu_s is this process's CPU seconds (>> 32x wall means external
+    // contention is unlikely; << wall x parallelism means we were starved);
+    // load_avg is the 1-minute system load at exit.
+    val gcS = (gcMillis - gc0) / 1e3
+    val cpuS = if (cpu0 >= 0) (cpuNanos - cpu0) / 1e9 else -1.0
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"gc_s":$gcS,"cpu_s":$cpuS,"load_avg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

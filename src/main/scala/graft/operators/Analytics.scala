@@ -85,6 +85,59 @@ object Analytics {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** LEFT OUTER join: every customer with their order count and spend —
+    * null-extension observable as count(o_orderkey)=0 for order-less
+    * customers. Same AQE-decided shuffle join shape as q3 (both sides
+    * scale with SF, so no forced broadcast). */
+  def leftOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey", "c_name")
+      .join(Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("p")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("p")).cast("double"), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** FULL OUTER join: high-balance customers vs big-order counts — rows
+    * survive from either side alone (acctbal NULL on right-only rows,
+    * n_big 0 on left-only). Keys coalesce to one output column. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("ck"), col("c_acctbal").as("acctbal"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("ok"))
+      .agg(count(lit(1)).as("nb"))
+    rich.join(big, col("ck") === col("ok"), "full_outer")
+      .select(coalesce(col("ck"), col("ok")).as("custkey"), col("acctbal"),
+        coalesce(col("nb"), lit(0L)).as("n_big"))
+      .orderBy("custkey")
+  }
+
+  /** TPC-H Q2-style min-cost supplier: for each part, the supplier with
+    * the lowest observed price (correlated min via window rank — one
+    * shuffle on l_partkey after a partial-aggregated groupBy, never a
+    * correlated re-scan per part). part/supplier joins are key-only until
+    * the final name projection; both scale with SF so AQE picks the
+    * strategy. Covers the two otherwise-unqueried dimension tables. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val costs = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(dec(col("l_extendedprice"))).as("min_price"))
+    val w = Window.partitionBy("l_partkey").orderBy(asc("min_price"), asc("l_suppkey"))
+    costs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_name"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("min_price").cast("double").as("min_price"))
+      .orderBy("p_partkey")
+  }
+
   /** Ranking window: top-3 line items per supplier by price.
     * At scale this is one shuffle on l_suppkey + an in-partition sort —
     * no global sort, no driver materialization. */
@@ -170,6 +223,21 @@ object Analytics {
       .groupBy("k")
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
+
+  /** Typed/nested JSON extraction: `from_json` parses props against a
+    * declared schema (the Spark-native path for structured metadata
+    * columns — schema'd, codegen'd, null-safe on missing keys), unlike
+    * jsonExtract's engine-portable regexp. Aggregates over the typed
+    * field prove the values, not just the parse. */
+  def jsonTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
 
   /** Monthly revenue rollup on orders (date_trunc bucketing, ms-precision
     * timestamps are exact at µs on both engines). */
@@ -345,8 +413,11 @@ object Analytics {
     "quantiles" -> quantiles,
     "stats_agg" -> statsAgg,
     "q1_pricing" -> q1Pricing,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q3_revenue" -> q3Revenue,
     "q5_region_revenue" -> q5RegionRevenue,
+    "left_outer_join" -> leftOuterJoin,
+    "full_outer_join" -> fullOuterJoin,
     "window_topn" -> windowTopn,
     "window_running" -> windowRunning,
     "rollup_agg" -> rollupAgg,
@@ -356,6 +427,7 @@ object Analytics {
     "event_hourly" -> eventHourly,
     "event_sliding" -> eventSliding,
     "json_extract" -> jsonExtract,
+    "json_typed" -> jsonTyped,
     "monthly_revenue" -> monthlyRevenue,
     "sessionize" -> sessionize,
   )
@@ -421,6 +493,27 @@ object Analytics {
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q2_min_cost_supplier" ->
+      ("WITH costs AS (SELECT l_partkey, l_suppkey, " +
+        "min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price " +
+        "FROM lineitem GROUP BY l_partkey, l_suppkey), " +
+        "best AS (SELECT l_partkey, l_suppkey, min_price, row_number() OVER " +
+        "(PARTITION BY l_partkey ORDER BY min_price, l_suppkey) AS rn FROM costs) " +
+        "SELECT p_partkey, p_name, s_suppkey, s_name, CAST(min_price AS DOUBLE) AS min_price " +
+        "FROM best JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE rn = 1 ORDER BY p_partkey"),
+    "left_outer_join" ->
+      ("SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, " +
+        "CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "full_outer_join" ->
+      ("SELECT coalesce(r.ck, b.ok) AS custkey, r.acctbal, " +
+        "CAST(coalesce(b.nb, 0) AS BIGINT) AS n_big FROM " +
+        "(SELECT c_custkey AS ck, c_acctbal AS acctbal FROM customer WHERE c_acctbal > 9000) r " +
+        "FULL OUTER JOIN " +
+        "(SELECT o_custkey AS ok, count(*) AS nb FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey) b " +
+        "ON r.ck = b.ok ORDER BY custkey"),
     "q3_revenue" ->
       (s"SELECT l_orderkey, o_orderdate, CAST(sum($disc) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
@@ -473,6 +566,13 @@ object Analytics {
       // Spark's null-on-no-match instead of aborting the oracle.
       ("SELECT TRY_CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS INT) AS k, count(*) AS n " +
         "FROM events GROUP BY k ORDER BY k"),
+    "json_typed" ->
+      // sum(INT) is HUGEINT in DuckDB (pandas-renders as float) — pin
+      // BIGINT to match Spark's sum(int)=bigint; min/max stay INT.
+      ("SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k, " +
+        "min(k) AS min_k, max(k) AS max_k FROM " +
+        "(SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "monthly_revenue" ->
       ("SELECT date_trunc('month', o_orderdate) AS month, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders " +
