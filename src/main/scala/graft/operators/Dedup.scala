@@ -33,6 +33,19 @@ object Dedup {
   private val K = 8 // minhash signature length
   private val B = 4 // LSH bands (rows per band = K/B = 2)
 
+  /** Per-process memo of the dedup chain's shared stages, keyed by
+    * (session, dataset dir). The chain verify ⊂ clusters ⊂ apply shares
+    * its prefix: without this, each of the three declared queries
+    * re-derived the whole LSH→verify (and apply additionally re-ran CC) —
+    * ~3× the unique work per bench/verify run. The cached frames are
+    * `persist()`ed once and owned here for the process lifetime; they are
+    * tiny (candidate pairs and labels — ints and one double per row, pair
+    * count bounded by LSH bucket occupancy), so retention is cents of
+    * memory, not a leak. Keying by session keeps specs with their own
+    * SparkSessions isolated. */
+  private val chainMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
   private def toksCol: Column = TextFunctions.tokens(col("text"))
 
   /** Exact dedup by content fingerprint: one row per distinct text, keeping
@@ -85,27 +98,35 @@ object Dedup {
     * word-3-shingle universe the MinHash signatures approximate, as
     * md5-derived long sets (identical on both engines, cheap to shuffle).
     */
-  def dedupVerifyCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val cands = minhashLshPairs(docs)
-    val grams = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
-        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
-      .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
-    cands
-      .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"), col("sz").as("sz1")), "id1")
-      .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
-      .select(col("id1"), col("id2"),
-        size(array_intersect(col("g1"), col("g2"))).as("inter"),
-        (col("sz1") + col("sz2")).as("tot"))
-      .select(col("id1"), col("id2"),
-        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"),
-        // integer threshold algebra: J = i/(tot−i) ≥ 0.2 ⟺ 6i ≥ tot
-        (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
-      .orderBy("id1", "id2")
-  }
+  def dedupVerifyCandidates(spark: SparkSession, dir: String): DataFrame =
+    verifiedCandidates(spark, dir).orderBy("id1", "id2")
+
+  /** Memoized verify stage: LSH candidates scored with exact Jaccard,
+    * computed once per (session, dataset) and persisted — every chain
+    * consumer (verify query, clusters, apply) reuses the same cached
+    * frame instead of re-deriving the LSH→verify prefix. */
+  def verifiedCandidates(spark: SparkSession, dir: String): DataFrame =
+    chainMemo.getOrElseUpdate((spark, dir, "verified"), {
+      val docs = Tables.documents(spark, dir)
+      val cands = minhashLshPairs(docs)
+      val grams = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
+          array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
+        .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
+      cands
+        .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"), col("sz").as("sz1")), "id1")
+        .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("g1"), col("g2"))).as("inter"),
+          (col("sz1") + col("sz2")).as("tot"))
+        .select(col("id1"), col("id2"),
+          round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"),
+          // integer threshold algebra: J = i/(tot−i) ≥ 0.2 ⟺ 6i ≥ tot
+          (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
+        .persist()
+    })
 
   /** Connected components over the verified dup-pair graph: the step that
     * turns pairwise candidates into usable clusters. Iterative min-label
@@ -120,43 +141,70 @@ object Dedup {
     * Output: (doc_id, cluster_id) for every document that has at least one
     * verified near-duplicate, cluster_id = min doc_id of the component. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      dedupVerifyCandidates(spark, dir)
-        .filter(col("is_dup") === 1)
-        .select("id1", "id2"))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** Memoized cluster stage: connected components over the memoized
+    * verified pairs, computed once per (session, dataset). The returned
+    * projection reads the labels frame that connectedComponents left
+    * persisted and materialized — no second cache entry; the memo owns
+    * that handle for the process lifetime. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    chainMemo.getOrElseUpdate((spark, dir, "clusters"),
+      connectedComponents(
+        verifiedCandidates(spark, dir)
+          .filter(col("is_dup") === 1)
+          .select("id1", "id2"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
 
   /** Min-label propagation over an undirected (id1, id2) edge list.
     * Returns (id, label) with label = min id of the component, for every
     * node that appears in an edge. See dedupClusters for the scale
-    * argument. */
+    * argument.
+    *
+    * The returned frame is persisted and materialized (the final
+    * convergence count forced it); the caller owns the handle —
+    * clusterLabels keeps it for the process, direct callers (specs)
+    * should unpersist when done. Throws if the graph has not converged
+    * within the round cap: silently returning partial labels would make
+    * dedupApply keep/drop the wrong documents with no signal. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     // undirected adjacency, cached: re-read every round
     val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
       .union(edges.select(col("id2").as("id"), col("id1").as("nbr")))
       .persist()
-    var labels = adj.select(col("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // `cached` is the persisted handle for the current iteration's state
+    // (it carries the previous label as `old` so the convergence count is
+    // a filter over the frame being materialized anyway — one join fewer
+    // per round than re-joining the update against the old labels)
+    var cached = adj.select(col("id")).distinct()
+      .select(col("id"), col("id").as("old"), col("id").as("label"))
       .persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
+      val labels = cached.select("id", "label")
       val nbrMin = adj
         .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .groupBy("id").agg(min("nbr_label").as("min_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("label") < col("old")).count()
+      cached.unpersist()
+      cached = step
       iter += 1
     }
     adj.unpersist()
-    labels
+    require(changed == 0,
+      s"connectedComponents did not converge after $iter rounds (a component " +
+        "with diameter > the round cap would yield wrong cluster ids)")
+    // re-cache the clean projection and let go of the loop-state handle so
+    // the returned frame is the one whose unpersist() releases the storage
+    val result = cached.select("id", "label").persist()
+    result.count()
+    cached.unpersist()
+    result
   }
 
   /** Deduplicated corpus: drop exact-dup non-keepers (min doc_id per
@@ -166,11 +214,17 @@ object Dedup {
     * the corpus, so AQE broadcasts it and the corpus streams map-only. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nearDrops = dedupClusters(spark, dir)
+    val nearDrops = clusterLabels(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    // Digest BEFORE the window: partitioning over a pre-projected
+    // (doc_id, fp) pair means only 16-byte digests ride the exchange.
+    // Windowing directly over md5(text) re-evaluates the partition
+    // expression post-shuffle, forcing the full text column through the
+    // wire — a full-corpus text shuffle at 100 TB for 16-byte keys.
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val exactDrops = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
       .select(col("doc_id"), min(col("doc_id")).over(byFp).as("keep"))
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")

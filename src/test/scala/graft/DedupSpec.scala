@@ -56,8 +56,9 @@ class DedupSpec extends SparkSpec {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("id1", "id2")
-    val got = Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
+    val labels = Dedup.connectedComponents(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist() // direct callers own the persisted handle
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
