@@ -95,9 +95,6 @@ object Similarity {
 
   private val IvfK = 16     // coarse centroids
   private val IvfProbes = 2 // cells searched per query
-  // bump when the index layout/params change: stale persisted indexes
-  // under java.io.tmpdir must never be read by newer code
-  private val IvfVersion = "v2"
 
   /** Nearest-centroid assignment: every vector scores only the broadcast
     * K-row centroid table and keeps its best cell — map-only + one
@@ -132,32 +129,52 @@ object Similarity {
       .select(col("cell").as("cid"), col("cv"))
   }
 
-  /** Build + persist the IVF index once per dataset: refined centroids as
+  /** Build the IVF index under caller-owned `root`: refined centroids as
     * one small parquet, inverted lists as parquet PARTITIONED BY cell —
     * the on-disk layout that lets a probe read only its cells' files
     * (partition pruning), exactly like the bucketed-join strategy in
-    * BucketingSpec but for ANN. Returns the index root; subsequent calls
-    * (ivf_assign, ivf_search, repeated benches) reuse the stored index
-    * instead of recomputing the assignment pipeline. */
-  def ivfBuildIndex(spark: SparkSession, dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_ivf_${IvfVersion}_$h"
+    * BucketingSpec but for ANN. The build is atomic: stages land in a
+    * `.build` sibling and are renamed into place before the `.complete`
+    * marker is written, so a crash mid-build never leaves a readable
+    * half-index and concurrent builders can't observe partial state. If
+    * the marker already exists the build is skipped — the CALLER owns
+    * keying `root` by (dataset, params, code version); nothing here
+    * guesses at staleness. */
+  def ivfBuildIndex(spark: SparkSession, dir: String, root: String): String = {
     val marker = new java.io.File(s"$root/.complete")
     if (!marker.exists()) {
+      val stage = java.nio.file.Paths.get(root, ".build")
       val e = emb(spark, dir)
-      val cents = refinedCentroids(e)
-      cents.write.mode("overwrite").parquet(s"$root/centroids")
-      assignCells(e, spark.read.parquet(s"$root/centroids"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/lists")
+      refinedCentroids(e).write.mode("overwrite").parquet(s"$stage/centroids")
+      assignCells(e, spark.read.parquet(s"$stage/centroids"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      for (part <- Seq("centroids", "lists"))
+        java.nio.file.Files.move(stage.resolve(part),
+          java.nio.file.Paths.get(root, part),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.delete(stage)
       marker.createNewFile()
     }
     root
   }
 
+  /** Per-process index roots, one build per (session, dataset). The index
+    * lands in a fresh process-private temp dir: cold and warm bench runs
+    * pay the same (single) build, and no state outlives the JVM — the
+    * previous design keyed a shared /tmp path by dataset dir, so any later
+    * process silently reused whatever an earlier (possibly older-code)
+    * run left behind, making bench numbers and correctness /tmp-dependent. */
+  private val indexMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  private def ivfIndexRoot(spark: SparkSession, dir: String): String =
+    indexMemo.getOrElseUpdate((spark, dir),
+      ivfBuildIndex(spark, dir,
+        java.nio.file.Files.createTempDirectory("graft_ivf_").toString))
+
   /** IVF cell assignment, read back from the persisted inverted lists. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val root = ivfBuildIndex(spark, dir)
+    val root = ivfIndexRoot(spark, dir)
     spark.read.parquet(s"$root/lists")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .orderBy("vec_id")
@@ -169,7 +186,7 @@ object Similarity {
     * 20-row probe side) and ranks candidates by exact cosine — the
     * classic recall/cost dial, with zero index recomputation per query. */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val root = ivfBuildIndex(spark, dir)
+    val root = ivfIndexRoot(spark, dir)
     val cents = spark.read.parquet(s"$root/centroids")
     val lists = spark.read.parquet(s"$root/lists")
       .select(col("vec_id").as("cand_id"), col("v").as("cv2"), col("cell").cast("long").as("cell"))
@@ -248,6 +265,21 @@ object Similarity {
       "FROM p JOIN b e1 ON e1.vec_id = id1 JOIN b e2 ON e2.vec_id = id2)"
   }
 
+  /** DuckDB twin of refinedCentroids: seed-assign, then per-cell
+    * per-position exact-decimal mean (sum as DECIMAL(28,12), cast to
+    * DOUBLE, divided once by the cell count — the same operation order as
+    * the Spark side, so the centroid doubles are bit-identical). `c` is
+    * the refined centroid table every downstream CTE assigns against. */
+  private val refinedCentroidCtesSql: String =
+    s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
+      s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK), " +
+      s"a0s AS (SELECT e.vec_id, e.v, c0.cid, round(${cosSql("e.v", "c0.cv")}, 6) AS sim FROM e CROSS JOIN c0), " +
+      "a0 AS (SELECT vec_id, v, cid AS cell FROM (SELECT vec_id, v, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM a0s) WHERE rn = 1), " +
+      "mean AS (SELECT cell, p.pos, CAST(sum(CAST(v[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+      s"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
+      "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
+
   val oracle: Map[String, String] = Map(
     "cosine_topk" ->
       (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
@@ -266,14 +298,12 @@ object Similarity {
       (s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored " +
         "WHERE cos >= 0.5 ORDER BY id1, id2"),
     "ivf_assign" ->
-      (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
-        s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK), " +
+      (s"WITH $refinedCentroidCtesSql, " +
         s"scored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
         "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM scored) " +
         "SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1 ORDER BY vec_id"),
     "ivf_search" ->
-      (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
-        s"c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK), " +
+      (s"WITH $refinedCentroidCtesSql, " +
         s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
         "assign AS (SELECT vec_id AS cand_id, cid AS cell FROM " +
         "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +

@@ -76,6 +76,18 @@ class SimilaritySpec extends SparkSpec {
     assert(search.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
   }
 
+  test("ivfBuildIndex: atomic build into caller root; marker skips rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_spec_").toString
+    Similarity.ivfBuildIndex(spark, sf, root)
+    assert(new java.io.File(s"$root/.complete").exists)
+    assert(new java.io.File(s"$root/centroids").exists)
+    assert(new java.io.File(s"$root/lists").exists)
+    assert(!new java.io.File(s"$root/.build").exists) // staging renamed away
+    val mtime = new java.io.File(s"$root/.complete").lastModified
+    Similarity.ivfBuildIndex(spark, sf, root) // marker present => no-op
+    assert(new java.io.File(s"$root/.complete").lastModified == mtime)
+  }
+
   test("ivf recall sanity: probed search finds mostly the same top-1 as brute force") {
     val brute = graft.operators.Similarity.cosineTopk(spark, sf)
       .filter($"rn" === 1).select($"qid", $"vec_id").as[(Long, Long)].collect().toMap
