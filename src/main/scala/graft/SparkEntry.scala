@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++ Relational.queries ++ MrQueries.queries ++
       Analytics.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Multimodal.queries ++
+      graft.streaming.StreamingBridge.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     WordCount.oracle ++ Relational.oracle ++ MrQueries.oracle ++
       Analytics.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextAnalysis.oracle ++ Multimodal.oracle
+      TextAnalysis.oracle ++ Multimodal.oracle ++
+      graft.streaming.StreamingBridge.oracle
 }

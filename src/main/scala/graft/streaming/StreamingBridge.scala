@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps.Event
+
+/** Batch⇄streaming equivalence bridge: drives the Structured Streaming
+  * operators over a MemoryStream of the events table and returns the sink
+  * contents as a batch DataFrame, which makes the streaming module
+  * oracle-checkable — its results are compared against the SAME DuckDB SQL
+  * as the batch twins, instead of being trusted on spec assertions alone.
+  *
+  * MemoryStream is driver-fed by definition (it exists to inject
+  * deterministic batches), so the event collect() here is harness shape,
+  * not operator shape: the operators under test consume an unbounded
+  * `readStream` in production, with watermark-bounded state (see
+  * StreamingOps' scale notes), and nothing they do depends on the source
+  * being a memory stream.
+  */
+object StreamingBridge {
+
+  // memory-sink table names must be unique per run within a session
+  private val runId = new java.util.concurrent.atomic.AtomicInteger
+
+  private def loadEvents(spark: SparkSession, dir: String): Seq[Event] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  /** Streaming hourly windowed counts, driven to completion over the whole
+    * events table in one batch (complete mode: every window is emitted
+    * regardless of the watermark, so the result is the batch answer). */
+  def streamHourlyEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+    val q = StreamingOps.hourlyCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(loadEvents(spark, dir): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy("hour")
+  }
+
+  /** Streaming sessionization driven to a closed state: all events in one
+    * batch, then a far-future sentinel to advance the watermark past every
+    * open session's timeout (the subsequent no-data batch fires the
+    * event-time timeouts, emitting the final session per user). The
+    * sentinel's own session is filtered out by its negative user id. */
+  def streamSessionizeEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      val evs = loadEvents(spark, dir)
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val maxMs = evs.iterator.map(_.ts.getTime).max
+      mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 24L * 3600 * 1000),
+        -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // sessions have no stable id in append output: order by the full value
+    // tuple so the oracle compare is row-order deterministic
+    spark.table(name).filter(col("user_id") >= 0)
+      .select("user_id", "n_events", "duration_s")
+      .orderBy("user_id", "n_events", "duration_s")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_eq" -> streamHourlyEq,
+    "stream_sessionize_eq" -> streamSessionizeEq,
+  )
+
+  // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
+  // and batch must produce the same answer over the same finite input.
+  val oracle: Map[String, String] = Map(
+    "stream_hourly_eq" ->
+      ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_sessionize_eq" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "flagged AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "sessions AS (SELECT user_id, us, " +
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+        "FROM flagged) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
+        "FROM sessions GROUP BY user_id, session_id " +
+        "ORDER BY user_id, n_events, duration_s"),
+  )
+}

@@ -46,6 +46,13 @@ object StreamingOps {
 
   private val GapUs: Long = 30L * 60 * 1000000
 
+  /** Exact event-time micros. Timestamp.getTime is MILLIS — multiplying it
+    * by 1000 silently zeroes the sub-ms digits the parquet µs timestamps
+    * carry, which shifts session durations (and, at a boundary, gap
+    * decisions) by up to 1 ms vs the batch sessionizer's unix_micros. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   /** Event-time sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState (streaming twin of Analytics.sessionize).
     * Emits a session when the gap elapses (event-time timeout) — state per
@@ -55,7 +62,7 @@ object StreamingOps {
 
     def update(userId: Long, batch: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var out = List.empty[SessionOut]
       var cur = state.getOption
       if (sorted.isEmpty && state.hasTimedOut) {
@@ -66,7 +73,7 @@ object StreamingOps {
         return out.iterator
       }
       sorted.foreach { e =>
-        val us = e.ts.getTime * 1000
+        val us = micros(e.ts)
         cur match {
           case Some(s) if us - s.last_us <= GapUs =>
             cur = Some(s.copy(last_us = us, n = s.n + 1))
