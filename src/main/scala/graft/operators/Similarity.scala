@@ -76,22 +76,32 @@ object Similarity {
     * generate-then-verify, the standard ANN shape. The band join shuffles
     * only (vec_id, band, key) ints; vectors are fetched for the distinct
     * surviving pairs, so wide arrays never ride the candidate explosion. */
-  def annLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val keys = annBandedKeys(e, Bands, RowsPerBand)
-    val pairs = keys.as("x")
-      .join(keys.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
-      .join(e.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
-      .select(col("id1"), col("id2"),
-        round(vec_cosine(col("v1"), col("v2")), 6).as("cos"))
-      .orderBy("id1", "id2")
-  }
+  def annLshPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredLshPairs(spark, dir).orderBy("id1", "id2")
+
+  /** Memoized scored-candidate stage, shared by annLshPairs and
+    * dedupEmbedding — one LSH generate+verify per (session, dataset)
+    * instead of one per declared query (same pattern as Dedup.chainMemo). */
+  private val pairsMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  def scoredLshPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, dir), {
+      val e = emb(spark, dir)
+      val keys = annBandedKeys(e, Bands, RowsPerBand)
+      val pairs = keys.as("x")
+        .join(keys.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+        .distinct()
+      pairs
+        .join(e.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(vec_cosine(col("v1"), col("v2")), 6).as("cos"))
+        .persist()
+    })
 
   private val IvfK = 16     // coarse centroids
   private val IvfProbes = 2 // cells searched per query
@@ -215,7 +225,7 @@ object Similarity {
     * generate-then-verify shape; the threshold makes it a dedup decision
     * rather than a ranking. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    annLshPairs(spark, dir).filter(col("cos") >= 0.5)
+    scoredLshPairs(spark, dir).filter(col("cos") >= 0.5).orderBy("id1", "id2")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk" -> cosineTopk,
