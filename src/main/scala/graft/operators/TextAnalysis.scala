@@ -70,6 +70,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split assignment: a salted md5 of the
+    * document key maps each doc to one of 100 buckets (96/2/2). Entirely
+    * row-local — no shuffle except the output sort — and stable under
+    * corpus growth or repartitioning (a keyed hash, not row_number or
+    * rand(), so reruns and incremental appends assign identically — the
+    * property a training pipeline needs to avoid test-set leakage). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("graft-split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 96, "train")
+          .when(col("bucket") < 98, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Per-language quality gate: keep the better half of each language's
+    * documents by quality score — the curation step between scoring and
+    * training. Rank-based selection (2·rank ≤ count, ties broken by
+    * doc_id) rather than a filter against an interpolated quantile:
+    * integer logic is exact on both engines, where a floating median
+    * comparison can flip boundary docs on a 1-ulp divergence. One shuffle
+    * on lang for the two windows; quality is computed row-local before it. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+        size(col("toks")).as("n_tokens"))
+    val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
+    val stopRatio = when(col("n_tokens") > 0,
+      stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
+    val punctRatio = when(length(col("text")) > 0,
+      punct / length(col("text"))).otherwise(0.0)
+    val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
+    val scored = d.select(col("doc_id"), col("lang"),
+      round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    scored.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byLang))
+      .filter(col("rn") * 2 <= col("cnt"))
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish subword estimate
     * (ceil(len/4) pieces per token, the usual chars-per-token heuristic). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -176,6 +225,8 @@ object TextAnalysis {
     "lm_bigram_score" -> lmBigramScore,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
+    "quality_gate" -> qualityGate,
+    "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprint,
   )
@@ -233,6 +284,25 @@ object TextAnalysis {
         "least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.5 + " +
         "(1.0 - CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END) * 0.1, 6) AS quality " +
         "FROM d ORDER BY doc_id"),
+    "quality_gate" ->
+      (s"WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents), " +
+        "d AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens, " +
+        s"${markersSql("en")} AS stop_hits, " +
+        "len(text) - len(regexp_replace(text, '[^\\w\\s]+', '', 'g')) AS punct FROM t), " +
+        "q AS (SELECT doc_id, lang, " +
+        "round(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 0.4 + " +
+        "least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.5 + " +
+        "(1.0 - CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END) * 0.1, 6) AS quality " +
+        "FROM d), " +
+        "r AS (SELECT doc_id, lang, quality, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM q) " +
+        "SELECT doc_id, lang, quality FROM r WHERE rn * 2 <= cnt ORDER BY doc_id"),
+    "split_assign" ->
+      ("SELECT doc_id, bucket, CASE WHEN bucket < 96 THEN 'train' " +
+        "WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, CAST('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket " +
+        "FROM documents) ORDER BY doc_id"),
     "token_count" ->
       (s"SELECT doc_id, len(toks) AS n_tokens, " +
         "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST((len(t) + 3) // 4 AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS n_subwords, " +

@@ -52,6 +52,26 @@ class SimilaritySpec extends SparkSpec {
     assert(tc == 0) // every token contributes >= 1 subword
   }
 
+  test("split_assign: stable keyed assignment, every split nonempty, exact halves gate") {
+    val s1 = TextAnalysis.splitAssign(spark, sf).as[(Long, Long, String)].collect()
+    val s2 = TextAnalysis.splitAssign(spark, sf).as[(Long, Long, String)].collect()
+    assert(s1.sameElements(s2)) // keyed hash, not rand(): reruns identical
+    assert(s1.forall { case (_, b, _) => b >= 0 && b < 100 })
+    val bySplit = s1.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+  }
+
+  test("quality_gate keeps exactly floor(n/2) docs per language") {
+    val perLang = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = TextAnalysis.qualityGate(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0L) == n / 2, s"lang=$lang n=$n kept=${kept.get(lang)}")
+    }
+  }
+
   test("quality score in [0,1]") {
     val bad = TextAnalysis.qualityScore(spark, sf)
       .filter($"quality" < 0 || $"quality" > 1).count()
