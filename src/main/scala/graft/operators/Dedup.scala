@@ -295,7 +295,12 @@ object Dedup {
     g.as("a")
       .join(g.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // size filter (lossless): J = i/(s1+s2−i) ≥ 0.2 needs
+          // i ≥ (s1+s2)/6 and i ≤ min(s1,s2), hence 5·min ≥ max — integer
+          // predicates over precomputed sizes prune a pair BEFORE its
+          // set intersection is ever evaluated
+          col("a.sz") * 5 >= col("b.sz") && col("b.sz") * 5 >= col("a.sz"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
         (col("a.sz") + col("b.sz")).as("tot"))

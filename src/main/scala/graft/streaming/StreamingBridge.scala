@@ -32,21 +32,26 @@ object StreamingBridge {
       .as[Event].collect().toSeq
   }
 
-  /** Streaming hourly windowed counts, driven to completion over the whole
-    * events table in one batch (complete mode: every window is emitted
-    * regardless of the watermark, so the result is the batch answer). */
+  /** Streaming hourly windowed counts over a real FILE SOURCE stream
+    * (`readStream.parquet` on the events table — the production shape,
+    * nothing routed through the driver), driven to completion in one
+    * batch. Complete mode: every window is emitted regardless of the
+    * watermark, so the result is the batch answer. The ns→µs timestamp
+    * fix mirrors Tables.events (parquet TIMESTAMP(NANOS) arrives as
+    * LongType under nanosAsLong). */
   def streamHourlyEq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[Event]
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(path)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
-    val q = StreamingOps.hourlyCounts(mem.toDF())
+    val q = StreamingOps.hourlyCounts(events)
       .writeStream.outputMode("complete")
       .format("memory").queryName(name).start()
-    try {
-      mem.addData(loadEvents(spark, dir): _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("hour")
   }
 
