@@ -317,7 +317,49 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥5
+    * distinct char-8-gram hashes with any document in a held-out
+    * benchmark set (stand-in here: doc_id ≡ 0 mod 50) — the overlap check
+    * every LLM data pipeline runs before training so eval results aren't
+    * contaminated by memorized test items.
+    *
+    * Scale shape: gram sets are computed per doc in one typed
+    * mapPartitions pass (optimizer barrier — see dedupNgramJaccard), then
+    * exploded into an inverted (gram, doc) index and equi-joined on the
+    * gram hash. The benchmark side is genuinely bounded (benchmarks are
+    * MBs while the corpus is TBs), so its distinct-gram set is
+    * broadcast — the training corpus streams map-only through the join,
+    * never shuffling on gram. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val set = new scala.collection.mutable.LinkedHashSet[Long]
+        var i = 0
+        while (i <= text.length - 8) { set += gramHash(text, i, 8); i += 1 }
+        (id, set.toArray)
+      })
+      .toDF("doc_id", "g")
+      .select(col("doc_id"), explode(col("g")).as("gr"))
+    val bench = grams.filter(col("doc_id") % 50 === 0).select("gr").distinct()
+    val train = grams.filter(col("doc_id") % 50 =!= 0)
+    val shared = train.join(broadcast(bench), "gr")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= 5).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> decontaminate,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_verify_candidates" -> dedupVerifyCandidates,
@@ -362,6 +404,22 @@ object Dedup {
       "JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"
 
   val oracle: Map[String, String] = Map(
+    "decontaminate" -> {
+      // base-31 char-8-gram polynomial, the SQL twin of gramHash(_, _, 8)
+      // (ascii-exact on the ASCII corpus, as in doc_fingerprint)
+      val pows = (0 until 8).map(j => math.pow(31, 7 - j).toLong)
+      val poly = (0 until 8).map(j =>
+        s"CAST(ascii(substr(text, CAST(i+$j AS INT), 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+      s"WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(text) - 7), i -> $poly))) AS gr " +
+        "FROM documents WHERE len(text) >= 8), " +
+        "b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 50 = 0), " +
+        "t AS (SELECT doc_id, gr FROM g WHERE doc_id % 50 <> 0), " +
+        "s AS (SELECT t.doc_id AS sid, count(*) AS n_shared FROM t JOIN b USING (gr) GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared, " +
+        "CAST(coalesce(s.n_shared, 0) >= 5 AS INT) AS contaminated " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
+        "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
+    },
     "dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),

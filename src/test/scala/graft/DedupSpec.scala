@@ -63,6 +63,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("decontaminate covers every train doc and flags exactly n_shared >= 5") {
+    val out = Dedup.decontaminate(spark, sf).as[(Long, Long, Int)].collect()
+    val nTrain = Tables.documents(spark, sf).filter($"doc_id" % 50 =!= 0).count()
+    assert(out.length == nTrain) // zero-overlap docs included with n_shared=0
+    assert(out.forall { case (_, n, c) => n >= 0 && c == (if (n >= 5) 1 else 0) })
+    assert(out.forall { case (id, _, _) => id % 50 != 0 }) // benchmark side excluded
+  }
+
   test("dedup_apply keeps one representative per cluster and all singletons") {
     val docs = Tables.documents(spark, sf)
     val clusters = Dedup.dedupClusters(spark, sf)
