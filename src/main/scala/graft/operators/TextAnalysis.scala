@@ -119,6 +119,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token packing (concat-and-chunk): assign every document its starting
+    * (chunk, offset) position when the corpus is concatenated in doc_id
+    * order and sliced into 2048-token windows — the layout step before
+    * writing training shards. Packing runs per (lang, source) shard, so
+    * the prefix sum is a partitioned window (one shuffle, every shard
+    * packs in parallel) rather than a single-partition global order —
+    * exactly how a 100 TB corpus is packed: per shard, not globally. */
+  def tokenPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        expr("cum div 2048").as("start_chunk"),
+        (col("cum") % 2048).as("start_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish subword estimate
     * (ceil(len/4) pieces per token, the usual chars-per-token heuristic). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -228,6 +249,7 @@ object TextAnalysis {
     "quality_gate" -> qualityGate,
     "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
+    "token_pack" -> tokenPack,
     "doc_fingerprint" -> docFingerprint,
   )
 
@@ -307,6 +329,13 @@ object TextAnalysis {
       (s"SELECT doc_id, len(toks) AS n_tokens, " +
         "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST((len(t) + 3) // 4 AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS n_subwords, " +
         s"len(text) AS n_chars FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
+    "token_pack" ->
+      (s"WITH t AS (SELECT doc_id, lang, source, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, lang, source, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM t) " +
+        "SELECT doc_id, lang, source, n_tokens, cum // 2048 AS start_chunk, " +
+        "cum % 2048 AS start_offset FROM c ORDER BY doc_id"),
     "doc_fingerprint" -> {
       val pows = (0 until 8).map(j => math.pow(31, 7 - j).toLong)
       val poly = (0 until 8).map(j =>

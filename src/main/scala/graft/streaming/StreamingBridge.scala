@@ -42,7 +42,19 @@ object StreamingBridge {
   def streamHourlyEq(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(path)
+    // The file stream source monitors a DIRECTORY; testdata ships
+    // events.parquet as a bare file, so stage it (copy, read-only
+    // testdata can't be linked into) into a temp dir to stream. In
+    // production the monitored ingest directory already exists.
+    val src = new java.io.File(path)
+    val streamDir =
+      if (src.isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_events_")
+        java.nio.file.Files.copy(src.toPath, d.resolve("events.parquet"))
+        d.toString
+      }
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
