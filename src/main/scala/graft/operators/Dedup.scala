@@ -180,9 +180,14 @@ object Dedup {
     // `cached` is the persisted handle for the current iteration's state
     // (it carries the previous label as `old` so the convergence count is
     // a filter over the frame being materialized anyway — one join fewer
-    // per round than re-joining the update against the old labels)
-    var cached = adj.select(col("id")).distinct()
-      .select(col("id"), col("id").as("old"), col("id").as("label"))
+    // per round than re-joining the update against the old labels).
+    // Initial labels fold the first propagation round into the dedup
+    // aggregation itself — label₀ = min(id, min neighbor) — saving one
+    // full join round; `old` starts at id so round 1's changed-count
+    // still registers the fold.
+    var cached = adj
+      .groupBy("id").agg(least(col("id"), min(col("nbr"))).as("label"))
+      .select(col("id"), col("id").as("old"), col("label"))
       .persist()
     var changed = 1L
     var iter = 0
