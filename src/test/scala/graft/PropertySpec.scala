@@ -6,6 +6,7 @@ import org.scalacheck.rng.Seed
 
 import graft.functions.TextFunctions
 import graft.mr.MapReduce
+import graft.operators.Dedup
 
 /** Property-style tests (SURVEY.md §5-3): scalacheck generators drive a
   * batch of inputs through the Column-expression tokenizer and compare
@@ -82,6 +83,31 @@ class PropertySpec extends SparkSpec {
     }
     sig.foreach { case (_, s) =>
       assert(s.forall(h => h >= 0 && h < TextFunctions.MinhashP))
+    }
+  }
+
+  test("property: connectedComponents == union-find on random graphs") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 4 + rnd.nextInt(28)
+      val edges = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.groupBy(id => find(id.toInt)).values
+          .flatMap(ms => { val m = ms.min; ms.map(_ -> m) }).toMap
+        val labels = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        val got = labels.as[(Long, Long)].collect().toMap
+        labels.unpersist()
+        assert(got == want, s"seed=$seed n=$n edges=$edges")
+      }
     }
   }
 
