@@ -137,6 +137,23 @@ object Relational {
         round(element_at(array_sort(col("embedding")), 32).cast("double"), 6).as("median_lo"))
       .orderBy("vec_id")
 
+  /** O11 sink + O1 source, oracle-checked round trip: a projection is
+    * written as headered CSV to a process-private temp dir, read back
+    * with an explicit schema, and aggregated — the oracle (running on the
+    * original parquet) only matches if every value survived the
+    * write/read cycle. Complements SinkSpec's text/csv round-trip specs
+    * by putting the sink path under the DuckDB gate. */
+  def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_rt_").toString
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    spark.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING").csv(s"$out/csv")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen group combos. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
@@ -150,6 +167,7 @@ object Relational {
     "scalar_funcs" -> scalarFuncs,
     "array_funcs" -> arrayFuncs,
     "grouping_sets" -> groupingSets,
+    "sink_roundtrip" -> sinkRoundtrip,
     "scan_project" -> scanProject,
     "filter_pred" -> filterPred,
     "flatmap_tokens" -> flatmapTokens,
@@ -181,6 +199,9 @@ object Relational {
         "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, " +
         "round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS median_lo " +
         "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"),
+    "sink_roundtrip" ->
+      ("SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +

@@ -119,6 +119,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Stratified sampling with per-language rates (en 10%, others 50% —
+    * downweight the dominant language, the standard mixture rebalance).
+    * Like splitAssign the keep decision is a salted keyed hash against a
+    * per-mille threshold: row-local, rerun-stable, and append-consistent
+    * (a doc's fate never depends on what else is in the corpus). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("graft-sample:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000).as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 100).otherwise(500))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Data-mixture weights: per-source token counts and the upsampling
+    * factor that equalizes each source's token contribution to the
+    * largest source — the numbers a training-mixture config is built
+    * from. One partial+final aggregate; the 1-row max joins back via
+    * broadcast (same shape as TF-IDF's corpus-N). */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    per.join(broadcast(per.agg(max(col("n_tokens")).as("max_tokens"))), lit(true))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("max_tokens").cast("double") / col("n_tokens"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** Token packing (concat-and-chunk): assign every document its starting
     * (chunk, offset) position when the corpus is concatenated in doc_id
     * order and sliced into 2048-token windows — the layout step before
@@ -250,6 +280,8 @@ object TextAnalysis {
     "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
     "token_pack" -> tokenPack,
+    "stratified_sample" -> stratifiedSample,
+    "mixture_weights" -> mixtureWeights,
     "doc_fingerprint" -> docFingerprint,
   )
 
@@ -329,6 +361,17 @@ object TextAnalysis {
       (s"SELECT doc_id, len(toks) AS n_tokens, " +
         "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST((len(t) + 3) // 4 AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS n_subwords, " +
         s"len(text) AS n_chars FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
+    "stratified_sample" ->
+      ("SELECT doc_id, lang FROM " +
+        "(SELECT doc_id, lang, CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bucket " +
+        "FROM documents) " +
+        "WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 500 END ORDER BY doc_id"),
+    "mixture_weights" ->
+      (s"WITH per AS (SELECT source, count(*) AS n_docs, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "m AS (SELECT max(n_tokens) AS max_tokens FROM per) " +
+        "SELECT source, n_docs, n_tokens, round(CAST(max_tokens AS DOUBLE) / n_tokens, 6) AS weight " +
+        "FROM per CROSS JOIN m ORDER BY source"),
     "token_pack" ->
       (s"WITH t AS (SELECT doc_id, lang, source, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, lang, source, n_tokens, " +
