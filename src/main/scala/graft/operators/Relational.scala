@@ -144,7 +144,7 @@ object Relational {
     * write/read cycle. Complements SinkSpec's text/csv round-trip specs
     * by putting the sink path under the DuckDB gate. */
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_rt_").toString
+    val out = graft.sources.TempDirs.create("graft_sink_rt_")
     Tables.documents(spark, dir).select("doc_id", "lang")
       .write.mode("overwrite").option("header", "true").csv(s"$out/csv")
     spark.read.option("header", "true")

@@ -179,8 +179,7 @@ object Similarity {
 
   private def ivfIndexRoot(spark: SparkSession, dir: String): String =
     indexMemo.getOrElseUpdate((spark, dir),
-      ivfBuildIndex(spark, dir,
-        java.nio.file.Files.createTempDirectory("graft_ivf_").toString))
+      ivfBuildIndex(spark, dir, graft.sources.TempDirs.create("graft_ivf_")))
 
   /** IVF cell assignment, read back from the persisted inverted lists. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {

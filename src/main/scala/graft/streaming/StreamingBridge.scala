@@ -50,9 +50,10 @@ object StreamingBridge {
     val streamDir =
       if (src.isDirectory) path
       else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_events_")
-        java.nio.file.Files.copy(src.toPath, d.resolve("events.parquet"))
-        d.toString
+        val d = graft.sources.TempDirs.create("graft_stream_events_")
+        java.nio.file.Files.copy(src.toPath,
+          java.nio.file.Paths.get(d, "events.parquet"))
+        d
       }
     val raw = spark.readStream.schema(schema).parquet(streamDir)
     val events =
