@@ -119,6 +119,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition: the fraction of word-3-gram occurrences
+    * that are repeats (1 − distinct/total) — the boilerplate/spam signal
+    * repetition filters threshold on. Row-local. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val g3 = when(size(col("toks")) >= 3,
+      TextFunctions.wordShinglesFromTokens(col("toks"), 3))
+      .otherwise(array())
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(g3).cast("long").as("n_grams"),
+        size(array_distinct(g3)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        round(when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(0.0), 6).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling with per-language rates (en 10%, others 50% —
     * downweight the dominant language, the standard mixture rebalance).
     * Like splitAssign the keep decision is a salted keyed hash against a
@@ -280,6 +298,7 @@ object TextAnalysis {
     "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
     "token_pack" -> tokenPack,
+    "repetition_ratio" -> repetitionRatio,
     "stratified_sample" -> stratifiedSample,
     "mixture_weights" -> mixtureWeights,
     "doc_fingerprint" -> docFingerprint,
@@ -361,6 +380,16 @@ object TextAnalysis {
       (s"SELECT doc_id, len(toks) AS n_tokens, " +
         "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST((len(t) + 3) // 4 AS BIGINT))), (a, x) -> a + x) AS BIGINT) AS n_subwords, " +
         s"len(text) AS n_chars FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
+    "repetition_ratio" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "list_transform(generate_series(1, len(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+        "ELSE [] END AS g3 FROM t), " +
+        "c AS (SELECT doc_id, CAST(len(g3) AS BIGINT) AS n_grams, " +
+        "CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct FROM g) " +
+        "SELECT doc_id, n_grams, round(CASE WHEN n_grams > 0 THEN " +
+        "1.0 - CAST(n_distinct AS DOUBLE) / n_grams ELSE 0.0 END, 6) AS rep_ratio " +
+        "FROM c ORDER BY doc_id"),
     "stratified_sample" ->
       ("SELECT doc_id, lang FROM " +
         "(SELECT doc_id, lang, CAST('0x' || substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bucket " +

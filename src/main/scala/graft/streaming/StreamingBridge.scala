@@ -97,9 +97,31 @@ object StreamingBridge {
       .orderBy("user_id", "n_events", "duration_s")
   }
 
+  /** Streaming exact dedup driven to completion: one row survives per
+    * (user, type) key. WHICH row survives a single unsorted batch is not
+    * deterministic (first-seen per partition), so the equivalence is on
+    * the retained KEY SET — exactly one row per distinct key, matching
+    * batch DISTINCT — not on the winning row's payload. */
+  def streamDedupEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(loadEvents(spark, dir): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
+    "stream_dedup_eq" -> streamDedupEq,
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -109,6 +131,8 @@ object StreamingBridge {
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_dedup_eq" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "stream_sessionize_eq" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "flagged AS (SELECT user_id, event_id, us, " +
