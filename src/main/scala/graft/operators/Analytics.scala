@@ -116,6 +116,18 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** RIGHT OUTER join (completing the family with left/full): every part
+    * with its lineitem count — parts never ordered survive with count 0.
+    * The preserved side is the smaller one; at scale AQE picks the build
+    * side, unhinted. */
+  def rightOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_partkey", "l_orderkey")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"), "right_outer")
+      .groupBy("p_partkey", "p_brand")
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .orderBy("p_partkey")
+
   /** TPC-H Q2-style min-cost supplier: for each part, the supplier with
     * the lowest observed price (correlated min via window rank — one
     * shuffle on l_partkey after a partial-aggregated groupBy, never a
@@ -417,6 +429,7 @@ object Analytics {
     "q3_revenue" -> q3Revenue,
     "q5_region_revenue" -> q5RegionRevenue,
     "left_outer_join" -> leftOuterJoin,
+    "right_outer_join" -> rightOuterJoin,
     "full_outer_join" -> fullOuterJoin,
     "window_topn" -> windowTopn,
     "window_running" -> windowRunning,
@@ -507,6 +520,10 @@ object Analytics {
         "CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend " +
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
         "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "right_outer_join" ->
+      ("SELECT p_partkey, p_brand, count(l_orderkey) AS n_items " +
+        "FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_partkey, p_brand ORDER BY p_partkey"),
     "full_outer_join" ->
       ("SELECT coalesce(r.ck, b.ok) AS custkey, r.acctbal, " +
         "CAST(coalesce(b.nb, 0) AS BIGINT) AS n_big FROM " +

@@ -138,20 +138,27 @@ object Relational {
       .orderBy("vec_id")
 
   /** O11 sink + O1 source, oracle-checked round trip: a projection is
-    * written as headered CSV to a process-private temp dir, read back
-    * with an explicit schema, and aggregated — the oracle (running on the
-    * original parquet) only matches if every value survived the
-    * write/read cycle. Complements SinkSpec's text/csv round-trip specs
-    * by putting the sink path under the DuckDB gate. */
+    * written as headered CSV AND JSON lines to a process-private temp
+    * dir, read back with explicit schemas, and aggregated per format —
+    * the oracle (running on the original parquet) only matches if every
+    * value survived both write/read cycles. Complements SinkSpec's
+    * text/csv round-trip specs by putting the sink paths under the
+    * DuckDB gate. */
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.TempDirs.create("graft_sink_rt_")
-    Tables.documents(spark, dir).select("doc_id", "lang")
-      .write.mode("overwrite").option("header", "true").csv(s"$out/csv")
-    spark.read.option("header", "true")
-      .schema("doc_id LONG, lang STRING").csv(s"$out/csv")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
-      .orderBy("lang")
+    val proj = Tables.documents(spark, dir).select("doc_id", "lang")
+    proj.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    proj.write.mode("overwrite").json(s"$out/json")
+    def agg(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .withColumn("fmt", lit(fmt))
+    agg(spark.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING").csv(s"$out/csv"), "csv")
+      .union(agg(spark.read.schema("doc_id LONG, lang STRING")
+        .json(s"$out/json"), "json"))
+      .select("fmt", "lang", "n", "sum_ids")
+      .orderBy("fmt", "lang")
   }
 
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen group combos. */
@@ -200,8 +207,9 @@ object Relational {
         "round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS median_lo " +
         "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"),
     "sink_roundtrip" ->
-      ("SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
-        "FROM documents GROUP BY lang ORDER BY lang"),
+      ("SELECT f.fmt, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM documents CROSS JOIN (VALUES ('csv'), ('json')) f(fmt) " +
+        "GROUP BY f.fmt, lang ORDER BY f.fmt, lang"),
     "grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
