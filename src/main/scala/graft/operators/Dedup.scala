@@ -291,7 +291,9 @@ object Dedup {
         val set = new scala.collection.mutable.LinkedHashSet[Long]
         var i = 0
         while (i <= text.length - 5) { set += gramHash(text, i, 5); i += 1 }
-        (id, lang, src, set.toArray, set.size)
+        // sorted ascending: the contract SortedIntersectCount's merge
+        // scan relies on — one sort per document, not per pair
+        (id, lang, src, set.toArray.sorted, set.size)
       })
       .toDF("doc_id", "lang", "source", "g", "sz")
       // co-located self-join: both sides arrive partitioned by block key
@@ -307,7 +309,10 @@ object Dedup {
           // set intersection is ever evaluated
           col("a.sz") * 5 >= col("b.sz") && col("b.sz") * 5 >= col("a.sz"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
+        // merge-scan count over the pre-sorted arrays: no per-pair hash
+        // set, no materialized intersection array (see SortedIntersectCount
+        // for the measured prefix-filter dead end this replaces)
+        graft.plans.VectorExpressions.sorted_intersect_count(col("a.g"), col("b.g")).as("inter"),
         (col("a.sz") + col("b.sz")).as("tot"))
       // threshold BEFORE the jaccard projection, as integer arithmetic
       // referencing `inter` exactly once: J = i/(tot-i) >= 0.2 ⟺ 6i >= tot.

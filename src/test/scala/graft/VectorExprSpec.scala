@@ -38,6 +38,31 @@ class VectorExprSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on random sorted sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      def set() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      sorted_intersect_count($"a", $"b").as("n"),
+      size(array_intersect($"a", $"b")).as("f"))
+      .filter($"n" =!= $"f").count()
+    assert(diff == 0)
+  }
+
+  test("SortedIntersectCount handles nulls and empties") {
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(2L, 3L, 4L))),
+      (Some(Seq.empty[Long]), Some(Seq(1L))),
+      (None, Some(Seq(1L)))).toDF("a", "b")
+    val got = df.select(sorted_intersect_count($"a", $"b").as("n")).collect()
+    assert(got(0).getInt(0) == 2)
+    assert(got(1).getInt(0) == 0)
+    assert(got(2).isNullAt(0))
+  }
+
   test("VectorDot codegen handles nulls") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
