@@ -45,8 +45,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val names = selected.map(_._1).toSet
     val gc0 = gcMillis
     val cpu0 = cpuNanos
+    // Shared-stage builds, billed explicitly: the dedup chain, ANN pair,
+    // and IVF index stages are memoized across queries, so without this
+    // the whole build cost lands on whichever consumer runs first
+    // (alphabetical order) and per-query numbers aren't comparable across
+    // rounds. Each build below is timed as its own `chain_*` entry (still
+    // part of `total`); the per-query entries then measure marginal cost.
+    val chainDefs: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("chain_dedup_verified",
+        Set("dedup_minhash_lsh", "dedup_verify_candidates", "dedup_clusters", "dedup_apply"),
+        () => { operators.Dedup.verifiedCandidates(spark, sfDir).count(); () }),
+      ("chain_dedup_clusters", Set("dedup_clusters", "dedup_apply"),
+        () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),
+      ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),
+        () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
+      ("chain_ivf_index", Set("ivf_assign", "ivf_search"),
+        () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
+    )
+    val chainResults = chainDefs.collect {
+      case (label, consumers, build) if consumers.exists(names.contains) =>
+        val t0 = System.nanoTime()
+        build()
+        label -> (System.nanoTime() - t0) / 1e9
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -59,11 +83,11 @@ object Bench {
       // not silently billed a normal-looking duration
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = (chainResults ++ results).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = (chainResults ++ results).map(_._2).filter(_ >= 0).sum
     // Self-diagnosing telemetry: wall time alone can't distinguish a slow
     // plan from a contended machine (BENCH_r02 ran 6x slow on an otherwise
     // unchanged commit). gc_s is this JVM's collector time over the run;

@@ -586,9 +586,14 @@ object Analytics {
     "json_typed" ->
       // sum(INT) is HUGEINT in DuckDB (pandas-renders as float) — pin
       // BIGINT to match Spark's sum(int)=bigint; min/max stay INT.
+      // json_valid guard + TRY_CAST: DuckDB json_extract ERRORS on
+      // malformed JSON and CAST errors on non-numeric values, where
+      // Spark's from_json/field access yields NULL — mirror the
+      // null-on-corrupt semantics instead of aborting the oracle.
       ("SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k, " +
         "min(k) AS min_k, max(k) AS max_k FROM " +
-        "(SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events) " +
+        "(SELECT event_type, TRY_CAST(json_extract(" +
+        "CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
     "monthly_revenue" ->
       ("SELECT date_trunc('month', o_orderdate) AS month, " +

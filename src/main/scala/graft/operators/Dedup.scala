@@ -34,17 +34,38 @@ object Dedup {
   private val B = 4 // LSH bands (rows per band = K/B = 2)
 
   /** Per-process memo of the dedup chain's shared stages, keyed by
-    * (session, dataset dir). The chain verify ⊂ clusters ⊂ apply shares
-    * its prefix: without this, each of the three declared queries
-    * re-derived the whole LSH→verify (and apply additionally re-ran CC) —
-    * ~3× the unique work per bench/verify run. The cached frames are
-    * `persist()`ed once and owned here for the process lifetime; they are
-    * tiny (candidate pairs and labels — ints and one double per row, pair
-    * count bounded by LSH bucket occupancy), so retention is cents of
-    * memory, not a leak. Keying by session keeps specs with their own
-    * SparkSessions isolated. */
+    * (session, dataset identity, stage). The chain verify ⊂ clusters ⊂
+    * apply shares its prefix: without this, each of the three declared
+    * queries re-derived the whole LSH→verify (and apply additionally
+    * re-ran CC) — ~3× the unique work per bench/verify run. The cached
+    * frames are `persist()`ed once and owned here for the process
+    * lifetime; they are tiny (candidate pairs and labels — ints and one
+    * double per row, pair count bounded by LSH bucket occupancy), so
+    * retention is cents of memory, not a leak. Keying by session keeps
+    * specs with their own SparkSessions isolated; the dataset component
+    * is path + listing fingerprint (DatasetId.key), so regenerating the
+    * directory in-process is a miss, not a stale hit. Entries whose
+    * session has been stopped are dropped on every access — their cached
+    * blocks died with the session, and the strong key otherwise pins the
+    * stopped session object for the process lifetime. */
   private val chainMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
+  private def memoized(spark: SparkSession, dir: String, stage: String)
+      (build: => DataFrame): DataFrame = {
+    chainMemo.keys.filter(_._1.sparkContext.isStopped).foreach(chainMemo.remove)
+    chainMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir), stage), build)
+  }
+
+  /** Drop and unpersist every memoized chain stage (test/embedder hook for
+    * callers that regenerate datasets or want the storage back). */
+  def clearMemo(): Unit = {
+    chainMemo.values.foreach { df =>
+      try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
+      catch { case _: Throwable => () }
+    }
+    chainMemo.clear()
+  }
 
   private def toksCol: Column = TextFunctions.tokens(col("text"))
 
@@ -111,7 +132,7 @@ object Dedup {
     * consumer (verify query, clusters, apply) reuses the same cached
     * frame instead of re-deriving the LSH→verify prefix. */
   def verifiedCandidates(spark: SparkSession, dir: String): DataFrame =
-    chainMemo.getOrElseUpdate((spark, dir, "verified"), {
+    memoized(spark, dir, "verified") {
       val docs = Tables.documents(spark, dir)
       val cands = minhashLshPairs(docs)
       val grams = docs
@@ -131,7 +152,7 @@ object Dedup {
           // integer threshold algebra: J = i/(tot−i) ≥ 0.2 ⟺ 6i ≥ tot
           (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
         .persist()
-    })
+    }
 
   /** Connected components over the verified dup-pair graph: the step that
     * turns pairwise candidates into usable clusters. Iterative min-label
@@ -154,12 +175,13 @@ object Dedup {
     * persisted and materialized — no second cache entry; the memo owns
     * that handle for the process lifetime. */
   def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    chainMemo.getOrElseUpdate((spark, dir, "clusters"),
+    memoized(spark, dir, "clusters") {
       connectedComponents(
         verifiedCandidates(spark, dir)
           .filter(col("is_dup") === 1)
           .select("id1", "id2"))
-        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }
 
   /** Min-label propagation over an undirected (id1, id2) edge list.
     * Returns (id, label) with label = min id of the component, for every
@@ -206,9 +228,14 @@ object Dedup {
       iter += 1
     }
     adj.unpersist()
-    require(changed == 0,
-      s"connectedComponents did not converge after $iter rounds (a component " +
-        "with diameter > the round cap would yield wrong cluster ids)")
+    if (changed != 0) {
+      // release the loop-state frame before failing: the throw is the one
+      // path where no caller ever receives (and could unpersist) it
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $iter rounds (a component " +
+          "with diameter > the round cap would yield wrong cluster ids)")
+    }
     // re-cache the clean projection and let go of the loop-state handle so
     // the returned frame is the one whose unpersist() releases the storage
     val result = cached.select("id", "label").persist()
