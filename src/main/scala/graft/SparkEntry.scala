@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++ Relational.queries ++ MrQueries.queries ++
-      Analytics.queries ++ Dedup.queries ++ Similarity.queries ++
+      Analytics.queries ++ AdvancedSql.queries ++ EventAnalytics.queries ++
+      Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++
       graft.streaming.StreamingBridge.queries
 
@@ -27,7 +28,8 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     WordCount.oracle ++ Relational.oracle ++ MrQueries.oracle ++
-      Analytics.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Analytics.oracle ++ AdvancedSql.oracle ++ EventAnalytics.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Multimodal.oracle ++
       graft.streaming.StreamingBridge.oracle
 }

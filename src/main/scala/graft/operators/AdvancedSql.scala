@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-4 relational/window surface extensions: navigation windows
+  * (lag/lead/ntile/percent_rank), ordered string aggregation, histogram
+  * bucketing, correlated scalar subqueries, three more TPC-H-shaped
+  * queries (Q6/Q12/Q18 analogues on this schema), and a skew-safe salted
+  * join. Same determinism contract as the rest of the library: exact
+  * DECIMAL(18,2) money arithmetic, integer-only comparisons where a
+  * threshold decides membership, and a total ORDER BY on every output.
+  */
+object AdvancedSql {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Navigation + distribution windows in one pass: lag/lead fetch
+    * neighboring order prices, ntile buckets the partition into
+    * quartiles, percent_rank places each row — all over ONE window
+    * (single shuffle on o_custkey, single in-partition sort). */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ordered string aggregation (GROUP_CONCAT/string_agg): the collect →
+    * sort → join shape. Sorting inside the aggregate makes the result
+    * deterministic under any partitioning — an UNSORTED string_agg is a
+    * merge-order race on any distributed engine. */
+  def stringAggLangs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", array_sort(collect_set(col("source")))).as("sources"))
+      .orderBy("lang")
+
+  /** Equi-width histogram via width_bucket — the single-pass grouped
+    * bucketing every profiling pipeline runs (vs rangeJoin's interval
+    * table: no join at all, the bucket id is computed row-locally). */
+  def histogramPrices(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0d), lit(500000d), lit(10)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Correlated scalar subqueries: orders strictly above their customer's
+    * average spend. Written as two correlated aggregates so Catalyst's
+    * RewriteCorrelatedScalarSubquery turns them into ONE grouped join —
+    * at scale this is an aggregate + shuffle join, never a re-scan per
+    * outer row. The comparison is price·n > Σprice in exact DECIMAL
+    * (algebraically "price > avg" without ever dividing — no
+    * float-boundary ambiguity between engines). */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_sq")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM graft_orders_sq o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM graft_orders_sq i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM graft_orders_sq i
+        |       WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey
+        |""".stripMargin)
+  }
+
+  /** TPC-H Q6 analogue: forecast-revenue-change — one filtered scan, one
+    * global sum, zero joins. Every predicate reaches PushedFilters; the
+    * scan reads 4 of 11 columns. */
+  def q6DiscountRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q12 analogue: order-priority class counts per line status —
+    * the canonical conditional aggregation (CASE inside SUM) over the
+    * orders ⋈ lineitem fact join. */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q18 analogue: large-volume orders — HAVING over a fact
+    * aggregation, then enrichment joins. The quantity filter runs on the
+    * AGGREGATED frame (15× smaller than lineitem) before any join. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 300) // HAVING
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("qty").cast("double").as("total_qty"))
+      .orderBy("o_orderkey")
+
+  private val SaltR = 8
+
+  /** Skew-safe salted JOIN (completing saltedAgg's pattern for joins):
+    * the fact side takes a deterministic salt in [0, R); the dimension
+    * side is replicated R ways; the join key becomes (user_id, salt), so
+    * a hot user's rows spread over R reducers instead of one. With a
+    * deterministic salt the result is exactly the unsalted join — which
+    * is what the oracle runs. At 100 TB this (or AQE's skew-join split)
+    * is the difference between a straggler-free shuffle and one reducer
+    * owning the hot key's entire partition. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(10)))
+    val dimSalted = dim.withColumn("salt",
+      explode(array((0 until SaltR).map(lit(_)): _*)))
+    ev.select(col("user_id"), dec(col("value")).as("v"),
+        pmod(col("event_id"), lit(SaltR)).as("salt"))
+      .join(dimSalted, Seq("user_id", "salt"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total_value"))
+      .orderBy("tier")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_lag_lead" -> windowLagLead,
+    "string_agg_langs" -> stringAggLangs,
+    "histogram_prices" -> histogramPrices,
+    "scalar_subquery" -> scalarSubquery,
+    "q6_discount_revenue" -> q6DiscountRevenue,
+    "q12_priority_lines" -> q12PriorityLines,
+    "q18_large_orders" -> q18LargeOrders,
+    "salted_join" -> saltedJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "window_lag_lead" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "lag(o_totalprice, 1) OVER w AS prev_price, " +
+        "lead(o_totalprice, 1) OVER w AS next_price, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pr " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "string_agg_langs" ->
+      ("SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources, " +
+        "string_agg(DISTINCT source, ',' ORDER BY source) AS sources " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "histogram_prices" ->
+      // DuckDB has no width_bucket; this floor form is the same double
+      // division Spark's WidthBucket evaluates ((hi-lo)/nb = 50000.0 is
+      // exact in binary, so (v-0)/50000 is bit-identical arithmetic) with
+      // the out-of-range clamps SQL-standard width_bucket defines
+      ("SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0 WHEN o_totalprice >= 500000 THEN 11 " +
+        "ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket, " +
+        "count(*) AS n FROM orders GROUP BY bucket ORDER BY bucket"),
+    "scalar_subquery" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) * " +
+        "(SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > " +
+        "(SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i " +
+        "WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey"),
+    "q6_discount_revenue" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q12_priority_lines" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q18_large_orders" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, " +
+        "CAST(qty AS DOUBLE) AS total_qty FROM " +
+        "(SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING qty > 300) " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "salted_join" ->
+      // oracle runs the UNSALTED equivalent — the salt must be a pure
+      // execution-strategy detail with zero result effect
+      ("SELECT user_id % 10 AS tier, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY tier ORDER BY tier"),
+  )
+}

@@ -91,7 +91,10 @@ object Dedup {
   /** LSH candidate pairs over any (doc_id, text) frame — the reusable
     * generate stage (dedupMinhashLsh is this over the documents table;
     * dedupVerifyCandidates re-ranks its output with exact Jaccard). */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+  /** Per-doc k=8 MinHash signature over word-3-shingles — the reusable
+    * signature stage (minhashLshPairs bands it; minhashEstVsExact compares
+    * it positionwise against exact Jaccard). Row-local throughout. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3) // ≡ shingle set nonempty; cheap to push down
@@ -99,9 +102,13 @@ object Dedup {
         array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)).as("shingles"))
     val based = sh.select(col("doc_id"),
       TextFunctions.minhashBases(col("shingles")).as("bases"))
-    val sig = based.select(col("doc_id"),
+    based.select(col("doc_id"),
       array((0 until K).map(i =>
         TextFunctions.minhashFromBases(col("bases"), i)): _*).as("sig"))
+  }
+
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
     val bands = sig.select(col("doc_id"), explode(array((0 until B).map { j =>
       struct(lit(j).as("band"), col("sig")(2 * j).as("h1"),
         col("sig")(2 * j + 1).as("h2"))
@@ -354,6 +361,25 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** MinHash-estimate calibration: for every LSH candidate pair, the
+    * signature-agreement estimate Ĵ = |{i : sig1ᵢ = sig2ᵢ}| / k next to
+    * the exact Jaccard — the sketch-quality report a dedup pipeline uses
+    * to size k before committing to a threshold. Reuses the memoized
+    * verified stage for the exact side; the estimate side is two
+    * signature equi-joins on doc_id (pair-bounded, never corpus-bounded).
+    * Ĵ is m/8 — a dyadic rational, exact in binary on both engines. */
+  def minhashEstVsExact(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(spark, dir))
+    verifiedCandidates(spark, dir)
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)) / lit(8.0), 6).as("est_jaccard"),
+        col("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
   /** Benchmark decontamination: flag training documents sharing ≥5
     * distinct char-8-gram hashes with any document in a held-out
     * benchmark set (stand-in here: doc_id ≡ 0 mod 50) — the overlap check
@@ -404,6 +430,7 @@ object Dedup {
     "dedup_apply" -> dedupApply,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "minhash_est_vs_exact" -> minhashEstVsExact,
   )
 
   // ---- oracle SQL ----
@@ -500,6 +527,17 @@ object Dedup {
       (s"SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash FROM " +
         s"(SELECT doc_id, list_transform($toksSql, t -> ${base32Sql("t")}) AS vals, " +
         s"len($toksSql) AS n FROM documents) ORDER BY doc_id"),
+    "minhash_est_vs_exact" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "exact AS (SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2), " +
+        s"est AS (SELECT id1, id2, len(list_filter(generate_series(1, $K), i -> s1.sig[i] = s2.sig[i])) AS m " +
+        "FROM cands JOIN sig s1 ON s1.doc_id = id1 JOIN sig s2 ON s2.doc_id = id2) " +
+        "SELECT e.id1, e.id2, round(est.m / 8.0, 6) AS est_jaccard, " +
+        "round(e.inter / (e.tot - e.inter), 6) AS jaccard " +
+        "FROM exact e JOIN est ON e.id1 = est.id1 AND e.id2 = est.id2 " +
+        "ORDER BY e.id1, e.id2"),
     "dedup_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, lang, source, " +
         "list_distinct(list_transform(generate_series(1, len(text) - 4), i -> " +

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product-analytics queries over the events stream table: cohort
+  * retention, Markov transition counts, and an ordered conversion funnel.
+  * These are the shapes a behavioral pipeline runs daily at 100 TB; all
+  * three are one-or-two-shuffle plans keyed on user_id, with time
+  * arithmetic on unix micros (exact on both engines — events.ts is
+  * ns-precision parquet, truncated identically via Tables.events).
+  */
+object EventAnalytics {
+
+  /** Day-cohort retention triangle: users grouped by first-active day,
+    * counted on each later active day. Classic two-phase shape: distinct
+    * user-days (one shuffle), per-user min via window (reuses the same
+    * hash partitioning — no second exchange), then a small aggregate.
+    * Day buckets, not raw timestamps, so the output is dense and tiny
+    * regardless of event volume. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort", min("day").over(byUser))
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .groupBy("cohort", "day_offset")
+      // user-day pairs are distinct, so count(*) IS distinct users
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** First-order Markov transition counts: (event_type → next event_type)
+    * per user-ordered stream. One window pass (lead) + one aggregate;
+    * output cardinality is |types|² — constant — however large the log. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** Ordered conversion funnel view → click → purchase: each stage is the
+    * user's FIRST qualifying event strictly after the previous stage
+    * (min-after-threshold, not mere event presence). Three per-user
+    * aggregates chained by joins — every join is on user_id, so AQE keeps
+    * them co-partitioned; nothing ever materializes per-event pairs. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = base.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("vus"))
+    val c = base.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("vus"))
+      .groupBy("user_id").agg(min("us").as("cus"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("cus"))
+      .groupBy("user_id").agg(min("us").as("pus"))
+    base.select("user_id").distinct()
+      .join(v.select("user_id").withColumn("s1", lit(1)), Seq("user_id"), "left")
+      .join(c.select("user_id").withColumn("s2", lit(1)), Seq("user_id"), "left")
+      .join(p.select("user_id").withColumn("s3", lit(1)), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("s1"), lit(0)).as("reached_view"),
+        coalesce(col("s2"), lit(0)).as("reached_click"),
+        coalesce(col("s3"), lit(0)).as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention" -> cohortRetention,
+    "event_transitions" -> eventTransitions,
+    "funnel_stages" -> funnelStages,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cohort_retention" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+        "c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM ud) " +
+        "SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset, " +
+        "count(*) AS users FROM c GROUP BY cohort, day_offset ORDER BY cohort, day_offset"),
+    "event_transitions" ->
+      ("SELECT event_type, next_type, count(*) AS n FROM " +
+        "(SELECT event_type, lead(event_type, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type FROM events) " +
+        "WHERE next_type IS NOT NULL GROUP BY event_type, next_type " +
+        "ORDER BY event_type, next_type"),
+    "funnel_stages" ->
+      ("WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "v AS (SELECT user_id, min(us) AS vus FROM base WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT b.user_id, min(b.us) AS cus FROM base b JOIN v ON b.user_id = v.user_id " +
+        "WHERE b.event_type = 'click' AND b.us > v.vus GROUP BY b.user_id), " +
+        "p AS (SELECT b.user_id, min(b.us) AS pus FROM base b JOIN c ON b.user_id = c.user_id " +
+        "WHERE b.event_type = 'purchase' AND b.us > c.cus GROUP BY b.user_id) " +
+        "SELECT u.user_id, " +
+        "CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached_view, " +
+        "CAST(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached_click, " +
+        "CAST(CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached_purchase " +
+        "FROM (SELECT DISTINCT user_id FROM base) u " +
+        "LEFT JOIN v ON u.user_id = v.user_id " +
+        "LEFT JOIN c ON u.user_id = c.user_id " +
+        "LEFT JOIN p ON u.user_id = p.user_id ORDER BY u.user_id"),
+  )
+}

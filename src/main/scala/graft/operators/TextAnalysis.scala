@@ -289,7 +289,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII redaction pass: the standard email + digit-run masking chain,
+    * applied to the one column in the testdata with digit content
+    * (events.props — the document corpus is a clean synthetic vocabulary,
+    * so the email pattern is exercised as a no-op by construction; the
+    * digit pattern fires on every row). Row-local regexp_replace chain —
+    * map-only over a 100 TB corpus — plus a redaction count per row, the
+    * audit signal a privacy pipeline logs. Patterns are RE2-compatible so
+    * Spark (Java regex) and the DuckDB oracle agree literally. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_replace(
+          regexp_replace(col("props"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\d+", "<NUM>").as("redacted"),
+        regexp_count(col("props"), lit("\\d+")).cast("int").as("n_nums"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> piiRedact,
     "tfidf_top_terms" -> tfidfTopTerms,
     "lm_bigram_score" -> lmBigramScore,
     "lang_id" -> langId,
@@ -315,6 +334,12 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "pii_redact" ->
+      ("SELECT event_id, regexp_replace(regexp_replace(props, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d+', '<NUM>', 'g') AS redacted, " +
+        "CAST(len(regexp_extract_all(props, '\\d+')) AS INT) AS n_nums " +
+        "FROM events ORDER BY event_id"),
     "tfidf_top_terms" ->
       (s"WITH pairs AS (SELECT doc_id, unnest(toks) AS word FROM (SELECT doc_id, $toksSql AS toks FROM documents)), " +
         "tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs GROUP BY doc_id, word), " +
