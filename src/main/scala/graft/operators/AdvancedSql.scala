@@ -120,6 +120,41 @@ object AdvancedSql {
         col("o_totalprice"), col("qty").cast("double").as("total_qty"))
       .orderBy("o_orderkey")
 
+  /** TPC-H Q4 analogue: order counts per priority among orders with at
+    * least one late-shipped line (ship > order date + 60 days). The
+    * EXISTS is a LEFT SEMI join whose non-equi predicate rides the join
+    * condition — lineitem is reduced to (orderkey, shipdate) before the
+    * shuffle, and each order emits at most once regardless of line count. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q14 analogue: promo revenue share — a conditional aggregate
+    * ratio over the lineitem ⋈ part join. One division at the very end of
+    * two exact decimal sums (both cast to double first), so the only
+    * float op is a single correctly-rounded divide. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(dec(lit(0)))).cast("double").as("promo_rev"),
+        sum(disc).cast("double").as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 6).as("promo_pct"))
+  }
+
   private val SaltR = 8
 
   /** Skew-safe salted JOIN (completing saltedAgg's pattern for joins):
@@ -152,6 +187,8 @@ object AdvancedSql {
     "q6_discount_revenue" -> q6DiscountRevenue,
     "q12_priority_lines" -> q12PriorityLines,
     "q18_large_orders" -> q18LargeOrders,
+    "q4_order_priority" -> q4OrderPriority,
+    "q14_promo_revenue" -> q14PromoRevenue,
     "salted_join" -> saltedJoin,
   )
 
@@ -201,6 +238,19 @@ object AdvancedSql {
         "FROM lineitem GROUP BY l_orderkey HAVING qty > 300) " +
         "JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q14_promo_revenue" ->
+      ("SELECT promo_rev, total_rev, round(100.0 * promo_rev / total_rev, 6) AS promo_pct FROM " +
+        "(SELECT CAST(sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01')"),
     "salted_join" ->
       // oracle runs the UNSALTED equivalent — the salt must be a pure
       // execution-strategy detail with zero result effect

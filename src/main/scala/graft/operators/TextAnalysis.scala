@@ -307,7 +307,26 @@ object TextAnalysis {
         regexp_count(col("props"), lit("\\d+")).cast("int").as("n_nums"))
       .orderBy("event_id")
 
+  /** Sliding-window document chunking (64-token chunks, stride 32): the
+    * step that turns curated documents into overlapping model-context
+    * pieces. Chunk starts are a row-local `sequence` explode — output
+    * rows ≈ 2·tokens/64 per doc, no shuffle before the final sort. The
+    * companion of tokenPack (which packs whole docs into fixed budgets;
+    * this splits single docs into overlapping windows). */
+  def docChunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0), col("n_tokens") - 1, lit(32))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / 32).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(64), col("n_tokens") - col("start_tok")).as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> docChunking,
     "pii_redact" -> piiRedact,
     "tfidf_top_terms" -> tfidfTopTerms,
     "lm_bigram_score" -> lmBigramScore,
@@ -334,6 +353,13 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "doc_chunking" ->
+      (s"SELECT doc_id, CAST(start_tok // 32 AS BIGINT) AS chunk_id, " +
+        "CAST(start_tok AS INT) AS start_tok, " +
+        "CAST(least(64, n_tokens - start_tok) AS INT) AS chunk_len FROM " +
+        s"(SELECT doc_id, len(toks) AS n_tokens, unnest(generate_series(0, len(toks) - 1, 32)) AS start_tok " +
+        s"FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) > 0) " +
+        "ORDER BY doc_id, chunk_id"),
     "pii_redact" ->
       ("SELECT event_id, regexp_replace(regexp_replace(props, " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
