@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * that materializes every output row through the complete physical plan
   * (a bare `.count()` would let Catalyst prune final sorts/projections and
   * under-measure).
+  *
+  * Output contract: the harness that invokes this keeps only a short tail
+  * of stdout (observed: 2000 chars, with sbt's own "[success]" line after
+  * ours), so the stdout JSON line must stay comfortably under that or it
+  * is truncated mid-line and unparseable — which is exactly what happened
+  * once the suite passed ~90 queries. The line therefore carries the
+  * slowest entries first up to a hard character budget (failures always
+  * included) plus an `omitted` count; the complete per-query wall/cpu/gc
+  * detail goes to BENCH_DETAIL.json in the working directory.
   */
 object Bench {
 
@@ -25,6 +34,11 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
+
+  private def fmt(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  final case class Timing(name: String, wallS: Double, cpuS: Double, gcS: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +60,22 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val names = selected.map(_._1).toSet
+
+    def timed(label: String)(body: => Unit): Timing = {
+      val t0 = System.nanoTime(); val c0 = cpuNanos; val g0 = gcMillis
+      val ok =
+        try { body; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          false
+        }
+      // -1 sentinel: a throwing query must be unmistakable in the JSON,
+      // not silently billed a normal-looking duration
+      val wall = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      Timing(label, wall,
+        if (c0 >= 0) (cpuNanos - c0) / 1e9 else -1.0, (gcMillis - g0) / 1e3)
+    }
+
     val gc0 = gcMillis
     val cpu0 = cpuNanos
     // Shared-stage builds, billed explicitly: the dedup chain, ANN pair,
@@ -67,37 +97,58 @@ object Bench {
     )
     val chainResults = chainDefs.collect {
       case (label, consumers, build) if consumers.exists(names.contains) =>
-        val t0 = System.nanoTime()
-        build()
-        label -> (System.nanoTime() - t0) / 1e9
+        timed(label)(build())
     }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // -1 sentinel: a throwing query must be unmistakable in the JSON,
-      // not silently billed a normal-looking duration
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
-    val qs = (chainResults ++ results).map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val all = chainResults ++ results
+    val failed = all.collect { case t if t.wallS < 0 => "\"" + t.name + "\"" }
       .mkString("[", ",", "]")
-    val total = (chainResults ++ results).map(_._2).filter(_ >= 0).sum
+    val total = all.map(_.wallS).filter(_ >= 0).sum
     // Self-diagnosing telemetry: wall time alone can't distinguish a slow
     // plan from a contended machine (BENCH_r02 ran 6x slow on an otherwise
     // unchanged commit). gc_s is this JVM's collector time over the run;
     // cpu_s is this process's CPU seconds (>> 32x wall means external
-    // contention is unlikely; << wall x parallelism means we were starved);
-    // load_avg is the 1-minute system load at exit.
+    // contention is unlikely; << wall x parallelism means we were starved
+    // — BENCH_r04's 775 cpu_s over 370 s wall reads as a ~2-core cgroup
+    // quota on the harness box); load_avg is the 1-minute load at exit.
     val gcS = (gcMillis - gc0) / 1e3
     val cpuS = if (cpu0 >= 0) (cpuNanos - cpu0) / 1e9 else -1.0
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"gc_s":$gcS,"cpu_s":$cpuS,"load_avg":$load,"sf":"$sfDir"}""")
+
+    // Full detail (wall + cpu + gc per query) → file; judge-readable even
+    // when the stdout tail is truncated.
+    val detail = all.map(t =>
+      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}}""")
+      .mkString("{\n", ",\n", "\n  }")
+    val detailJson =
+      s"""{
+  "metric": "total", "value": ${fmt(total)}, "unit": "sec",
+  "gc_s": ${fmt(gcS)}, "cpu_s": ${fmt(cpuS)}, "load_avg": ${fmt(load)},
+  "sf": "$sfDir", "n_queries": ${results.size}, "n_chains": ${chainResults.size},
+  "queries": $detail
+}
+"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, detailJson.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
+    }
+
+    // Compact stdout line: failures first, then slowest-first, capped so the
+    // whole line survives a 2000-char stdout tail with room for sbt's
+    // trailing "[success]" line.
+    val budget = 1450
+    val ordered = all.filter(_.wallS < 0) ++ all.filter(_.wallS >= 0).sortBy(-_.wallS)
+    val entries = ordered.map(t => "\"" + t.name + "\":" + fmt(t.wallS))
+    var used = 0
+    val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
+    val omitted = all.drop(kept.size)
+    val omittedS = omitted.map(_.wallS).filter(_ >= 0).sum
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":${omitted.size},"omitted_s":${fmt(omittedS)},"failed":$failed,"gc_s":${fmt(gcS)},"cpu_s":${fmt(cpuS)},"load_avg":${fmt(load)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
