@@ -164,7 +164,14 @@ object AdvancedSql {
     * deterministic salt the result is exactly the unsalted join — which
     * is what the oracle runs. At 100 TB this (or AQE's skew-join split)
     * is the difference between a straggler-free shuffle and one reducer
-    * owning the hot key's entire partition. */
+    * owning the hot key's entire partition.
+    *
+    * Salt convention: `pmod`, not `%`. Scala/Spark `%` follows the
+    * dividend's sign (-3 % 8 = -3), so a negative event_id would salt
+    * into [-7, 0) — a bucket the dimension side (replicated over exactly
+    * [0, R)) never has, silently DROPPING those fact rows from the join.
+    * `pmod` is always non-negative, so every fact row lands on a
+    * replicated salt. */
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val dim = ev.select("user_id").distinct()

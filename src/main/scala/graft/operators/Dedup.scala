@@ -49,20 +49,37 @@ object Dedup {
     * blocks died with the session, and the strong key otherwise pins the
     * stopped session object for the process lifetime. */
   private val chainMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), (String, DataFrame)]
 
   private def memoized(spark: SparkSession, dir: String, stage: String)
       (build: => DataFrame): DataFrame = {
     chainMemo.keys.filter(_._1.sparkContext.isStopped).foreach(chainMemo.remove)
-    chainMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir), stage), build)
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    val k = (spark, dir, stage)
+    chainMemo.get(k) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        // dataset regenerated in place (same path, new fingerprint): the
+        // superseded entry's cached blocks are dead weight — release them
+        // instead of pinning two generations of the stage
+        stale.foreach { case (_, old) =>
+          try { if (!spark.sparkContext.isStopped) old.unpersist() }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val df = build
+        chainMemo.put(k, (fp, df))
+        df
+    }
   }
 
   /** Drop and unpersist every memoized chain stage (test/embedder hook for
     * callers that regenerate datasets or want the storage back). */
   def clearMemo(): Unit = {
-    chainMemo.values.foreach { df =>
+    chainMemo.values.foreach { case (_, df) =>
+      // NonFatal only: an unpersist on a dying session may throw benign
+      // races, but OOM/fatal errors must propagate, not be swallowed
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     chainMemo.clear()
   }
@@ -195,6 +212,20 @@ object Dedup {
     * node that appears in an edge. See dedupClusters for the scale
     * argument.
     *
+    * Lineage hygiene: each round's state is `localCheckpoint(eager)`ed,
+    * not merely persisted. persist() caches DATA but leaves the logical
+    * plan intact, and round k's plan references round k−1's frame twice
+    * (once as `labels`, once under `nbrMin`) — so the plan tree DOUBLES
+    * per round, which blows up driver memory inside AQE replanning
+    * (measured: OOM in an 8 GiB heap on a ~30-round random-graph
+    * property). Checkpointing truncates the plan to a leaf, making every
+    * round O(1) in plan size regardless of component diameter; the
+    * checkpoint blocks of superseded rounds are reclaimed by the
+    * ContextCleaner once the loop drops its reference. (On a multi-node
+    * cluster with executor churn, `checkpoint` to reliable storage is the
+    * fault-tolerant variant; iteration state here is tiny — two longs per
+    * node — so executor-local is the right default.)
+    *
     * The returned frame is persisted and materialized (the final
     * convergence count forced it); the caller owns the handle —
     * clusterLabels keeps it for the process, direct callers (specs)
@@ -206,48 +237,42 @@ object Dedup {
     val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
       .union(edges.select(col("id2").as("id"), col("id1").as("nbr")))
       .persist()
-    // `cached` is the persisted handle for the current iteration's state
-    // (it carries the previous label as `old` so the convergence count is
-    // a filter over the frame being materialized anyway — one join fewer
-    // per round than re-joining the update against the old labels).
+    // `state` carries the previous label as `old` so the convergence count
+    // is a filter over the frame being materialized anyway — one join
+    // fewer per round than re-joining the update against the old labels.
     // Initial labels fold the first propagation round into the dedup
     // aggregation itself — label₀ = min(id, min neighbor) — saving one
     // full join round; `old` starts at id so round 1's changed-count
     // still registers the fold.
-    var cached = adj
+    var state = adj
       .groupBy("id").agg(least(col("id"), min(col("nbr"))).as("label"))
       .select(col("id"), col("id").as("old"), col("label"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      val labels = cached.select("id", "label")
+      val labels = state.select("id", "label")
       val nbrMin = adj
         .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .groupBy("id").agg(min("nbr_label").as("min_nbr"))
       val step = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true) // plan becomes a leaf — see scaladoc
       changed = step.filter(col("label") < col("old")).count()
-      cached.unpersist()
-      cached = step
+      state = step
       iter += 1
     }
     adj.unpersist()
     if (changed != 0) {
-      // release the loop-state frame before failing: the throw is the one
-      // path where no caller ever receives (and could unpersist) it
-      cached.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge after $iter rounds (a component " +
           "with diameter > the round cap would yield wrong cluster ids)")
     }
-    // re-cache the clean projection and let go of the loop-state handle so
-    // the returned frame is the one whose unpersist() releases the storage
-    val result = cached.select("id", "label").persist()
+    // cache the clean projection over the final checkpoint leaf: the
+    // returned frame is the one whose unpersist() releases the storage
+    val result = state.select("id", "label").persist()
     result.count()
-    cached.unpersist()
     result
   }
 

@@ -85,14 +85,16 @@ object Similarity {
     * same keying: dataset identity is path + listing fingerprint, and
     * stopped sessions' entries are dropped on access). */
   private val pairsMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]
 
   /** Drop and unpersist the memoized ANN stages (index-root entries are
     * just paths; their dirs are process-private and reaped at exit). */
   def clearMemo(): Unit = {
-    pairsMemo.values.foreach { df =>
+    pairsMemo.values.foreach { case (_, df) =>
+      // NonFatal only: benign unpersist races are ignorable, fatal errors
+      // (OOM, thread death) must propagate
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     pairsMemo.clear()
     indexMemo.clear()
@@ -100,7 +102,23 @@ object Similarity {
 
   def scoredLshPairs(spark: SparkSession, dir: String): DataFrame = {
     pairsMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pairsMemo.remove)
-    pairsMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    pairsMemo.get((spark, dir)) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        // dataset regenerated in place: release the superseded entry's
+        // cached blocks instead of pinning two generations
+        stale.foreach { case (_, old) =>
+          try { if (!spark.sparkContext.isStopped) old.unpersist() }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val df = buildScoredLshPairs(spark, dir)
+        pairsMemo.put((spark, dir), (fp, df))
+        df
+    }
+  }
+
+  private def buildScoredLshPairs(spark: SparkSession, dir: String): DataFrame = {
       val e = emb(spark, dir)
       val keys = annBandedKeys(e, Bands, RowsPerBand)
       val pairs = keys.as("x")
@@ -115,7 +133,6 @@ object Similarity {
         .select(col("id1"), col("id2"),
           round(vec_cosine(col("v1"), col("v2")), 6).as("cos"))
         .persist()
-    })
   }
 
   private val IvfK = 16     // coarse centroids

@@ -111,6 +111,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents handles a long-diameter chain without plan blowup") {
+    // A 40-node path graph needs ~⌈log₂ 40⌉..40 min-label rounds depending
+    // on propagation order — the regression case for per-round lineage
+    // growth: before localCheckpoint, the logical plan DOUBLED every round
+    // (round k references round k−1 twice) and OOM'd an 8 GiB driver heap
+    // inside AQE's explainString long before 40 rounds.
+    val n = 40
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val labels = Dedup.connectedComponents(chain.toDF("id1", "id2"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+  }
+
   test("sql surface: registered vec_dot and lsh_bucket work from spark.sql") {
     GraftFunctions.register(spark)
     Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
