@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the forked run's stdout as JSON; sbt's
+// default LoggedOutput decorates every child line with "[info] ", which
+// breaks that parse (BENCH_r05 "parsed": null). StdoutOutput inherits the
+// parent's streams verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

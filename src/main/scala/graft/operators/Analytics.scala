@@ -198,13 +198,20 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
-  /** Approximate distinct (HLL). Engine-specific sketch → no SQL oracle;
-    * the driver records a rows-only check. A dedicated spec bounds the
-    * error against the exact count instead. */
+  /** Approximate distinct (HLL). The sketch value itself is
+    * engine-specific (no cross-engine parity possible), so the
+    * oracle-checkable shape is the error BOUND: Spark emits the exact
+    * count plus `within_5pct` = |approx − exact|/exact ≤ 0.05, and the
+    * DuckDB oracle emits the exact count with a literal TRUE — the row
+    * hash-matches iff the sketch really is within bound. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
 
   /** Tumbling 1-hour event-time windows, batch form of the streaming
@@ -298,28 +305,40 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
-  /** Exact interpolated quantiles per group, sort-based: rank within group
-    * once (one shuffle + in-partition sort), then pick and interpolate the
-    * two straddling ranks per percentile in a single aggregation pass.
-    * Matches DuckDB `quantile_cont` (pos = p·(n−1), linear interpolation).
-    * Spark's builtin exact `percentile` materializes a value→count map per
-    * group — measured 12 s vs ~1 s for this formulation at sf0.1. */
+  /** Exact interpolated quantiles per group, histogram-based: a
+    * partial+final aggregate builds the per-(group, value) count
+    * histogram, cumulative counts over the histogram locate the two
+    * straddling ranks per percentile, and one more aggregation pass
+    * interpolates. Matches DuckDB `quantile_cont` (pos = p·(n−1), linear
+    * interpolation).
+    *
+    * Scale note: the ONLY per-group sort here is the cumulative-count
+    * window over the HISTOGRAM — bounded by distinct-value cardinality
+    * (prices have fixed precision), not corpus size — so the ≤4-value
+    * group key never becomes a full-table single-reducer sort the way a
+    * row_number over raw rows would. Spark's builtin exact `percentile`
+    * materializes the same value→count map but per-group in one task —
+    * measured 12 s vs ~1 s for this formulation at sf0.1. */
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val byFlag = Window.partitionBy("l_returnflag")
-    val ranked = Tables.lineitem(spark, dir)
+    val hist = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      .withColumn("rn", row_number().over(byFlag.orderBy("x")))
-      .withColumn("n", count(lit(1)).over(byFlag))
+      .groupBy("l_returnflag", "x")
+      .agg(count(lit(1)).as("c"))
+    val byFlag = Window.partitionBy("l_returnflag")
+    val cum = hist
+      .withColumn("cum", sum("c").over(byFlag.orderBy("x")))
+      .withColumn("n", sum("c").over(byFlag))
     val qCols = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
       val pos = lit(p) * (col("n") - 1)
       val lo = floor(pos).cast("long") + 1
       val hi = ceil(pos).cast("long") + 1
       val frac = pos - floor(pos)
-      val vlo = max(when(col("rn") === lo, col("x")))
-      val vhi = max(when(col("rn") === hi, col("x")))
+      val prev = col("cum") - col("c")
+      val vlo = max(when(prev < lo && lo <= col("cum"), col("x")))
+      val vhi = max(when(prev < hi && hi <= col("cum"), col("x")))
       round(vlo + (vhi - vlo) * max(frac), 4).as(name)
     }
-    ranked.groupBy("l_returnflag")
+    cum.groupBy("l_returnflag")
       .agg(qCols.head, qCols.tail: _*)
       .orderBy("l_returnflag")
   }
@@ -569,6 +588,9 @@ object Analytics {
     "distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "true AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
     "event_hourly" ->
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +

