@@ -94,6 +94,8 @@ object Bench {
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
       ("chain_ivf_index", Set("ivf_assign", "ivf_search"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
+      ("chain_doc_scores", Set("quality_gate", "quality_score"),
+        () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
     )
     val chainResults = chainDefs.collect {
       case (label, consumers, build) if consumers.exists(names.contains) =>

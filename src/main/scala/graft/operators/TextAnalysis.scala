@@ -47,28 +47,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared doc-scoring stage: tokenize + quality signals, persisted once
+    * per (session, dataset identity) — the same memo discipline as
+    * Dedup.chainMemo. qualityScore reads it once, but qualityGate's
+    * threshold selection consumes it THREE times (histogram, above-cut
+    * filter, tie ranking); without the cache each consumer re-tokenizes
+    * the whole corpus (measured ~1 s per redundant pass at sf0.1). The
+    * cached projection is a handful of narrow columns — orders of
+    * magnitude smaller than the corpus — and persist() spills to disk, so
+    * the cache is the cheap side of the recompute-vs-materialize tradeoff
+    * at any scale. */
+  private val scoredMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]
+
+  private[graft] def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+    scoredMemo.keys.filter(_._1.sparkContext.isStopped).foreach(scoredMemo.remove)
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    val k = (spark, dir)
+    scoredMemo.get(k) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) =>
+          try { if (!spark.sparkContext.isStopped) old.unpersist() }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+          .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+            size(col("toks")).as("n_tokens"))
+        val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
+        val stopRatio = when(col("n_tokens") > 0,
+          stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
+        val punctRatio = when(length(col("text")) > 0,
+          punct / length(col("text"))).otherwise(0.0)
+        val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
+        val df = d.select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(punctRatio, 6).as("punct_ratio"),
+          round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
+          .persist()
+        scoredMemo.put(k, (fp, df))
+        df
+    }
+  }
+
+  /** Drop and unpersist the memoized scoring stage (test hook). */
+  private[graft] def clearScoredMemo(): Unit = {
+    scoredMemo.values.foreach { case (_, df) =>
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    scoredMemo.clear()
+  }
+
   /** Quality score: stopword ratio + length saturation, rounded. The exact
     * formula matters less than it being deterministic and monotone in
     * signals a curation pipeline would use. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), toks.as("toks"))
-      .select(col("doc_id"), col("text"), col("toks"),
-        size(col("toks")).as("n_tokens"))
-    val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
-    val stopRatio = when(col("n_tokens") > 0,
-      stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
-    val punctRatio = when(length(col("text")) > 0,
-      punct / length(col("text"))).otherwise(0.0)
-    val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
-    d.select(col("doc_id"), col("n_tokens"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir)
+      .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality")
       .orderBy("doc_id")
-  }
 
   /** Deterministic train/val/test split assignment: a salted md5 of the
     * document key maps each doc to one of 100 buckets (96/2/2). Entirely
@@ -101,33 +140,22 @@ object TextAnalysis {
     * threshold score and how many threshold-tied docs are admitted; rows
     * strictly above the threshold pass with a broadcast-joined filter (no
     * sort at all), and only the tiny threshold-tie set is ranked by
-    * doc_id to break ties exactly as before. */
+    * doc_id to break ties exactly as before. The three consumers read the
+    * memoized scoredDocs stage, so the corpus is tokenized once, not
+    * three times. */
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
-      .select(col("doc_id"), col("lang"), col("text"), col("toks"),
-        size(col("toks")).as("n_tokens"))
-    val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
-    val stopRatio = when(col("n_tokens") > 0,
-      stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
-    val punctRatio = when(length(col("text")) > 0,
-      punct / length(col("text"))).otherwise(0.0)
-    val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
-    val scored = d.select(col("doc_id"), col("lang"),
-      round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
-    // keep k = floor(cnt/2) docs per lang, best-first (quality desc, doc_id asc)
-    val totals = scored.groupBy("lang")
-      .agg(floor(count(lit(1)) / 2).as("k"))
-    val byLangDesc = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(desc("quality"))
+    val scored = scoredDocs(spark, dir).select("doc_id", "lang", "quality")
+    // keep k = floor(cnt/2) docs per lang, best-first (quality desc, doc_id
+    // asc); cnt comes from the histogram itself, not a second corpus scan
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val byLangDesc = byLang.orderBy(desc("quality"))
     val cum = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(byLangDesc))
       .withColumn("prev", col("cum") - col("c"))
+      .withColumn("k", floor(sum("c").over(byLang) / 2))
     // per lang: the threshold score (rank k falls inside its tie group)
     // and how many docs AT that score are admitted
-    val thresholds = cum.join(totals, "lang")
+    val thresholds = cum
       .filter(col("prev") < col("k") && col("k") <= col("cum"))
       .select(col("lang"), col("quality").as("qt"), (col("k") - col("prev")).as("adm"))
     val gated = scored.join(broadcast(thresholds), Seq("lang"))
