@@ -224,7 +224,11 @@ object TextAnalysis {
     * writing training shards. Packing runs per (lang, source) shard, so
     * the prefix sum is a partitioned window (one shuffle, every shard
     * packs in parallel) rather than a single-partition global order —
-    * exactly how a 100 TB corpus is packed: per shard, not globally. */
+    * exactly how a 100 TB corpus is packed: per shard, not globally.
+    * Stated bound: parallelism (and the largest single sort) is the
+    * (lang, source) shard key's cardinality/skew — at production scale
+    * the shard key must be chosen so no shard outgrows an executor, e.g.
+    * by adding a date or bucket component to it. */
   def tokenPack(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "source").orderBy("doc_id")
