@@ -98,6 +98,35 @@ object StreamingBridge {
     spark.table(name).orderBy("hour")
   }
 
+  /** Streaming hourly aggregation through a real parquet FILE SINK with a
+    * checkpoint — the production exactly-once output path: the sink's
+    * commit log (_spark_metadata) records exactly the files of committed
+    * batches, and the batch read-back lists through it, so a crashed or
+    * duplicated batch can never surface partial output. Append mode emits
+    * a window only once the watermark passes its end, so the far-future
+    * sentinel both flushes every real window and proves the emitted set
+    * is final; the sentinel's own window stays open and is never
+    * written. */
+  def streamFileSinkEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val outDir = graft.sources.TempDirs.create("graft_stream_sink_out_")
+    val ckDir = graft.sources.TempDirs.create("graft_stream_sink_ck_")
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val q = StreamingOps.hourlyCounts(events)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").option("path", outDir)
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, streamDir, schema, maxMs + 24L * 3600 * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(outDir).orderBy("hour")
+  }
+
   /** Streaming sessionization driven to a closed state: all events in the
     * initial batch, then a far-future sentinel file to advance the
     * watermark past every open session's timeout (the subsequent no-data
@@ -142,6 +171,7 @@ object StreamingBridge {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_eq" -> streamHourlyEq,
+    "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
     "stream_dedup_eq" -> streamDedupEq,
   )
@@ -150,6 +180,10 @@ object StreamingBridge {
   // and batch must produce the same answer over the same finite input.
   val oracle: Map[String, String] = Map(
     "stream_hourly_eq" ->
+      ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_file_sink_eq" ->
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),

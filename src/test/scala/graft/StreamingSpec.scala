@@ -34,6 +34,14 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-sink hourly roundtrip == batch event_hourly (exactly-once read-back)") {
+    val got = graft.streaming.StreamingBridge.streamFileSinkEq(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val want = Analytics.eventHourly(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("streaming sessionize totals == batch sessionize (closed sessions)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
