@@ -80,6 +80,46 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Feature extraction over binary payloads: bytes → fixed-dim vector,
+    * the embedding-extractor shape (same signature and per-partition batch
+    * loop a real neural encoder needs; swap the histogram for a model
+    * call and nothing else changes). STUB featurizer = 16-bin high-nibble
+    * byte histogram, emitted as raw counts so the normalize+round happens
+    * in Spark SQL expressions — the codepath whose rounding provably
+    * matches the DuckDB oracle. Map-only; payload bytes never shuffle. */
+  private def featureCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val counts = new Array[Long](16)
+        r.media.foreach(b => counts((b & 0xff) >> 4) += 1)
+        (r.doc_id, r.media.length.toLong, counts)
+      })
+      .toDF("doc_id", "n_bytes", "counts")
+      .filter(col("n_bytes") > 0)
+  }
+
+  /** Library surface: the normalized feature vector, ready for the
+    * Similarity operators' Array-typed embedding column convention. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    featureCounts(spark, dir)
+      .select(col("doc_id"), col("n_bytes"),
+        transform(col("counts"),
+          c => round(c.cast("double") / col("n_bytes"), 6)).as("features"))
+      .orderBy("doc_id")
+
+  /** Oracle-gated shape of the same pipeline: the raw integer histogram as
+    * a CSV string — array-typed and float-formatted outputs don't survive
+    * the cross-engine hash compare, integer text does, and the float
+    * vector is a deterministic pure function of these counts. */
+  def mediaFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
+    featureCounts(spark, dir)
+      .select(col("doc_id"), col("n_bytes"),
+        array_join(transform(col("counts"), _.cast("string")), ",").as("hist"))
+      .orderBy("doc_id")
+
   /** STUB resize: a real implementation would decode, scale, re-encode;
     * the deterministic fake keeps every 4th payload byte (stride
     * downsample) — the plumbing (bytes in, smaller bytes + digest out,
@@ -105,6 +145,7 @@ object Multimodal {
     "multimodal_meta" -> multimodalMeta,
     "frame_sample" -> frameSample,
     "media_resize" -> mediaResize,
+    "media_features" -> mediaFeaturesQuery,
   )
 
   // Oracle: text is ASCII, so byte arithmetic == char arithmetic and
@@ -119,6 +160,12 @@ object Multimodal {
       ("SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5 " +
         "FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((len(text) - 16) / 64) AS BIGINT))) AS i " +
         "FROM documents WHERE len(text) >= 16) ORDER BY doc_id, frame_idx"),
+    "media_features" ->
+      ("SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes, " +
+        "array_to_string(list_transform(generate_series(0, 15), j -> " +
+        "len(list_filter(list_transform(generate_series(1, len(text)), " +
+        "i -> ascii(substr(text, CAST(i AS INT), 1)) // 16), x -> x = j))), ',') AS hist " +
+        "FROM documents WHERE len(text) > 0 ORDER BY doc_id"),
     "media_resize" ->
       ("SELECT doc_id, CAST(len(text) AS BIGINT) AS orig_bytes, " +
         "CAST((len(text) + 3) // 4 AS BIGINT) AS resized_bytes, " +

@@ -76,6 +76,17 @@ class StreamingSpec extends SparkSpec {
     assert(empty == (64, 64, 3))
   }
 
+  test("media_features vectors are 16-dim and sum to ~1") {
+    val rows = Multimodal.mediaFeatures(spark, sf)
+      .select($"doc_id", $"features").as[(Long, Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v) =>
+      assert(v.length == 16, s"doc $id: dim ${v.length}")
+      // per-bin rounding to 6 decimals can drift the sum by ≤ 16 * 5e-7
+      assert(math.abs(v.sum - 1.0) < 1e-4, s"doc $id: sum ${v.sum}")
+    }
+  }
+
   test("frame_sample frames are 16-byte slices at 64-byte stride") {
     val fs = Multimodal.frameSample(spark, sf)
     val one = fs.filter($"doc_id" === 0).collect()
