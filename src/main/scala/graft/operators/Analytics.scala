@@ -319,16 +319,17 @@ object Analytics {
     * row_number over raw rows would. Spark's builtin exact `percentile`
     * materializes the same value→count map but per-group in one task —
     * measured 12 s vs ~1 s for this formulation at sf0.1. */
-  def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-      .groupBy("l_returnflag", "x")
+  def quantilesOf(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val hist = df
+      .select(col(groupCol), col(valueCol).as("x"))
+      .groupBy(groupCol, "x")
       .agg(count(lit(1)).as("c"))
-    val byFlag = Window.partitionBy("l_returnflag")
+    val byGroup = Window.partitionBy(groupCol)
     val cum = hist
-      .withColumn("cum", sum("c").over(byFlag.orderBy("x")))
-      .withColumn("n", sum("c").over(byFlag))
-    val qCols = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
+      .withColumn("cum", sum("c").over(byGroup.orderBy("x")))
+      .withColumn("n", sum("c").over(byGroup))
+    val qCols = ps.map { case (p, name) =>
       val pos = lit(p) * (col("n") - 1)
       val lo = floor(pos).cast("long") + 1
       val hi = ceil(pos).cast("long") + 1
@@ -338,10 +339,14 @@ object Analytics {
       val vhi = max(when(prev < hi && hi <= col("cum"), col("x")))
       round(vlo + (vhi - vlo) * max(frac), 4).as(name)
     }
-    cum.groupBy("l_returnflag")
+    cum.groupBy(groupCol)
       .agg(qCols.head, qCols.tail: _*)
-      .orderBy("l_returnflag")
+      .orderBy(groupCol)
   }
+
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesOf(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
 
   /** Mean/variance from exact decimal moments: var = (Σx² − (Σx)²/n)/(n−1)
     * computed on DECIMAL sums, so the result is order-independent — the

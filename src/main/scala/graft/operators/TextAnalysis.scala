@@ -143,8 +143,11 @@ object TextAnalysis {
     * doc_id to break ties exactly as before. The three consumers read the
     * memoized scoredDocs stage, so the corpus is tokenized once, not
     * three times. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val scored = scoredDocs(spark, dir).select("doc_id", "lang", "quality")
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    gateTopHalf(scoredDocs(spark, dir).select("doc_id", "lang", "quality"))
+
+  /** The selection itself, over any (doc_id, lang, quality) frame. */
+  def gateTopHalf(scored: DataFrame): DataFrame = {
     // keep k = floor(cnt/2) docs per lang, best-first (quality desc, doc_id
     // asc); cnt comes from the histogram itself, not a second corpus scan
     val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")

@@ -125,6 +125,46 @@ class PropertySpec extends SparkSpec {
     assert(got == (0 until n).map(_.toLong -> 0L).toMap)
   }
 
+  test("property: histogram quantiles == naive sorted interpolation on random groups") {
+    val rng = new scala.util.Random(7)
+    // /4 keeps values dyadic so the interpolation arithmetic is exact in
+    // both the Spark expression and the naive reference
+    val rows = (0 until 2000).map(_ =>
+      (s"g${rng.nextInt(5)}", (rng.nextInt(200) + 1).toDouble / 4))
+    val got = graft.operators.Analytics
+      .quantilesOf(rows.toDF("g", "x"), "g", "x",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    def naive(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      val v = s(lo) + (s(hi) - s(lo)) * (pos - math.floor(pos))
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, grp) =>
+      val vs = grp.map(_._2)
+      (g, naive(vs, 0.5), naive(vs, 0.9), naive(vs, 0.99))
+    }
+    assert(got == want)
+  }
+
+  test("property: histogram quality gate == naive top-half selection with ties") {
+    val rng = new scala.util.Random(11)
+    // an 11-value quality grid forces heavy ties, including at the cut —
+    // the case the admitted-tie-count + doc_id tie-break must get exact
+    val rows = (0L until 500L).map(i =>
+      (i, s"l${rng.nextInt(4)}", rng.nextInt(11) / 10.0))
+    val got = graft.operators.TextAnalysis
+      .gateTopHalf(rows.toDF("doc_id", "lang", "quality"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val want = rows.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy { case (id, _, q) => (-q, id) }.take(grp.size / 2)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
   test("sql surface: registered vec_dot and lsh_bucket work from spark.sql") {
     GraftFunctions.register(spark)
     Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
