@@ -18,12 +18,18 @@ object GraftFunctions {
       s"$name expects a literal int argument, got $other")
   }
 
+  /** Name → builder for every custom expression; shared by the runtime
+    * path (register) and the config path (graft.GraftExtensions). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => VectorDot(exprs(0), exprs(1))),
+    "lsh_bucket" -> (exprs => HyperplaneBucket(exprs(0),
+      intLit(exprs(1), "planes"), intLit(exprs(2), "dim"))),
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("vec_dot",
-      exprs => VectorDot(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("lsh_bucket",
-      exprs => HyperplaneBucket(exprs(0),
-        intLit(exprs(1), "planes"), intLit(exprs(2), "dim")), "built-in")
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
