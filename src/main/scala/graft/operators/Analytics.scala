@@ -214,6 +214,27 @@ object Analytics {
           col("exact_users") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
 
+  /** Approximate median (percentile_approx — a mergeable rank sketch).
+    * Same oracle shape as approxDistinct: the sketch value is
+    * engine-specific, but its RANK-ERROR guarantee is checkable — with
+    * accuracy 100 the returned value's rank is within n/100 of the true
+    * median, so it must lie between the exact 45th and 55th percentiles
+    * (5× slack; bounds come from the histogram-based quantilesOf, never a
+    * full-table sort). The DuckDB oracle emits the group counts with a
+    * literal TRUE — the row hash-matches iff the sketch honors its bound. */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = quantilesOf(li, "l_returnflag", "l_extendedprice",
+      Seq(0.45 -> "lo", 0.55 -> "hi"))
+    val apx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100)).as("apx"),
+        count(lit(1)).as("n"))
+    apx.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        (col("apx") >= col("lo") && col("apx") <= col("hi")).as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+
   /** Tumbling 1-hour event-time windows, batch form of the streaming
     * aggregation (graft.streaming). Hour-bucket keys sidestep the
     * ns-vs-µs parquet timestamp precision gap (events.ts is ns; Spark
@@ -461,6 +482,7 @@ object Analytics {
     "cube_agg" -> cubeAgg,
     "distinct_users" -> distinctUsers,
     "approx_distinct" -> approxDistinct,
+    "approx_quantile" -> approxQuantile,
     "event_hourly" -> eventHourly,
     "event_sliding" -> eventSliding,
     "json_extract" -> jsonExtract,
@@ -596,6 +618,9 @@ object Analytics {
     "approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "true AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
+    "approx_quantile" ->
+      ("SELECT l_returnflag, count(*) AS n, true AS within_bound " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "event_hourly" ->
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +

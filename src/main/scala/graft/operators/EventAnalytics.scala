@@ -76,10 +76,32 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Latest event per user as a pure AGGREGATE (max_by over a
+    * (ts, event_id) ordering struct), not a window: partial+final
+    * HashAggregate keeps one candidate row per key per partition — no
+    * per-key sort, no full row shuffle — which is the shape that survives
+    * a key whose history is millions of events. The unique event_id
+    * tie-breaks equal timestamps, so the result is deterministic on any
+    * engine (the DuckDB oracle states the same order as a window since it
+    * lacks struct-valued arg_max — oracle shape need not be agg-shaped). */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("last_us"),
+        max_by(col("event_id"), ord).as("last_event_id"),
+        max_by(col("event_type"), ord).as("last_type"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cohort_retention" -> cohortRetention,
     "event_transitions" -> eventTransitions,
     "funnel_stages" -> funnelStages,
+    "latest_by_key" -> latestByKey,
   )
 
   val oracle: Map[String, String] = Map(
@@ -109,5 +131,12 @@ object EventAnalytics {
         "LEFT JOIN v ON u.user_id = v.user_id " +
         "LEFT JOIN c ON u.user_id = c.user_id " +
         "LEFT JOIN p ON u.user_id = p.user_id ORDER BY u.user_id"),
+    "latest_by_key" ->
+      ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +
+        "(SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id, " +
+        "event_type AS last_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
   )
 }

@@ -265,6 +265,37 @@ object Similarity {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     scoredLshPairs(spark, dir).filter(col("cos") >= 0.5).orderBy("id1", "id2")
 
+  private val SemTau = 0.3 // within-cell cosine above which the later vec drops
+
+  /** SemDeDup-style semantic dedup: cluster first (the persisted IVF
+    * cells), then compare pairs only WITHIN a cell and drop vector v when
+    * some earlier vector u < v in the same cell has cosine ≥ SemTau —
+    * deterministic keep-first, the cluster-partitioned published recipe
+    * for embedding-level dedup of web-scale corpora.
+    *
+    * Scale shape: the all-pairs comparison is confined to a cell, and K
+    * grows with N (K ≈ N/targetCellSize), so per-cell work stays bounded
+    * while the cell equi-join shuffles each vector exactly once — unlike
+    * the LSH near-dup path (dedupEmbedding) this needs no banding recall
+    * dial, at the cost of missing cross-cell duplicates (the classic
+    * SemDeDup trade). Emits every vector's (cell, kept) verdict, so the
+    * oracle checks assignments and decisions in one row set. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val lists = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+    val drops = lists.as("x")
+      .join(lists.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(vec_cosine(col("x.v"), col("y.v")), 6) >= SemTau)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    lists
+      .join(drops.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -272,6 +303,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding,
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
+    "dedup_semantic" -> dedupSemantic,
   )
 
   // ---- oracle SQL ----
@@ -363,5 +395,16 @@ object Similarity {
         s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
         "ranked AS (SELECT qid, cand_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rn FROM cscored) " +
         "SELECT qid, cand_id, cos, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn"),
+    "dedup_semantic" ->
+      (s"WITH $refinedCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "drops AS (SELECT DISTINCT y.vec_id AS vec_id FROM assign x " +
+        "JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+        "JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id " +
+        s"WHERE round(${cosSql("ex.v", "ey.v")}, 6) >= $SemTau) " +
+        "SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept " +
+        "FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id ORDER BY a.vec_id"),
   )
 }

@@ -86,4 +86,24 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6) }
   }
+
+  test("approx_quantile: every group's sketch median is within its rank bound") {
+    val rows = Analytics.approxQuantile(spark, sf)
+      .select($"l_returnflag", $"within_bound").as[(String, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, ok) => assert(ok, s"group $flag out of bound") }
+  }
+
+  test("latest_by_key: last_us is the max event time and counts sum to total") {
+    val events = Tables.events(spark, sf)
+    val got = graft.operators.EventAnalytics.latestByKey(spark, sf)
+    val refMax = events
+      .groupBy("user_id").agg(max(unix_micros($"ts")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val rows = got.select($"user_id", $"last_us", $"n_events")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == refMax.size)
+    rows.foreach { case (u, us, _) => assert(us == refMax(u)) }
+    assert(rows.map(_._3).sum == events.count())
+  }
 }

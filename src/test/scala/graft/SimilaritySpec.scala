@@ -108,6 +108,19 @@ class SimilaritySpec extends SparkSpec {
     assert(new java.io.File(s"$root/.complete").lastModified == mtime)
   }
 
+  test("dedup_semantic: verdict per vector; min vec_id of every cell is kept") {
+    val rows = graft.operators.Similarity.dedupSemantic(spark, sf)
+      .select($"vec_id", $"cell", $"kept").as[(Long, Long, Boolean)].collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    // keep-first: nothing earlier in the cell can drop the cell's min id
+    rows.groupBy(_._2).foreach { case (_, cellRows) =>
+      val first = cellRows.minBy(_._1)
+      assert(first._3, s"cell ${first._2}: min vec_id ${first._1} was dropped")
+    }
+    assert(rows.count(_._3) >= 1)
+  }
+
   test("ivf recall sanity: probed search finds mostly the same top-1 as brute force") {
     val brute = graft.operators.Similarity.cosineTopk(spark, sf)
       .filter($"rn" === 1).select($"qid", $"vec_id").as[(Long, Long)].collect().toMap
