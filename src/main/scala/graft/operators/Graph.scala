@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Iterative graph analytics beyond connected components (Dedup):
+  * weighted PageRank over the event-transition graph. The reference has
+  * no graph capability at all (single-dataflow engine,
+  * /root/reference/src/mr/worker.rs:88-231); this is north-star surface.
+  *
+  * Scale design:
+  *  - The graph is AGGREGATED first (event_type -> next event_type with
+  *    counts) so iteration state is O(|node types|), not O(events) —
+  *    the standard entity-graph reduction. The one event-scale pass is
+  *    the lead() window per user building edges, identical in shape to
+  *    eventTransitions.
+  *  - Every iteration `localCheckpoint(eager = true)`s the new rank
+  *    frame. Without it the plan references the previous frame twice
+  *    (contribution join + dangling-mass join) and DOUBLES per round —
+  *    the exact lineage bomb measured and fixed in
+  *    Dedup.connectedComponents (see its scaladoc); checkpointing keeps
+  *    every round's plan O(1).
+  *  - Determinism for the oracle hash: per-edge contributions are doubles
+  *    cast to DECIMAL(28,18) BEFORE the sum, so the shuffle-order of the
+  *    partial sums cannot change the result (same discipline as the
+  *    decimal money sums in Analytics); only scalar double arithmetic in
+  *    a fixed expression order happens outside the sums.
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Iters = 10
+
+  /** (src, dst, w) transition-count edges — eventTransitions' output
+    * reshaped as a weighted digraph. */
+  private def transitionEdges(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over the event-transition graph: damping 0.85, 10
+    * fixed iterations, uniform init, dangling mass redistributed
+    * uniformly. Emits (event_type, round(pr, 6)). */
+  def pagerankEvents(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(transitionEdges(spark, dir), Damping, Iters)
+      .select(col("node").as("event_type"), round(col("r"), 6).as("pr"))
+      .orderBy("event_type")
+
+  /** Generic weighted PageRank over an (src, dst, w) edge frame; returns
+    * (node, r) for every node incident to an edge. See the object
+    * scaladoc for the lineage-hygiene and determinism contract. */
+  def pagerankOf(edgesIn: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy("src").agg(sum("w").as("od"))
+    val nF = nodes.agg(count(lit(1)).as("n")) // 1 row, broadcast by AQE
+    var rank = nodes.crossJoin(nF)
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // per-edge contribution, decimal-cast pre-sum (order-independent)
+      val incoming = edges
+        .join(rank, edges("src") === rank("node"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          ((col("r") * col("w")) / col("od")).cast("decimal(28,18)").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").cast("double").as("inc"))
+      // rank mass parked on sink nodes, spread uniformly next round
+      val dangling = rank
+        .join(outdeg, rank("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r").cast("decimal(28,18)")), lit(0))
+          .cast("double").as("dang"))
+      rank = nodes
+        .join(incoming, nodes("node") === incoming("dst"), "left")
+        .crossJoin(nF)
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * (coalesce(col("inc"), lit(0.0)) + col("dang") / col("n")))
+            .as("r"))
+        .localCheckpoint(true) // leaf plan per round — see object scaladoc
+    }
+    rank
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank_events" -> pagerankEvents,
+  )
+
+  /** Oracle: the same 10 iterations unrolled as chained CTEs (r0..r10),
+    * with the identical expression order — contributions cast to
+    * DECIMAL(28,18) before the sum, all scalar arithmetic in doubles.
+    *
+    * Every iteration CTE is `AS MATERIALIZED`: DuckDB inlines CTEs by
+    * default, and r_k references r_{k−1} twice (incoming + dangling), so
+    * the inlined plan DOUBLES per iteration and OOMs the oracle engine at
+    * 10 unrolled rounds — the very same plan-growth failure mode
+    * localCheckpoint prevents on the Spark side (object scaladoc). */
+  val oracle: Map[String, String] = {
+    val base =
+      "tr AS MATERIALIZED (SELECT event_type AS src, lead(event_type, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst FROM events), " +
+        "edges AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY src, dst), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)), " +
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes), " +
+        "outdeg AS MATERIALIZED (SELECT src, sum(w) AS od FROM edges GROUP BY src), " +
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"
+    val iters = (1 to Iters).map { k =>
+      val p = s"r${k - 1}"
+      s"inc$k AS MATERIALIZED (SELECT e.dst, CAST(sum(CAST((p.r * e.w) / o.od AS DECIMAL(28,18))) AS DOUBLE) AS inc " +
+        s"FROM edges e JOIN $p p ON p.node = e.src JOIN outdeg o ON o.src = e.src GROUP BY e.dst), " +
+        s"dang$k AS MATERIALIZED (SELECT CAST(coalesce(sum(CAST(p.r AS DECIMAL(28,18))), 0) AS DOUBLE) AS dang " +
+        s"FROM $p p LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL), " +
+        s"r$k AS MATERIALIZED (SELECT nodes.node, " +
+        s"CAST(${1.0 - Damping} AS DOUBLE) / nn.n + " +
+        s"CAST($Damping AS DOUBLE) * (coalesce(i.inc, CAST(0.0 AS DOUBLE)) + d.dang / nn.n) AS r " +
+        s"FROM nodes LEFT JOIN inc$k i ON i.dst = nodes.node CROSS JOIN nn CROSS JOIN dang$k d)"
+    }.mkString(", ")
+    Map(
+      "pagerank_events" ->
+        (s"WITH $base, $iters " +
+          s"SELECT node AS event_type, round(r, 6) AS pr FROM r$Iters ORDER BY event_type"),
+    )
+  }
+}

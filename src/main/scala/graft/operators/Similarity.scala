@@ -265,6 +265,28 @@ object Similarity {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     scoredLshPairs(spark, dir).filter(col("cos") >= 0.5).orderBy("id1", "id2")
 
+  /** Cluster-quality evaluation of the persisted IVF index: per cell, the
+    * member count, majority ground-truth label (embeddings.label), and
+    * purity = majority fraction — the eval an embedding pipeline runs
+    * after (re)building an index. Aggregate-only: per-(cell, label) counts
+    * partial+final, then one `max_by` pass per cell (ties break to the
+    * smaller label via the (count, −label) ordering struct); no windows,
+    * no sorts beyond the final small ORDER BY. */
+  def ivfPurity(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val assign = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    assign.join(labels, "vec_id")
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("cell")
+      .agg(sum(col("c")).as("n"),
+        max_by(col("label"), struct(col("c"), lit(0) - col("label"))).as("majority_label"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("purity"))
+      .orderBy("cell")
+  }
+
   private val SemTau = 0.3 // within-cell cosine above which the later vec drops
 
   /** SemDeDup-style semantic dedup: cluster first (the persisted IVF
@@ -304,6 +326,7 @@ object Similarity {
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
     "dedup_semantic" -> dedupSemantic,
+    "ivf_purity" -> ivfPurity,
   )
 
   // ---- oracle SQL ----
@@ -406,5 +429,18 @@ object Similarity {
         s"WHERE round(${cosSql("ex.v", "ey.v")}, 6) >= $SemTau) " +
         "SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept " +
         "FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id ORDER BY a.vec_id"),
+    "ivf_purity" ->
+      (s"WITH $refinedCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "counts AS (SELECT a.cell, emb.label, count(*) AS c FROM assign a " +
+        "JOIN embeddings emb ON emb.vec_id = a.vec_id GROUP BY a.cell, emb.label), " +
+        "ranked AS (SELECT cell, label, c, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY c DESC, label ASC) AS rn, " +
+        // CAST: DuckDB sum(BIGINT) is HUGEINT; Spark's sum(long) is long
+        "CAST(sum(c) OVER (PARTITION BY cell) AS BIGINT) AS n FROM counts) " +
+        "SELECT cell, n, label AS majority_label, " +
+        "round(CAST(c AS DOUBLE) / n, 6) AS purity FROM ranked WHERE rn = 1 ORDER BY cell"),
   )
 }

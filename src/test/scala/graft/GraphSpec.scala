@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar reference PageRank with the same semantics (uniform init,
+    * dangling mass spread uniformly, fixed iterations). */
+  private def refPagerank(edges: Seq[(String, String, Long)],
+      damping: Double, iters: Int): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) * e._3 / outdeg(e._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((1.0 - damping) / n + damping * (inc.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    r
+  }
+
+  test("pagerankOf matches a scalar reference on random weighted digraphs") {
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(seed)
+      val names = ('a' to 'h').map(_.toString)
+      val edges = Seq.fill(6 + rnd.nextInt(12))(
+        (names(rnd.nextInt(names.length)), names(rnd.nextInt(names.length)),
+          1L + rnd.nextInt(5))).filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val want = refPagerank(edges, 0.85, 10)
+        val got = Graph.pagerankOf(edges.toDF("src", "dst", "w"), 0.85, 10)
+          .as[(String, Double)].collect().toMap
+        assert(got.keySet == want.keySet, s"seed=$seed")
+        got.foreach { case (v, r) =>
+          assert(math.abs(r - want(v)) < 1e-9, s"seed=$seed node=$v $r vs ${want(v)}")
+        }
+      }
+    }
+  }
+
+  test("pagerank_events: ranks sum to 1 and are all positive") {
+    val rows = Graph.pagerankEvents(spark, sf).as[(String, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("ivf_purity: one row per cell, purity in (0,1], majority <= total") {
+    val rows = graft.operators.Similarity.ivfPurity(spark, sf)
+      .select($"cell", $"n", $"purity").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (cell, n, p) =>
+      assert(p > 0 && p <= 1.0, s"cell $cell purity $p")
+      assert(n >= 1)
+    }
+  }
+}
