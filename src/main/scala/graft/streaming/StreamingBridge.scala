@@ -169,11 +169,30 @@ object StreamingBridge {
       .orderBy("user_id", "event_type")
   }
 
+  /** Stream-stream inner join driven to completion: views and purchases
+    * are two filtered readers over the SAME staged file stream (two
+    * independent file sources in one query — the production shape for a
+    * topic read twice). Inner matches emit in the batch where both rows
+    * are present, so one processAllAvailable suffices; no sentinel. */
+  def streamJoinEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    def side(eventType: String): DataFrame =
+      fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+        .filter(col("event_type") === eventType)
+    val name = s"graft_stream_join_${runId.incrementAndGet()}"
+    val q = StreamingOps.viewPurchaseJoin(side("view"), side("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name).orderBy("user_id", "view_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
     "stream_dedup_eq" -> streamDedupEq,
+    "stream_join_eq" -> streamJoinEq,
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -189,6 +208,16 @@ object StreamingBridge {
         "FROM events GROUP BY 1 ORDER BY 1"),
     "stream_dedup_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // µs-domain comparisons: Spark truncates the ns parquet timestamps to
+    // µs on read, so the oracle joins on epoch_us, not raw ns timestamps
+    "stream_join_eq" ->
+      ("SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, " +
+        "CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s " +
+        "FROM events v JOIN events p ON p.user_id = v.user_id " +
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+        "AND epoch_us(p.ts) >= epoch_us(v.ts) " +
+        "AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000 " +
+        "ORDER BY v.user_id, view_id, purchase_id"),
     "stream_sessionize_eq" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "flagged AS (SELECT user_id, event_id, us, " +

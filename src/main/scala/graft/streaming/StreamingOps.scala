@@ -44,6 +44,32 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream INNER join with an event-time range: each view pairs
+    * with the same user's purchases inside [view_ts, view_ts + 1 h]. Both
+    * sides carry watermarks and the join condition bounds event time, so
+    * the state store retains each side only until the other side's
+    * watermark passes the window — bounded state at any volume, the
+    * streaming twin of a batch interval self-join. Inner-join matches
+    * emit as soon as both rows have arrived (no flush sentinel needed);
+    * `gap_s` is computed in the µs domain to mirror the batch oracle. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        floor((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) / 1000000L)
+          .as("gap_s"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000000
 
   /** Exact event-time micros. Timestamp.getTime is MILLIS — multiplying it

@@ -69,6 +69,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join == batch interval self-join (views x purchases)") {
+    val got = graft.streaming.StreamingBridge.streamJoinEq(spark, sf)
+      .select($"user_id", $"view_id", $"purchase_id", $"gap_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"us".as("vus"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"us".as("pus"))
+    val want = v.join(p, $"user_id" === $"pu" &&
+        $"pus" >= $"vus" && $"pus" <= $"vus" + 3600000000L)
+      .select($"user_id", $"view_id", $"purchase_id",
+        floor(($"pus" - $"vus") / 1000000L).as("gap_s"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("multimodal decode stub is deterministic and matches byte math") {
     val (w, h, c) = Multimodal.decodeStub("the fast".getBytes("UTF-8"))
     assert(w == 64 + 't'.toInt % 64 && h == 64 + 'h'.toInt % 64 && c == 3)
