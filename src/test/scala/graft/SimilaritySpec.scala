@@ -96,6 +96,16 @@ class SimilaritySpec extends SparkSpec {
     assert(search.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
   }
 
+  test("ivf_search probe scan is dynamically partition-pruned (DPP in plan)") {
+    // the probes side keys the partitioned lists scan: only the probed
+    // cells' files are read — the on-disk analogue of partition pruning
+    // that makes the persisted index pay off at scale
+    val plan = graft.operators.Similarity.ivfSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the lists scan:\n$plan")
+  }
+
   test("ivfBuildIndex: atomic build into caller root; marker skips rebuild") {
     val root = java.nio.file.Files.createTempDirectory("ivf_spec_").toString
     Similarity.ivfBuildIndex(spark, sf, root)
