@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Graph
 
 class GraphSpec extends SparkSpec {
@@ -47,6 +49,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_._2 > 0))
     assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("zorder_layout: zkey is the Morton interleave of the two bucket ids") {
+    // scalar reference: recompute buckets + interleave per row
+    val rows = graft.operators.Layout.zorderLayout(spark, sf)
+      .as[(Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice",
+        floor(unix_micros($"o_orderdate".cast("timestamp")) / lit(86400000000L))
+          .cast("double").as("day"))
+      .as[(Long, Double, Double)].collect()
+    val (minp, maxp) = (o.map(_._2).min, o.map(_._2).max)
+    val (mind, maxd) = (o.map(_._3).min, o.map(_._3).max)
+    def bkt(x: Double, lo: Double, hi: Double): Int =
+      math.floor((x - lo) * 256 / (hi - lo + 1e-9)).toInt
+    def morton(a: Int, b: Int): Int =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+    val want = o.map(r => r._1 -> morton(bkt(r._2, minp, maxp), bkt(r._3, mind, maxd))).toMap
+    rows.foreach { case (k, z) => assert(z == want(k), s"order $k") }
+    // both dimensions actually move the key: low bits track price buckets,
+    // odd bits track date buckets
+    assert(rows.map(_._2).distinct.length > 16)
   }
 
   test("ivf_purity: one row per cell, purity in (0,1], majority <= total") {
