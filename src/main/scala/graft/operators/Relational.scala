@@ -137,6 +137,30 @@ object Relational {
         round(element_at(array_sort(col("embedding")), 32).cast("double"), 6).as("median_lo"))
       .orderBy("vec_id")
 
+  /** Map function sampler (SURVEY §2.3 row "map fns"): per user, an
+    * event_type→count map built from sorted entries
+    * (`map_from_entries`), then probed with `map_keys`/`element_at` and
+    * folded with `aggregate(map_values(...))` — all row-local after one
+    * partial+final count aggregate. Output stays scalar (joined key
+    * string, lookups, fold) so the cross-engine compare is order-proof;
+    * the DuckDB oracle states the same facts in plain SQL, which is the
+    * point: the map is a Spark-side data-shaping tool, not a new
+    * semantics. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("user_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("c"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        array_join(map_keys(col("m")), ",").as("types"),
+        element_at(col("m"), "view").as("views"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"))
+      .orderBy("user_id")
+  }
+
   /** O11 sink + O1 source, oracle-checked round trip: a projection is
     * written as headered CSV AND JSON lines to a process-private temp
     * dir, read back with explicit schemas, and aggregated per format —
@@ -173,6 +197,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_funcs" -> scalarFuncs,
     "array_funcs" -> arrayFuncs,
+    "map_funcs" -> mapFuncs,
     "grouping_sets" -> groupingSets,
     "sink_roundtrip" -> sinkRoundtrip,
     "scan_project" -> scanProject,
@@ -206,6 +231,14 @@ object Relational {
         "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, " +
         "round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS median_lo " +
         "FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"),
+    "map_funcs" ->
+      ("WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events " +
+        "GROUP BY user_id, event_type) " +
+        "SELECT user_id, CAST(count(*) AS INT) AS n_types, " +
+        "string_agg(event_type, ',' ORDER BY event_type) AS types, " +
+        "max(CASE WHEN event_type = 'view' THEN c END) AS views, " +
+        "CAST(sum(c) AS BIGINT) AS total " +
+        "FROM c GROUP BY user_id ORDER BY user_id"),
     "sink_roundtrip" ->
       ("SELECT f.fmt, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
         "FROM documents CROSS JOIN (VALUES ('csv'), ('json')) f(fmt) " +

@@ -42,4 +42,21 @@ class RelationalSpec extends SparkSpec {
     assert(mr == df)
     assert(mrc == df)
   }
+
+  test("map_funcs: map lookup and fold agree with direct aggregates") {
+    val rows = Relational.mapFuncs(spark, sf)
+      .select($"user_id", $"views", $"total").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2)))
+      .toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val totals = ev.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, (v, t)) =>
+      assert(t == totals(u), s"user $u total")
+      assert(v == views.getOrElse(u, -1L), s"user $u views")
+    }
+  }
 }
