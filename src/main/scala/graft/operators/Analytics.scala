@@ -306,6 +306,31 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's NATIVE session_window aggregation — the
+    * declarative twin of the window-lag `sessionize` above (and of the
+    * streaming flatMapGroupsWithState sessionizer): merging gap-bounded
+    * sessions happens inside the aggregate, no per-user ordered window
+    * over raw events. The only window here numbers each user's few
+    * SESSIONS by start time to reconstruct sessionize's ordinal
+    * session_id — bounded by sessions-per-user, not events. Same oracle
+    * as `sessionize`: three implementations, one answer. session_window's
+    * end = last event + gap, so duration = end − start − gap exactly. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val perUser = Window.partitionBy("user_id").orderBy("start_us")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"))
+      .withColumn("session_id", row_number().over(perUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        floor((col("end_us") - col("start_us") - gapUs) / lit(1000000L))
+          .cast("long").as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** As-of join (composed from built-ins, SURVEY preference (a)): for each
     * error event, the most recent prior purchase by the same user — the
     * classic event-enrichment shape. One shuffle on user_id; the "join"
@@ -489,6 +514,7 @@ object Analytics {
     "json_typed" -> jsonTyped,
     "monthly_revenue" -> monthlyRevenue,
     "sessionize" -> sessionize,
+    "session_window_agg" -> sessionWindowAgg,
   )
 
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
@@ -651,19 +677,24 @@ object Analytics {
       ("SELECT date_trunc('month', o_orderdate) AS month, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
-    "sessionize" ->
-      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
-        "flagged AS (SELECT user_id, event_id, us, " +
-        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
-        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
-        // CAST: DuckDB sum(int) is HUGEINT, which pandas renders as float
-        // ("1.0") while Spark's window sum is BIGINT ("1") — the driver's
-        // value-hash compare is representation-sensitive, so pin BIGINT.
-        "sessions AS (SELECT user_id, us, " +
-        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
-        "FROM flagged) " +
-        "SELECT user_id, session_id, count(*) AS n_events, " +
-        "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
-        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "sessionize" -> sessionizeSql,
+    // session_window_agg computes the same sessions a third way (native
+    // session_window aggregate); one oracle, three implementations
+    "session_window_agg" -> sessionizeSql,
   )
+
+  private lazy val sessionizeSql: String =
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+      "flagged AS (SELECT user_id, event_id, us, " +
+      "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+      // CAST: DuckDB sum(int) is HUGEINT, which pandas renders as float
+      // ("1.0") while Spark's window sum is BIGINT ("1") — the driver's
+      // value-hash compare is representation-sensitive, so pin BIGINT.
+      "sessions AS (SELECT user_id, us, " +
+      "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+      "FROM flagged) " +
+      "SELECT user_id, session_id, count(*) AS n_events, " +
+      "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
+      "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"
 }

@@ -87,6 +87,15 @@ class AnalyticsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6) }
   }
 
+  test("session_window_agg == window-lag sessionize row for row") {
+    val native = Analytics.sessionWindowAgg(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val manual = Analytics.sessionize(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == manual)
+  }
+
   test("approx_quantile: every group's sketch median is within its rank bound") {
     val rows = Analytics.approxQuantile(spark, sf)
       .select($"l_returnflag", $"within_bound").as[(String, Boolean)].collect()
