@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++ Relational.queries ++ MrQueries.queries ++
       Analytics.queries ++ AdvancedSql.queries ++ EventAnalytics.queries ++
-      Graph.queries ++ Layout.queries ++
+      Graph.queries ++ Layout.queries ++ DataOps.queries ++
       Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++
       graft.streaming.StreamingBridge.queries
@@ -30,7 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     WordCount.oracle ++ Relational.oracle ++ MrQueries.oracle ++
       Analytics.oracle ++ AdvancedSql.oracle ++ EventAnalytics.oracle ++
-      Graph.oracle ++ Layout.oracle ++
+      Graph.oracle ++ Layout.oracle ++ DataOps.oracle ++
       Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Multimodal.oracle ++
       graft.streaming.StreamingBridge.oracle

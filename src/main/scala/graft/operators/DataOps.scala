@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-engineering / data-quality operators — the integrity layer a
+  * 100 TB training-data pipeline runs around every ingest and transform.
+  * Nothing comparable exists in the reference (its only integrity
+  * mechanism is the WAL snapshot of scheduler state,
+  * /root/reference/src/mr/coordinator.rs:134-199, which guards task
+  * bookkeeping, not data): these are north-star extensions per
+  * SURVEY.md §2.3.
+  *
+  * Scale posture:
+  *  - `table_checksum`: one map-only pass per table; the only thing
+  *    aggregated is a 60-bit row digest, summed into DECIMAL(38,0)
+  *    (order-independent, overflow-free past 10^18 rows) and reduced
+  *    mod 2^61−1 at the very end. No shuffle wider than the partial
+  *    aggregate rows.
+  *  - `dq_report`: a single partial+final aggregate pass computes every
+  *    metric; the two exact distinct counts are the only expand — the
+  *    rest piggyback on the same scan.
+  *  - `snapshot_diff`: full outer join on the snapshot key — shuffles
+  *    both sides on the key once, which is the minimum for CDC; at scale
+  *    both snapshots arrive hash-partitioned and AQE handles skew.
+  *  - `outliers_zscore`: grouped moment aggregates (exact decimal sums,
+  *    order-independent) produce a ≤|event_type| stats table that is
+  *    broadcast back — the event scan is map-only on the second pass.
+  */
+object DataOps {
+
+  /** 60-bit md5-derived digest of a canonical row string — small enough
+    * that 10^18 digests sum inside DECIMAL(38,0) without overflow,
+    * strong enough that collisions don't survive summation in practice. */
+  private def rowDigest(canon: Column): Column =
+    conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+
+  private val Mersenne61 = 2305843009213693951L // 2^61 - 1
+
+  /** Order-independent content checksum per table: (table, n_rows,
+    * checksum). Rows are canonicalized engine-neutrally — integers
+    * verbatim, doubles through DECIMAL(18,2), timestamps as epoch
+    * micros — then digested, summed exactly, and folded mod 2^61−1.
+    * Any single-row change flips the checksum; row order, partitioning,
+    * and file layout do not affect it. */
+  /** Order-independent checksum of one frame under a caller-chosen
+    * canonicalization (generic building block; see tableChecksum). */
+  def checksumOf(name: String, df: DataFrame, canon: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      (sum(rowDigest(canon).cast("decimal(38,0)")) % lit(Mersenne61))
+        .cast("long").as("checksum"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val orders = checksumOf("orders", Tables.orders(spark, dir),
+      concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; the UTC session timezone
+        // makes the cast equivalent to DuckDB's epoch_us on the naive value
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")))
+    val docs = checksumOf("documents", Tables.documents(spark, dir),
+      concat_ws("|", col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    val events = checksumOf("events", Tables.events(spark, dir),
+      concat_ws("|", col("event_id"), unix_micros(col("ts")),
+        col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").cast("string"), col("props")))
+    orders.unionAll(docs).unionAll(events).orderBy("table_name")
+  }
+
+  /** Single-pass data-quality report over lineitem — the constraint
+    * suite (completeness, uniqueness, domain, range) evaluated as ONE
+    * aggregate so the 100 TB scan happens once, then unpivoted to
+    * (metric, value) rows. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("quantity_nulls"),
+      countDistinct(col("l_orderkey")).as("orderkey_distinct"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("pk_distinct"),
+      min(col("l_quantity")).as("quantity_min"),
+      max(col("l_quantity")).as("quantity_max"),
+      round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)), 6).as("price_mean"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("returnflag_domain_violations"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("quantity_range_violations"))
+    agg.select(expr(
+      """stack(9,
+        |'n_rows', cast(n_rows as double),
+        |'quantity_nulls', cast(quantity_nulls as double),
+        |'orderkey_distinct', cast(orderkey_distinct as double),
+        |'pk_dup_rows', cast(n_rows - pk_distinct as double),
+        |'quantity_min', quantity_min,
+        |'quantity_max', quantity_max,
+        |'price_mean', price_mean,
+        |'returnflag_domain_violations', cast(returnflag_domain_violations as double),
+        |'quantity_range_violations', cast(quantity_range_violations as double)
+        |) as (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
+
+  /** Generic CDC diff of two keyed snapshots: one full outer join on the
+    * key, rows classified insert/delete/update by null-side and value
+    * inequality. `oldVal`/`newVal` must be canonical strings (the caller
+    * decides value semantics — see snapshotDiff's decimal canon). */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
+                    key: String, value: String): DataFrame = {
+    val o = oldSnap.select(col(key).as("k"), col(value).as("old_value"))
+    val n = newSnap.select(col(key).as("k"), col(value).as("new_value"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(key), col("old_value"), col("new_value"),
+        when(col("old_value").isNull, "insert")
+          .when(col("new_value").isNull, "delete")
+          .when(col("old_value") =!= col("new_value"), "update")
+          .otherwise("same").as("change"))
+      .filter(col("change") =!= "same")
+  }
+
+  /** CDC between two deterministic snapshots of orders: snapshot A drops
+    * keys ≡0 mod 101, snapshot B drops keys ≡0 mod 97 and reprices keys
+    * ≡0 mod 89 by exact decimal ×1.1 — so the diff exhibits all three
+    * change kinds. Values ride as canonical decimal strings (scale-3
+    * product is exact; no float rounding race between engines). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    val a = orders.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"), price.cast("decimal(21,3)").cast("string").as("v"))
+    val b = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 89 === 0, price * lit(BigDecimal("1.1")))
+          .otherwise(price.cast("decimal(21,3)")).cast("string").as("v"))
+    diffSnapshots(a, b, "o_orderkey", "v")
+      .select(col("o_orderkey"), col("change"), col("old_value"), col("new_value"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Generic per-group z-score outlier filter. Moments come from exact
+    * DECIMAL sums (order-independent across engines); the per-group
+    * stats table is tiny and broadcast, so the data pass is map-only. */
+  def outliersOf(df: DataFrame, group: String, value: Column,
+                 keep: Seq[Column], threshold: Double): DataFrame = {
+    val v = value.cast("decimal(18,6)")
+    val stats = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+      // population variance from exact sums: (ss − s²/n) / n
+      .select(col(group), (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) / col("n"))
+          .as("std"))
+    df.join(broadcast(stats), group)
+      .select(keep :+ col(group).as(group) :+
+        round((value - col("mean")) / col("std"), 4).as("zscore"): _*)
+      .filter(abs(col("zscore")) > threshold)
+  }
+
+  /** Events whose value is >3 population standard deviations from their
+    * event_type's mean — the per-group anomaly screen run before stats
+    * are trusted. */
+  def outliersZscore(spark: SparkSession, dir: String): DataFrame =
+    outliersOf(Tables.events(spark, dir), "event_type", col("value"),
+      Seq(col("event_id"), col("value")), 3.0)
+      .select("event_id", "event_type", "value", "zscore")
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_checksum" -> tableChecksum,
+    "dq_report" -> dqReport,
+    "snapshot_diff" -> snapshotDiff,
+    "outliers_zscore" -> outliersZscore,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "table_checksum" -> {
+      // DuckDB sum(BIGINT) widens to HUGEINT — exact without the explicit
+      // DECIMAL(38,0) the Spark side needs
+      def digest(canon: String) =
+        s"CAST(concat('0x', substr(md5($canon), 1, 15)) AS BIGINT)"
+      def sel(name: String, table: String, canon: String) =
+        s"SELECT '$name' AS table_name, count(*) AS n_rows, " +
+          s"CAST(sum(${digest(canon)}) % 2305843009213693951 AS BIGINT) AS checksum FROM $table"
+      val orders = sel("orders", "orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), epoch_us(o_orderdate), o_orderpriority)")
+      val docs = sel("documents", "documents",
+        "concat_ws('|', doc_id, text, lang, source, n_chars)")
+      val events = sel("events", "events",
+        "concat_ws('|', event_id, epoch_us(ts), user_id, event_type, " +
+          "CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), props)")
+      s"SELECT * FROM ($orders UNION ALL $docs UNION ALL $events) ORDER BY table_name"
+    },
+    "dq_report" ->
+      ("""WITH a AS (SELECT count(*) AS n_rows,
+         |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS quantity_nulls,
+         |  count(DISTINCT l_orderkey) AS orderkey_distinct,
+         |  count(DISTINCT (l_orderkey, l_linenumber)) AS pk_distinct,
+         |  min(l_quantity) AS quantity_min, max(l_quantity) AS quantity_max,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS price_mean,
+         |  sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS returnflag_domain_violations,
+         |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS quantity_range_violations
+         |  FROM lineitem)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM a
+         |  UNION ALL SELECT 'quantity_nulls', CAST(quantity_nulls AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'orderkey_distinct', CAST(orderkey_distinct AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'pk_dup_rows', CAST(n_rows - pk_distinct AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'quantity_min', quantity_min FROM a
+         |  UNION ALL SELECT 'quantity_max', quantity_max FROM a
+         |  UNION ALL SELECT 'price_mean', price_mean FROM a
+         |  UNION ALL SELECT 'returnflag_domain_violations', CAST(returnflag_domain_violations AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'quantity_range_violations', CAST(quantity_range_violations AS DOUBLE) FROM a
+         |) ORDER BY metric""".stripMargin),
+    "snapshot_diff" ->
+      ("""WITH a AS (SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 101 <> 0),
+         |b AS (SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 89 = 0
+         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+         |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 97 <> 0)
+         |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |  CASE WHEN a.v IS NULL THEN 'insert' WHEN b.v IS NULL THEN 'delete'
+         |       WHEN a.v <> b.v THEN 'update' ELSE 'same' END AS change,
+         |  a.v AS old_value, b.v AS new_value
+         |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+         |WHERE CASE WHEN a.v IS NULL THEN 'insert' WHEN b.v IS NULL THEN 'delete'
+         |           WHEN a.v <> b.v THEN 'update' ELSE 'same' END <> 'same'
+         |ORDER BY o_orderkey""".stripMargin),
+    "outliers_zscore" ->
+      ("""WITH s AS (SELECT event_type, count(*) AS n,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+         |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+         |  FROM events GROUP BY event_type),
+         |st AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+         |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS std
+         |  FROM s)
+         |SELECT event_id, e.event_type, value, round((value - mean) / std, 4) AS zscore
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |WHERE abs(round((value - mean) / std, 4)) > 3.0
+         |ORDER BY event_id""".stripMargin),
+  )
+}

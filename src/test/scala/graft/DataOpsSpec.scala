@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataOps
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checksumOf is row-order-invariant and value-sensitive") {
+    val rows = (1L to 200L).map(i => (i, s"name_$i"))
+    def sum(data: Seq[(Long, String)], parts: Int): (Long, Long) = {
+      val df = spark.createDataset(data).toDF("id", "name").repartition(parts)
+      val r = DataOps.checksumOf("t", df, concat_ws("|", col("id"), col("name")))
+        .head()
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))
+    }
+    val base = sum(rows, 1)
+    assert(sum(rows.reverse, 7) === base, "shuffled layout must not change the checksum")
+    val mutated = rows.updated(57, (58L, "name_58_CORRUPT"))
+    assert(sum(mutated, 1)._2 !== base._2, "a one-row change must flip the checksum")
+  }
+
+  test("diffSnapshots classifies insert/delete/update and drops unchanged rows") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("k", "v")
+    val got = DataOps.diffSnapshots(a, b, "k", "v")
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+  }
+
+  test("outliersOf flags exactly the planted outliers, per group") {
+    // group "a": tight cluster around 10 plus one wild point; group "b":
+    // same shape at a different scale — per-group stats must localize both
+    val base = (1 to 99).map(i => (i.toLong, "a", 10.0 + (i % 3) * 0.01)) ++
+      (101 to 199).map(i => (i.toLong, "b", 500.0 + (i % 5) * 0.1))
+    val data = base ++ Seq((100L, "a", 99.0), (200L, "b", 9999.0))
+    val df = spark.createDataset(data).toDF("id", "grp", "v")
+    val got = DataOps.outliersOf(df, "grp", col("v"), Seq(col("id")), 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(100L, 200L))
+  }
+}
