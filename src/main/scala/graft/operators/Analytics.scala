@@ -485,7 +485,38 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** Mode (most frequent event_type) per user as two partial+final
+    * aggregates — never a window over raw events: counts per
+    * (user, type), then min_by over a (−count, type) struct so ties
+    * break to the lexicographically smallest type on both engines. */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(min_by(struct(col("event_type"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("mode_event"),
+        col("m.cnt").as("n_events"))
+      .orderBy("user_id")
+
+  /** Wide→long unpivot of the lineitem measures, then a per-measure
+    * profile. The melt is a map-side Expand (no shuffle, no extra scan
+    * per measure — the single-scan advantage over the oracle's
+    * UNION-ALL-of-aggregates formulation); the profile is one
+    * partial+final aggregate over 4 keys. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array.empty[Column], "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        round(sum(dec(col("value"))).cast("double") / count(lit(1)), 6).as("v_mean"))
+      .orderBy("measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mode_agg" -> modeAgg,
+    "unpivot_measures" -> unpivotMeasures,
     "corr_agg" -> corrAgg,
     "window_range_frame" -> windowRangeFrame,
     "pivot_counts" -> pivotCounts,
@@ -520,6 +551,18 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "mode_agg" ->
+      ("SELECT user_id, event_type AS mode_event, cnt AS n_events FROM " +
+        "(SELECT user_id, event_type, cnt, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn FROM " +
+        "(SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)) " +
+        "WHERE rn = 1 ORDER BY user_id"),
+    "unpivot_measures" -> {
+      def m(name: String) =
+        s"SELECT '$name' AS measure, count(*) AS n_rows, min($name) AS v_min, max($name) AS v_max, " +
+          s"round(CAST(sum(CAST($name AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS v_mean FROM lineitem"
+      s"SELECT * FROM (${Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(m).mkString(" UNION ALL ")}) ORDER BY measure"
+    },
     "corr_agg" ->
       ("SELECT l_returnflag, n, round((n * sxy - sx * sy) / " +
         "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr FROM " +

@@ -97,7 +97,31 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Exponentially-weighted moving average of hourly event counts
+    * (α = 1/2, 6-hour lookback). Weights are dyadic (2^−k) and counts are
+    * integers, so every product and both sums are exact in binary —
+    * cross-engine deterministic with no decimal machinery. Missing hours
+    * contribute nothing; the normalizer is the weight-sum of PRESENT
+    * hours. The only event-scale pass is the hourly aggregate — the EWMA
+    * itself is a bounded range self-join of the tiny (type, hour) table. */
+  def ewmaHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", (unix_micros(col("hour_ts")) / 3600000000L).cast("long"))
+    hourly.as("a").join(hourly.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("b.h") >= col("a.h") - 6 && col("b.h") <= col("a.h"))
+      .groupBy(col("a.event_type"), col("a.hour_ts"), col("a.cnt"))
+      .agg((sum(col("b.cnt") * pow(lit(0.5), col("a.h") - col("b.h"))) /
+        sum(pow(lit(0.5), col("a.h") - col("b.h")))).as("ewma_raw"))
+      .select(col("event_type"), col("hour_ts"), col("cnt"),
+        round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy("event_type", "hour_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ewma_hourly" -> ewmaHourly,
     "cohort_retention" -> cohortRetention,
     "event_transitions" -> eventTransitions,
     "funnel_stages" -> funnelStages,
@@ -105,6 +129,14 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ewma_hourly" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt, " +
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events GROUP BY 1, 2) " +
+        "SELECT a.event_type, a.hour_ts, a.cnt, " +
+        "round(sum(b.cnt * pow(0.5, a.h - b.h)) / sum(pow(0.5, a.h - b.h)), 6) AS ewma " +
+        "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
+        "AND b.h BETWEEN a.h - 6 AND a.h " +
+        "GROUP BY a.event_type, a.hour_ts, a.cnt ORDER BY a.event_type, a.hour_ts"),
     "cohort_retention" ->
       ("WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
         "c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM ud) " +
