@@ -386,6 +386,34 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Edit-distance verification of LSH candidates: full Levenshtein plus
+    * a length-normalized similarity per candidate pair. The O(L²) kernel
+    * runs ONLY on pairs LSH already admitted (candidate-driven, like
+    * dedupVerifyCandidates) — texts are fetched by two doc_id equi-joins,
+    * so the corpus is never self-joined and the pair count stays bounded
+    * by LSH bucket occupancy at any scale. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    verifiedCandidates(spark, dir).select("id1", "id2")
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).as("editdist"),
+        greatest(length(col("t1")), length(col("t2"))).as("mx"))
+      .select(col("id1"), col("id2"), col("editdist"),
+        round(lit(1.0) - col("editdist") / col("mx"), 6).as("edit_sim"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Triangles of the verified dup graph — the cluster-density signal
+    * (near-dup components should be near-cliques; a sparse, triangle-poor
+    * component suggests chained false positives). Enumeration is
+    * Graph.trianglesOf over the memoized verified edges. */
+  def dedupTriangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.trianglesOf(
+      verifiedCandidates(spark, dir).filter(col("is_dup") === 1).select("id1", "id2"))
+      .orderBy("a", "b", "c")
+
   /** MinHash-estimate calibration: for every LSH candidate pair, the
     * signature-agreement estimate Ĵ = |{i : sig1ᵢ = sig2ᵢ}| / k next to
     * the exact Jaccard — the sketch-quality report a dedup pipeline uses
@@ -456,6 +484,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "minhash_est_vs_exact" -> minhashEstVsExact,
+    "dedup_editdist" -> dedupEditDistance,
+    "dedup_triangles" -> dedupTriangles,
   )
 
   // ---- oracle SQL ----
@@ -563,6 +593,23 @@ object Dedup {
         "round(e.inter / (e.tot - e.inter), 6) AS jaccard " +
         "FROM exact e JOIN est ON e.id1 = est.id1 AND e.id2 = est.id2 " +
         "ORDER BY e.id1, e.id2"),
+    "dedup_editdist" ->
+      (s"WITH $lshCtesSql " +
+        "SELECT id1, id2, levenshtein(d1.text, d2.text) AS editdist, " +
+        "round(1.0 - levenshtein(d1.text, d2.text) / greatest(len(d1.text), len(d2.text)), 6) AS edit_sim " +
+        "FROM cands JOIN documents d1 ON d1.doc_id = id1 JOIN documents d2 ON d2.doc_id = id2 " +
+        "ORDER BY id1, id2"),
+    "dedup_triangles" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot) " +
+        "SELECT ab.id1 AS a, ab.id2 AS b, bc.id2 AS c FROM verified ab " +
+        "JOIN verified bc ON ab.id2 = bc.id1 " +
+        "JOIN verified ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2 " +
+        "ORDER BY a, b, c"),
     "dedup_ngram_jaccard" ->
       ("WITH g AS (SELECT doc_id, lang, source, " +
         "list_distinct(list_transform(generate_series(1, len(text) - 4), i -> " +

@@ -94,6 +94,22 @@ object Graph {
     rank
   }
 
+  /** Triangle enumeration over an undirected edge list given with
+    * canonical orientation (id1 < id2). Two equi-joins with the a<b<c
+    * constraint baked into the orientation — the standard distributed
+    * triangle shape: the wedge join shuffles on the shared vertex, the
+    * closing join on the (a, c) pair; no vertex ever sees more than its
+    * own adjacency. For skewed degree distributions the canonical
+    * orientation itself is the mitigation (every triangle is counted
+    * from its smallest vertex exactly once). */
+  def trianglesOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id1").as("a"), col("id2").as("b"))
+    val wedges = e.as("ab").join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .select(col("ab.a").as("wa"), col("ab.b").as("wb"), col("bc.b").as("wc"))
+    wedges.join(e.as("ac"), col("wa") === col("ac.a") && col("wc") === col("ac.b"))
+      .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_events" -> pagerankEvents,
   )

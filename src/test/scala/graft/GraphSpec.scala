@@ -84,4 +84,18 @@ class GraphSpec extends SparkSpec {
       assert(n >= 1)
     }
   }
+
+  test("trianglesOf enumerates each triangle once, from its smallest vertex") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant path 4-5-6 (0 triangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("id1", "id2")
+    val got = Graph.trianglesOf(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("trianglesOf on a triangle-free bipartite graph is empty") {
+    val edges = (for { l <- 1L to 3L; r <- 10L to 12L } yield (l, r)).toDF("id1", "id2")
+    assert(Graph.trianglesOf(edges).count() === 0L)
+  }
 }
