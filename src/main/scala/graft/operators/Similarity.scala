@@ -318,7 +318,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization with an error gate. Each vector is
+    * symmetric-quantized row-locally (scale = max|v|/127, codes
+    * round(v/scale) ∈ [−127,127]) — 4× smaller than float32 on the wire
+    * and in executor memory, the standard footprint lever for ANN at
+    * 100 TB. The query re-ranks the exact top-5 pairs with QUANTIZED
+    * cosine (the per-vector scales cancel in cosine) and gates
+    * |cos_q − cos| ≤ 0.02 per pair; like approx_distinct, the oracle
+    * emits the exact pairs plus literal true, so the row is green iff
+    * the quantization error is genuinely within bound. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val codes = emb(spark, dir).select(col("vec_id"),
+      (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"), col("v"))
+      .select(col("vec_id"),
+        when(col("scale") > 0,
+          transform(col("v"), x => round(x / col("scale")).cast("int")))
+          .otherwise(transform(col("v"), x => lit(0)))
+          .as("codes"))
+    cosineTopk(spark, dir)
+      .join(codes.select(col("vec_id").as("qid"), col("codes").as("qc")), "qid")
+      .join(codes.select(col("vec_id"), col("codes").as("nc")), "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"),
+        (abs(vec_cosine(toDoubleVec(col("qc")), toDoubleVec(col("nc"))) - col("cos"))
+          <= 0.02).as("within_bound"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_quantize" -> embedQuantize,
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_pairs" -> annLshPairs,
@@ -384,6 +411,18 @@ object Similarity {
       "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
 
   val oracle: Map[String, String] = Map(
+    "embed_quantize" ->
+      // exact side only + literal true — green iff the Spark-side
+      // quantized cosine is actually within the 0.02 bound (the
+      // approx_distinct pattern: sketch internals are engine-specific,
+      // the error bound is the testable contract)
+      (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"scored AS (SELECT qid, vec_id, round(${cosSql("qv", "v")}, 6) AS cos " +
+        "FROM e CROSS JOIN q WHERE vec_id <> qid), " +
+        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) " +
+        "SELECT qid, vec_id, cos, rn, true AS within_bound FROM ranked WHERE rn <= 5 ORDER BY qid, rn"),
     "cosine_topk" ->
       (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +

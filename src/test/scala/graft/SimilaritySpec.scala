@@ -141,4 +141,10 @@ class SimilaritySpec extends SparkSpec {
     // query's own cell almost always holds several true near neighbors
     assert(hits >= 3, s"top-1 recall too low: $hits/10")
   }
+
+  test("embed_quantize: every top-5 pair's quantized cosine is within the gate") {
+    val rows = graft.operators.Similarity.embedQuantize(spark, sf)
+    assert(rows.count() === 50L) // 10 queries x top-5
+    assert(rows.filter(!$"within_bound").count() === 0L)
+  }
 }
