@@ -207,6 +207,17 @@ object Dedup {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
 
+  /** Cluster-size histogram over the connected components — the
+    * distribution report a dedup run publishes (how much of the corpus
+    * sits in pairs vs. mega-clusters decides the drop policy). Two
+    * bounded aggregates over the memoized labels; output is at most
+    * |distinct sizes| rows regardless of corpus scale. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Min-label propagation over an undirected (id1, id2) edge list.
     * Returns (id, label) with label = min id of the component, for every
     * node that appears in an edge. See dedupClusters for the scale
@@ -486,6 +497,7 @@ object Dedup {
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
     "dedup_triangles" -> dedupTriangles,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
   )
 
   // ---- oracle SQL ----
@@ -593,6 +605,20 @@ object Dedup {
         "round(e.inter / (e.tot - e.inter), 6) AS jaccard " +
         "FROM exact e JOIN est ON e.id1 = est.id1 AND e.id2 = est.id2 " +
         "ORDER BY e.id1, e.id2"),
+    "dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "labels AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id), " +
+        "sizes AS (SELECT cl, count(*) AS cluster_size FROM labels GROUP BY cl) " +
+        "SELECT cluster_size, count(*) AS n_clusters FROM sizes " +
+        "GROUP BY cluster_size ORDER BY cluster_size"),
     "dedup_editdist" ->
       (s"WITH $lshCtesSql " +
         "SELECT id1, id2, levenshtein(d1.text, d2.text) AS editdist, " +

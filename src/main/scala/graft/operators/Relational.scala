@@ -185,6 +185,25 @@ object Relational {
       .orderBy("fmt", "lang")
   }
 
+  /** Hive-style partitioned parquet sink + partition-pruned read-back:
+    * documents written `partitionBy(lang, source)` (the layout a corpus
+    * store actually uses — partition columns become directories, so a
+    * lang/source-scoped job reads only its slice), then read back with
+    * a partition filter and aggregated. At 100 TB the pruning IS the
+    * query plan: the `en` filter must show up as a PartitionFilter
+    * (asserted in SinkSpec), never a post-scan filter over all langs. */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.create("graft_sink_part_")
+    Tables.documents(spark, dir)
+      .select("doc_id", "n_chars", "lang", "source")
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen group combos. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
@@ -200,6 +219,7 @@ object Relational {
     "map_funcs" -> mapFuncs,
     "grouping_sets" -> groupingSets,
     "sink_roundtrip" -> sinkRoundtrip,
+    "sink_partitioned" -> sinkPartitioned,
     "scan_project" -> scanProject,
     "filter_pred" -> filterPred,
     "flatmap_tokens" -> flatmapTokens,
@@ -243,6 +263,9 @@ object Relational {
       ("SELECT f.fmt, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
         "FROM documents CROSS JOIN (VALUES ('csv'), ('json')) f(fmt) " +
         "GROUP BY f.fmt, lang ORDER BY f.fmt, lang"),
+    "sink_partitioned" ->
+      ("SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"),
     "grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +

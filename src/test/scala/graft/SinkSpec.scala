@@ -65,4 +65,18 @@ class SinkSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("sink_partitioned prunes the lang partition at the scan, not post-scan") {
+    val out = graft.sources.TempDirs.create("graft_sink_part_spec_")
+    Tables.documents(spark, sf)
+      .select("doc_id", "n_chars", "lang", "source")
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(out)
+    val q = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected a lang PartitionFilter on the scan:\n$scan")
+    // and the pruned read agrees with a predicate over the original table
+    val want = Tables.documents(spark, sf).filter($"lang" === "en").count()
+    assert(q.count() == want)
+  }
 }
