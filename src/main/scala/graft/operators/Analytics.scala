@@ -485,6 +485,57 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between two nations
+    * in both supplier→customer directions, by ship year. The two tiny
+    * filtered nation maps broadcast; lineitem⋈orders is the one fact
+    * shuffle, supplier/customer collapse to (key, nation) before joining
+    * so only keys and a nation name ride the exchanges. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2")))
+    val supp = Tables.supplier(spark, dir)
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10-style returned-item report: revenue lost to returns per
+    * customer over a quarter, top 20. Facts collapse to needed columns
+    * pre-join; the final top-20 plans TakeOrderedAndProject (no global
+    * sort materialization). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** Mode (most frequent event_type) per user as two partial+final
     * aggregates — never a window over raw events: counts per
     * (user, type), then min_by over a (−count, type) struct so ties
@@ -515,6 +566,8 @@ object Analytics {
       .orderBy("measure")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q10_returned_items" -> q10ReturnedItems,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
     "corr_agg" -> corrAgg,
@@ -551,6 +604,26 @@ object Analytics {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      (s"SELECT s.n_name AS supp_nation, c.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS l_year, " +
+        s"CAST(sum($disc) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation s ON s_nationkey = s.n_nationkey " +
+        "JOIN nation c ON c_nationkey = c.n_nationkey " +
+        "WHERE s.n_name IN ('NATION_1', 'NATION_2') " +
+        "AND c.n_name IN ('NATION_1', 'NATION_2') AND s.n_name <> c.n_name " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q10_returned_items" ->
+      (s"SELECT c_custkey, c_name, n_name, CAST(sum($disc) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "mode_agg" ->
       ("SELECT user_id, event_type AS mode_event, cnt AS n_events FROM " +
         "(SELECT user_id, event_type, cnt, row_number() OVER " +

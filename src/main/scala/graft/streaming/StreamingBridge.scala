@@ -187,7 +187,31 @@ object StreamingBridge {
     spark.table(name).orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** mapGroupsWithState latest-per-key driven to completion. The memory
+    * sink accumulates one update row per key per micro-batch; the final
+    * state is the row with the highest cumulative count (n_events grows
+    * monotonically), selected with an aggregate — never trusting batch
+    * boundaries, which the file source doesn't guarantee. */
+  def streamLatestEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val name = s"graft_stream_latest_${runId.incrementAndGet()}"
+    val q = StreamingOps.latestPerUser(typedEventStream(spark, streamDir, schema))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("last_us"), col("last_event_id"), col("last_type"), col("n_events")),
+        struct(col("n_events"), col("last_us"), col("last_event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_us").as("last_us"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.last_type").as("last_type"), col("m.n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_latest_eq" -> streamLatestEq,
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
@@ -198,6 +222,13 @@ object StreamingBridge {
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
   // and batch must produce the same answer over the same finite input.
   val oracle: Map[String, String] = Map(
+    "stream_latest_eq" ->
+      ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +
+        "(SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id, " +
+        "event_type AS last_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
     "stream_hourly_eq" ->
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +

@@ -123,4 +123,41 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class LatestState(last_us: Long, last_event_id: Long,
+      last_type: String, n: Long)
+
+  case class LatestOut(user_id: Long, last_us: Long, last_event_id: Long,
+      last_type: String, n_events: Long)
+
+  /** Running latest-event-per-user via mapGroupsWithState — the
+    * update-mode stateful API (sessionize covers the append-mode flatMap
+    * variant); streaming twin of EventAnalytics.latestByKey. State per
+    * key is ONE (ts, id, type, count) tuple, the same "one candidate row
+    * per key" shape the batch aggregate keeps per partition — a key with
+    * millions of events still carries O(1) state. The (us, event_id)
+    * tie-break matches the batch max_by ordering exactly. */
+  def latestPerUser(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[LatestState]): LatestOut = {
+      var s = state.getOption
+        .getOrElse(LatestState(Long.MinValue, Long.MinValue, "", 0L))
+      batch.foreach { e =>
+        val us = micros(e.ts)
+        val newer = us > s.last_us ||
+          (us == s.last_us && e.event_id > s.last_event_id)
+        s =
+          if (newer) LatestState(us, e.event_id, e.event_type, s.n + 1)
+          else s.copy(n = s.n + 1)
+      }
+      state.update(s)
+      LatestOut(userId, s.last_us, s.last_event_id, s.last_type, s.n)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
 }
