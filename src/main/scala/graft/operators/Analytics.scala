@@ -394,6 +394,31 @@ object Analytics {
     quantilesOf(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
       Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
 
+  /** Winsorization: clip each event's value to its type's exact
+    * [p05, p95] band and report the clip counts + clipped mean — the
+    * outlier-robust companion to outliers_zscore (which flags; this
+    * repairs). Bounds come from the histogram-based quantilesOf (no
+    * full-table sort at any group cardinality) and are broadcast, so the
+    * clipping pass stays map-only; the clipped mean is an exact decimal
+    * sum. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = quantilesOf(ev, "event_type", "value",
+      Seq(0.05 -> "lo", 0.95 -> "hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        when(col("value") < col("lo"), 1L).otherwise(0L).as("cl"),
+        when(col("value") > col("hi"), 1L).otherwise(0L).as("ch"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")).cast("decimal(18,6)").as("cv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("cl").as("n_clip_low"), sum("ch").as("n_clip_high"),
+        round(sum("cv").cast("double") / count(lit(1)), 6).as("clipped_mean"))
+      .orderBy("event_type")
+  }
+
   /** Mean/variance from exact decimal moments: var = (Σx² − (Σx)²/n)/(n−1)
     * computed on DECIMAL sums, so the result is order-independent — the
     * float-safe way to do distributed second-moment statistics. */
@@ -577,6 +602,7 @@ object Analytics {
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "quantiles" -> quantiles,
+    "winsorize" -> winsorize,
     "stats_agg" -> statsAgg,
     "q1_pricing" -> q1Pricing,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
@@ -680,6 +706,16 @@ object Analytics {
         "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, " +
         "round(quantile_cont(l_extendedprice, 0.99), 4) AS p99 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "winsorize" ->
+      ("WITH b AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo, " +
+        "round(quantile_cont(value, 0.95), 4) AS hi FROM events GROUP BY event_type) " +
+        "SELECT e.event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low, " +
+        "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high, " +
+        "round(CAST(sum(CAST(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi " +
+        "ELSE value END AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS clipped_mean " +
+        "FROM events e JOIN b USING (event_type) " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
     "stats_agg" ->
       ("SELECT l_returnflag, n, round(sum_x / n, 6) AS mean, " +
         "round((sum_x2 - sum_x * sum_x / n) / (n - 1), 6) AS variance FROM " +
