@@ -39,6 +39,20 @@ object MapReduce {
       .groupByKey(_._1)
       .mapGroups((k, it) => reduceFn(k, it.map(_._2)))
 
+  /** Two-input holistic reduce — the reference's contract generalized to
+    * a second input (it has no multi-input operator of any kind; shuffle
+    * fan-in at /root/reference/src/mr/worker.rs:101-131 concatenates one
+    * logical stream). `cogroup` hands the UDF BOTH complete value
+    * iterators per key after one co-partitioned shuffle — no join
+    * materialization of the pair cross-product, which is what makes
+    * group-vs-group logic (reconciliation, enrichment with absence
+    * handling) safe when one side of a key is huge. */
+  def coGroup[I1, I2, K: Encoder, O: Encoder](
+      left: Dataset[I1], right: Dataset[I2],
+      leftKey: I1 => K, rightKey: I2 => K,
+      f: (K, Iterator[I1], Iterator[I2]) => IterableOnce[O]): Dataset[O] =
+    left.groupByKey(leftKey).cogroup(right.groupByKey(rightKey))(f)
+
   /** Combiner-enabled variant for associative reductions: flatMap then an
     * Aggregator, which Spark executes as partial + final HashAggregate
     * (map-side combine the reference never had). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.mr.MapReduce
 import graft.sources.Tables
@@ -55,15 +56,52 @@ object MrQueries {
       .orderBy("word")
   }
 
+  /** Order reconciliation through the two-input holistic surface: for
+    * every order key, BOTH complete groups (order rows, line rows) arrive
+    * at one UDF call after a single co-partitioned shuffle. Absence
+    * handling (an order with no lines) is explicit — the exact semantics
+    * a FULL OUTER JOIN + re-aggregation would need two operators for.
+    * Quantities fold through exact BigDecimal, so the per-group sum is
+    * iteration-order-independent (group iterators are not ordered). */
+  def mrCogroupOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority")).as[(Long, String)]
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity")).as[(Long, Double)]
+    MapReduce.coGroup(
+      orders, lines, (_: (Long, String))._1, (_: (Long, Double))._1,
+      (k: Long, os: Iterator[(Long, String)], ls: Iterator[(Long, Double)]) => {
+        val priority = os.map(_._2).nextOption().getOrElse("NO_ORDER")
+        var n = 0L
+        var sum = BigDecimal(0)
+        ls.foreach { l =>
+          n += 1
+          sum += BigDecimal(l._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }
+        Iterator((k, priority, n, sum.toDouble))
+      })
+      .toDF("o_orderkey", "priority", "n_lines", "sum_qty")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> mrWordcount,
     "mr_wordcount_combine" -> mrWordcountCombine,
     "mr_inverted_index" -> mrInvertedIndex,
+    "mr_cogroup_orders" -> mrCogroupOrders,
   )
 
   val oracle: Map[String, String] = Map(
     "mr_wordcount" -> WordCount.oracle("wordcount"),
     "mr_wordcount_combine" -> WordCount.oracle("wordcount"),
+    "mr_cogroup_orders" ->
+      ("SELECT coalesce(o_orderkey, l_orderkey) AS o_orderkey, " +
+        "coalesce(o_orderpriority, 'NO_ORDER') AS priority, " +
+        "count(l_orderkey) AS n_lines, " +
+        "coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_qty " +
+        "FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1, 2 ORDER BY 1"),
     "mr_inverted_index" ->
       ("SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids " +
         "FROM (SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+')) AS word " +
