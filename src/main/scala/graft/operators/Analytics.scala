@@ -400,7 +400,11 @@ object Analytics {
     * repairs). Bounds come from the histogram-based quantilesOf (no
     * full-table sort at any group cardinality) and are broadcast, so the
     * clipping pass stays map-only; the clipped mean is an exact decimal
-    * sum. */
+    * sum. The histogram-size precondition holds: value is fixed
+    * 2-decimal precision (measured: every value equals round(value, 2)),
+    * so distinct cardinality is bounded by the value GRID, not by row
+    * count — for a genuinely continuous metric, discretize to the
+    * measurement precision before the histogram. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val bounds = quantilesOf(ev, "event_type", "value",
