@@ -383,7 +383,61 @@ object TextAnalysis {
         least(lit(64), col("n_tokens") - col("start_tok")).as("chunk_len"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Misra-Gries heavy hitters with a VERIFIED error bound. Each
+    * partition keeps k=16 counters in one pass (classic MG: new key on a
+    * full map decrements every counter, zeros evicted); partial summaries
+    * merge by summed estimates. The merged sketch undercounts any key by
+    * at most N/(k+1) — every decrement round retires k+1 occurrences —
+    * independent of partitioning. The query emits the top-50 exact
+    * counts plus `within_bound` = (exact − est ≤ N/(k+1)); the oracle
+    * emits the exact side + literal true (the approx_distinct pattern),
+    * so the row is green iff the one-pass bounded-memory sketch honors
+    * its guarantee. The exact side exists only for verification — a
+    * production run keeps just the O(k)-memory single pass. */
+  /** Merged Misra-Gries summary of a key stream: (key, est) with
+    * est ≤ exact and exact − est ≤ N/(k+1) for EVERY key (spec-checked
+    * on skewed data across partitionings). O(k) memory per partition,
+    * one pass, no shuffle wider than k rows per partition. */
+  def misraGries(keys: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
+    import keys.sparkSession.implicits._
+    val partials = keys.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        if (counts.contains(w) || counts.size < k) {
+          counts(w) = counts.getOrElse(w, 0L) + 1
+        } else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counts.keysIterator.foreach { key =>
+            val c = counts(key) - 1
+            if (c == 0) dead += key else counts(key) = c
+          }
+          dead.foreach(counts.remove)
+        }
+      }
+      counts.iterator
+    }.toDF("w", "est")
+    partials.groupBy("w").agg(sum("est").as("est"))
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16
+    val toksDs = Tables.documents(spark, dir)
+      .select(explode(toks).as("w")).as[String]
+    val est = misraGries(toksDs, k)
+    val exact = toksDs.groupBy("w").agg(count(lit(1)).as("exact"))
+    val n = exact.agg(sum("exact").cast("double").as("n"))
+    exact.crossJoin(broadcast(n))
+      .join(est, Seq("w"), "left")
+      .select(col("w"), col("exact"),
+        (col("exact") - coalesce(col("est"), lit(0L)) <= col("n") / (k + 1))
+          .as("within_bound"))
+      .orderBy(desc("exact"), asc("w"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> heavyHitters,
     "doc_chunking" -> docChunking,
     "pii_redact" -> piiRedact,
     "tfidf_top_terms" -> tfidfTopTerms,
@@ -411,6 +465,11 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "heavy_hitters" ->
+      (s"SELECT w, exact, true AS within_bound FROM " +
+        "(SELECT w, count(*) AS exact FROM " +
+        s"(SELECT unnest(toks) AS w FROM (SELECT $toksSql AS toks FROM documents)) " +
+        "GROUP BY w) ORDER BY exact DESC, w LIMIT 50"),
     "doc_chunking" ->
       (s"SELECT doc_id, CAST(start_tok // 32 AS BIGINT) AS chunk_id, " +
         "CAST(start_tok AS INT) AS start_tok, " +
