@@ -313,6 +313,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental-ingest dedup: classify a NEW batch (doc_id ≡ 0 mod 10,
+    * the stand-in ingest slice) against the EXISTING corpus — the
+    * steady-state shape of a production dedup service, where the corpus
+    * is already resident and only the delta is scored. Each new doc is
+    * `dup_exact` if its fingerprint collides with any existing doc or an
+    * earlier new doc, `dup_near` if a verified near-dup pair links it to
+    * an existing doc or an earlier new doc, else `kept`.
+    *
+    * Scale shape: the exact check is a fingerprint equi-join (16-byte
+    * digests), the near check reuses the memoized LSH→verify pairs —
+    * nothing rescans or re-pairs the existing corpus beyond the shared
+    * chain stage; in production the old side's signatures come from the
+    * persisted index rather than recompute, but the join topology is
+    * identical. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = (col("doc_id") % 10 === 0)
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    // exact: earliest holder of each fingerprint wins; a NEW doc is a dup
+    // if any older doc (existing, or new with smaller id) shares its fp
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val exactDup = fps
+      .select(col("doc_id"), min(col("doc_id")).over(byFp).as("first_id"))
+      .filter(isNew && col("doc_id") =!= col("first_id"))
+      .select(col("doc_id"))
+    // near: verified pairs (id1 < id2 by construction) where the LATER
+    // side is a new doc — the earlier side is existing or an earlier new
+    val nearDup = verifiedCandidates(spark, dir)
+      .filter(col("is_dup") === 1 && col("id2") % 10 === 0)
+      .select(col("id2").as("doc_id"))
+    docs.filter(isNew)
+      .join(exactDup.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.distinct().withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "dup_exact")
+          .when(col("is_near") === 1, "dup_near")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash per document (majority vote per bit) over one
     * 32-bit md5-derived integer per token — bit tests are integer
     * shifts, not string surgery. */
@@ -498,6 +538,7 @@ object Dedup {
     "dedup_editdist" -> dedupEditDistance,
     "dedup_triangles" -> dedupTriangles,
     "dedup_cluster_sizes" -> dedupClusterSizes,
+    "dedup_incremental" -> dedupIncremental,
   )
 
   // ---- oracle SQL ----
@@ -605,6 +646,21 @@ object Dedup {
         "round(e.inter / (e.tot - e.inter), 6) AS jaccard " +
         "FROM exact e JOIN est ON e.id1 = est.id1 AND e.id2 = est.id2 " +
         "ORDER BY e.id1, e.id2"),
+    "dedup_incremental" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "ex AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS first_id FROM documents) " +
+        "WHERE doc_id % 10 = 0 AND doc_id <> first_id), " +
+        "nr AS (SELECT DISTINCT id2 AS doc_id FROM verified WHERE id2 % 10 = 0) " +
+        "SELECT d.doc_id, CASE WHEN ex.doc_id IS NOT NULL THEN 'dup_exact' " +
+        "WHEN nr.doc_id IS NOT NULL THEN 'dup_near' ELSE 'kept' END AS status " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d " +
+        "LEFT JOIN ex ON d.doc_id = ex.doc_id LEFT JOIN nr ON d.doc_id = nr.doc_id " +
+        "ORDER BY d.doc_id"),
     "dedup_cluster_sizes" ->
       (s"WITH RECURSIVE $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
