@@ -436,7 +436,32 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** End-to-end curation pipeline in one declarative plan: length gate →
+    * exact dedup (fingerprint window, digests only on the exchange) →
+    * 64-token/32-stride chunk counting → per-lang corpus summary. The
+    * point is compositional: each stage is the library operator, fused by
+    * Catalyst into scan → window-on-digest → map-side chunk math → one
+    * aggregate; no stage materializes an intermediate corpus. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val byFp = Window.partitionBy("fp")
+    val kept = Tables.documents(spark, dir)
+      .filter(col("n_chars") >= 100)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
+        size(toks).as("n_toks"))
+      .withColumn("keep_id", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("keep_id"))
+    kept
+      .select(col("lang"), col("n_toks"),
+        when(col("n_toks") > 0, ceil(col("n_toks") / 32.0)).otherwise(lit(0L))
+          .cast("long").as("n_chunks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"),
+        sum("n_chunks").as("total_chunks"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> pipelineE2e,
     "heavy_hitters" -> heavyHitters,
     "doc_chunking" -> docChunking,
     "pii_redact" -> piiRedact,
@@ -465,6 +490,14 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipeline_e2e" ->
+      (s"WITH t AS (SELECT doc_id, lang, md5(text) AS fp, len($toksSql) AS n_toks " +
+        "FROM documents WHERE n_chars >= 100), " +
+        "k AS (SELECT * FROM (SELECT doc_id, lang, n_toks, " +
+        "min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM t) WHERE doc_id = keep_id) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN n_toks > 0 THEN CAST(ceil(n_toks / 32.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_chunks " +
+        "FROM k GROUP BY lang ORDER BY lang"),
     "heavy_hitters" ->
       (s"SELECT w, exact, true AS within_bound FROM " +
         "(SELECT w, count(*) AS exact FROM " +
