@@ -182,6 +182,63 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 32-bit SimHash from an array of 32-bit token hashes in ONE array pass.
+  * The Column formulation (32 independent `size(filter(vals, bit-test))`
+  * trees) re-traverses the token array 32× with lambda-eval overhead per
+  * element; here the bit counters accumulate in a single primitive loop —
+  * same majority-vote semantics (bit b set iff 2·count(b) > n), bit-equal
+  * to the previous formulation and to the DuckDB oracle. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = LongType
+
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val cnt = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val v = x.getLong(i)
+      var b = 0
+      while (b < 32) { cnt(b) += (v >> b) & 1L; b += 1 }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 32) { if (2 * cnt(b) > n) r |= 1L << b; b += 1 }
+    r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $cnt = new long[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) { $cnt[$b] += ($v >> $b) & 1L; }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if (2L * $cnt[$b] > $n) { $r |= 1L << $b; }
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (the public library surface for these expressions). */
   def vec_dot(a: Column, b: Column): Column =
@@ -197,4 +254,7 @@ object VectorExpressions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+
+  def simhash32(vals: Column): Column =
+    column(SimHashBits(expression(vals)))
 }
