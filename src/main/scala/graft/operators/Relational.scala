@@ -204,6 +204,30 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Schema evolution on the read path: two parquet batches written with
+    * DIFFERENT schemas (a column added between ingest generations — the
+    * normal life of a long-lived corpus store), read back as one table
+    * with `mergeSchema`; rows from the old generation surface NULL for
+    * the new column and the aggregate accounts for them explicitly. At
+    * scale mergeSchema costs one footer read per file at planning time —
+    * the data path is unchanged. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.create("graft_schema_evo_")
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_missing"),
+        coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen group combos. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
@@ -220,6 +244,7 @@ object Relational {
     "grouping_sets" -> groupingSets,
     "sink_roundtrip" -> sinkRoundtrip,
     "sink_partitioned" -> sinkPartitioned,
+    "schema_evolution" -> schemaEvolution,
     "scan_project" -> scanProject,
     "filter_pred" -> filterPred,
     "flatmap_tokens" -> flatmapTokens,
@@ -266,6 +291,11 @@ object Relational {
     "sink_partitioned" ->
       ("SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"),
+    "schema_evolution" ->
+      ("SELECT lang, count(*) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, " +
+        "CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
