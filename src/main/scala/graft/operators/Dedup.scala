@@ -454,6 +454,22 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Jaro-Winkler re-ranking of LSH candidates — the prefix-weighted,
+    * length-tolerant string measure (standard for near-name matching)
+    * Spark lacks natively; implemented as the codegen JaroWinkler
+    * expression with semantics verified against DuckDB's
+    * jaro_winkler_similarity. Candidate-driven like dedup_editdist. */
+  def dedupJaro(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    verifiedCandidates(spark, dir).select("id1", "id2")
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(graft.plans.StringExpressions.jaro_winkler(col("t1"), col("t2")), 6)
+          .as("jw_sim"))
+      .orderBy("id1", "id2")
+  }
+
   /** Triangles of the verified dup graph — the cluster-density signal
     * (near-dup components should be near-cliques; a sparse, triangle-poor
     * component suggests chained false positives). Enumeration is
@@ -537,6 +553,7 @@ object Dedup {
     "dedup_triangles" -> dedupTriangles,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_jaro" -> dedupJaro,
   )
 
   // ---- oracle SQL ----
@@ -677,6 +694,11 @@ object Dedup {
       (s"WITH $lshCtesSql " +
         "SELECT id1, id2, levenshtein(d1.text, d2.text) AS editdist, " +
         "round(1.0 - levenshtein(d1.text, d2.text) / greatest(len(d1.text), len(d2.text)), 6) AS edit_sim " +
+        "FROM cands JOIN documents d1 ON d1.doc_id = id1 JOIN documents d2 ON d2.doc_id = id2 " +
+        "ORDER BY id1, id2"),
+    "dedup_jaro" ->
+      (s"WITH $lshCtesSql " +
+        "SELECT id1, id2, round(jaro_winkler_similarity(d1.text, d2.text), 6) AS jw_sim " +
         "FROM cands JOIN documents d1 ON d1.doc_id = id1 JOIN documents d2 ON d2.doc_id = id2 " +
         "ORDER BY id1, id2"),
     "dedup_triangles" ->
