@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.plans.{HyperplaneBucket, VectorDot}
+import graft.plans.{HyperplaneBucket, JaroWinkler, SimHashBits, SortedIntersectCount, VectorDot}
 
 /** SQL-surface registration for the custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API
@@ -24,6 +24,11 @@ object GraftFunctions {
     "vec_dot" -> (exprs => VectorDot(exprs(0), exprs(1))),
     "lsh_bucket" -> (exprs => HyperplaneBucket(exprs(0),
       intLit(exprs(1), "planes"), intLit(exprs(2), "dim"))),
+    "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))),
+    "simhash32" -> (exprs => SimHashBits(exprs(0))),
+    // library-internal contract (sorted distinct inputs) — registered for
+    // SQL parity but see SortedIntersectCount's caller contract
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -34,6 +34,16 @@ class ExtensionsSpec extends SparkSpec {
       val bucket = s.sql(
         "SELECT lsh_bucket(array(1.0D, -1.0D), 4, 2) AS b").head().getInt(0)
       assert(bucket >= 0 && bucket < 16)
+      val jw = s.sql(
+        "SELECT jaro_winkler('martha', 'marhta') AS j").head().getDouble(0)
+      assert(math.abs(jw - 0.9611111111) < 1e-9)
+      val sh = s.sql(
+        "SELECT simhash32(array(3L, 3L, 1L)) AS h").head().getLong(0)
+      assert(sh == 3L) // bits 0 and 1 both carry 2-of-3 majorities
+      val sic = s.sql(
+        "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c")
+        .head().getInt(0)
+      assert(sic == 2)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
