@@ -84,11 +84,16 @@ object Bench {
     // (alphabetical order) and per-query numbers aren't comparable across
     // rounds. Each build below is timed as its own `chain_*` entry (still
     // part of `total`); the per-query entries then measure marginal cost.
+    val dedupChainConsumers = Set(
+      "dedup_minhash_lsh", "dedup_verify_candidates", "dedup_clusters",
+      "dedup_apply", "minhash_est_vs_exact", "dedup_editdist", "dedup_jaro",
+      "dedup_triangles", "dedup_cluster_sizes", "dedup_incremental")
     val chainDefs: Seq[(String, Set[String], () => Unit)] = Seq(
-      ("chain_dedup_verified",
-        Set("dedup_minhash_lsh", "dedup_verify_candidates", "dedup_clusters", "dedup_apply"),
+      ("chain_dedup_sigs", dedupChainConsumers,
+        () => { operators.Dedup.cachedSignatures(spark, sfDir).count(); () }),
+      ("chain_dedup_verified", dedupChainConsumers,
         () => { operators.Dedup.verifiedCandidates(spark, sfDir).count(); () }),
-      ("chain_dedup_clusters", Set("dedup_clusters", "dedup_apply"),
+      ("chain_dedup_clusters", Set("dedup_clusters", "dedup_apply", "dedup_cluster_sizes"),
         () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),
       ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
