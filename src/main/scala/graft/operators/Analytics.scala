@@ -565,6 +565,19 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q13-style customer distribution: how many customers placed k
+    * orders, INCLUDING zero (the left join is the point — an inner join
+    * silently drops never-ordered customers). Two partial+final
+    * aggregates after one key-partitioned join; output bounded by
+    * max-orders-per-customer. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
   /** Mode (most frequent event_type) per user as two partial+final
     * aggregates — never a window over raw events: counts per
     * (user, type), then min_by over a (−count, type) struct so ties
@@ -597,6 +610,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume_shipping" -> q7VolumeShipping,
     "q10_returned_items" -> q10ReturnedItems,
+    "q13_customer_distribution" -> q13CustomerDistribution,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
     "corr_agg" -> corrAgg,
@@ -654,6 +668,11 @@ object Analytics {
         "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-04-01' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q13_customer_distribution" ->
+      ("SELECT c_count, count(*) AS custdist FROM " +
+        "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
     "mode_agg" ->
       ("SELECT user_id, event_type AS mode_event, cnt AS n_events FROM " +
         "(SELECT user_id, event_type, cnt, row_number() OVER " +
