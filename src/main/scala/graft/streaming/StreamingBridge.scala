@@ -127,6 +127,29 @@ object StreamingBridge {
     spark.read.parquet(outDir).orderBy("hour")
   }
 
+  /** Streaming hourly aggregation through `foreachBatch` — the
+    * operational escape hatch for sinks Spark has no connector for
+    * (OLTP upserts, search indexes, feature stores). Complete mode +
+    * whole-result overwrite per micro-batch is the idempotence pattern:
+    * a replayed batch id rewrites the same state, so at-least-once
+    * delivery of batches yields exactly-once RESULTS without a commit
+    * log. Checkpointed like any production stream. */
+  def streamForeachBatchEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val outDir = graft.sources.TempDirs.create("graft_stream_feb_out_")
+    val ckDir = graft.sources.TempDirs.create("graft_stream_feb_ck_")
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val q = StreamingOps.hourlyCounts(events)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).orderBy("hour")
+  }
+
   /** Streaming sessionization driven to a closed state: all events in the
     * initial batch, then a far-future sentinel file to advance the
     * watermark past every open session's timeout (the subsequent no-data
@@ -212,6 +235,7 @@ object StreamingBridge {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_latest_eq" -> streamLatestEq,
+    "stream_foreachbatch_eq" -> streamForeachBatchEq,
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
@@ -230,6 +254,10 @@ object StreamingBridge {
         "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
         "WHERE rn = 1 ORDER BY user_id"),
     "stream_hourly_eq" ->
+      ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_foreachbatch_eq" ->
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
