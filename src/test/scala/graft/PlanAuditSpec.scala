@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Analytics, Relational}
+
+/** Plan-shape regression guards: the properties the 100 TB design
+  * depends on, asserted against the live optimizer instead of audited by
+  * hand once. If an upgrade or refactor re-plans one of these into a
+  * full scan / shuffle / global sort, the suite goes red. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_pred pushes its predicates and scan_project prunes columns") {
+    val p = plan(Relational.filterPred(spark, sf))
+    // the toString elides the tail of long filter lists — assert a
+    // non-empty pushed list plus the quantity predicate in DataFilters
+    assert(p.contains("PushedFilters: [IsNotNull"), s"filter not pushed:\n$p")
+    assert(p.contains("(l_quantity#") && p.contains("> 45"), s"predicate missing:\n$p")
+    val s = plan(Relational.scanProject(spark, sf))
+    assert(s.contains("ReadSchema") && !s.contains("l_discount"),
+      s"schema not pruned to the 3 projected columns:\n$s")
+  }
+
+  test("q5 joins the nation dimension by broadcast, never shuffling the fact for it") {
+    val p = plan(Analytics.q5RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+  }
+
+  test("q1 aggregates partial+final (map-side combine before the exchange)") {
+    val p = plan(Analytics.q1Pricing(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate(keys=[l_returnflag"),
+      s"no partial aggregation in q1:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial and final aggregates")
+  }
+
+  test("mode_agg contains no window operator over raw events") {
+    val p = plan(Analytics.modeAgg(spark, sf))
+    assert(!p.contains("Window"), s"mode_agg regressed to a window plan:\n$p")
+  }
+}
