@@ -552,8 +552,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — the sketch-accelerated first
+    * pass at corpus scale: instead of shuffling every training gram into
+    * a join, a Bloom filter over the (bounded) benchmark gram set rides
+    * to the executors as a few MB broadcast and each gram is screened
+    * with a hash probe, MAP-ONLY. Bloom guarantees no false negatives,
+    * so the screened doc set is a provable superset of the exactly
+    * contaminated set; the exact join then runs only on the screened
+    * survivors. The oracle emits the exact result + literal true for
+    * `no_false_negative` (the bound-gate pattern): the row is green iff
+    * every exactly-contaminated doc was flagged by the sketch. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val set = new scala.collection.mutable.LinkedHashSet[Long]
+        var i = 0
+        while (i <= text.length - 8) { set += gramHash(text, i, 8); i += 1 }
+        (id, set.toArray)
+      })
+      .toDF("doc_id", "g")
+      .select(col("doc_id"), explode(col("g")).as("gr"))
+    val bench = grams.filter(col("doc_id") % 50 === 0).select("gr").distinct()
+    val bf = bench.stat.bloomFilter("gr", 200000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    // map-only screen: per-doc count of sketch-positive grams
+    val screened = grams.filter(col("doc_id") % 50 =!= 0)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val f = bfB.value
+        it.collect { case (id, gr) if f.mightContainLong(gr) => id }
+      }
+      .groupBy(col("value").as("doc_id")).agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc_id"), col("n_flagged"))
+    // exact verification join runs conceptually on the screened docs;
+    // here both sides are emitted so the gate is checkable per doc
+    decontaminate(spark, dir)
+      .join(screened, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared"), col("contaminated"),
+        // Bloom may over-count (false positives) but never under-count
+        (coalesce(col("n_flagged"), lit(0L)) >= col("n_shared")).as("no_false_negative"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_verify_candidates" -> dedupVerifyCandidates,
@@ -617,6 +664,21 @@ object Dedup {
         "s AS (SELECT t.doc_id AS sid, count(*) AS n_shared FROM t JOIN b USING (gr) GROUP BY t.doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared, " +
         "CAST(coalesce(s.n_shared, 0) >= 5 AS INT) AS contaminated " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
+        "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
+    },
+    "decontaminate_bloom" -> {
+      val pows = (0 until 8).map(j => math.pow(31, 7 - j).toLong)
+      val poly = (0 until 8).map(j =>
+        s"CAST(ascii(substr(text, CAST(i+$j AS INT), 1)) AS BIGINT) * ${pows(j)}").mkString(" + ")
+      s"WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(text) - 7), i -> $poly))) AS gr " +
+        "FROM documents WHERE len(text) >= 8), " +
+        "b AS (SELECT DISTINCT gr FROM g WHERE doc_id % 50 = 0), " +
+        "t AS (SELECT doc_id, gr FROM g WHERE doc_id % 50 <> 0), " +
+        "s AS (SELECT t.doc_id AS sid, count(*) AS n_shared FROM t JOIN b USING (gr) GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared, " +
+        "CAST(coalesce(s.n_shared, 0) >= 5 AS INT) AS contaminated, " +
+        "true AS no_false_negative " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
         "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
     },
