@@ -351,6 +351,29 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** Forward as-of join with a tolerance band: for each error event, the
+    * NEXT purchase by the same user but only within 30 minutes —
+    * outside the band the match is rejected (the tolerance semantics
+    * pandas merge_asof calls `tolerance`). Same single-shuffle running-
+    * window shape as asofJoin, direction reversed. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_purchase_us",
+        first(when(col("event_type") === "purchase", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        when(col("next_purchase_us") - col("us") <= 1800L * 1000000,
+          floor((col("next_purchase_us") - col("us")) / lit(1000000L)).cast("long"))
+          .otherwise(lit(-1L)).as("secs_to_purchase"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("secs_to_purchase"), lit(-1L)).as("secs_to_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Exact interpolated quantiles per group, histogram-based: a
     * partial+final aggregate builds the per-(group, value) count
     * histogram, cumulative counts over the histogram locate the two
@@ -619,6 +642,7 @@ object Analytics {
     "salted_agg" -> saltedAgg,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
+    "asof_join_tolerance" -> asofJoinTolerance,
     "quantiles" -> quantiles,
     "winsorize" -> winsorize,
     "stats_agg" -> statsAgg,
@@ -668,6 +692,14 @@ object Analytics {
         "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-04-01' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "asof_join_tolerance" ->
+      ("SELECT user_id, event_id, coalesce(CASE WHEN next_purchase_us - us <= 1800000000 " +
+        "THEN CAST(floor((next_purchase_us - us) / 1000000) AS BIGINT) ELSE -1 END, -1) AS secs_to_purchase FROM " +
+        "(SELECT user_id, event_id, event_type, epoch_us(ts) AS us, " +
+        "first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us FROM events) " +
+        "WHERE event_type = 'error' ORDER BY user_id, event_id"),
     "q13_customer_distribution" ->
       ("SELECT c_count, count(*) AS custdist FROM " +
         "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
