@@ -601,6 +601,25 @@ object Analytics {
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** TPC-H Q16-style supplier diversity: distinct suppliers per part
+    * (brand, size) with an exclusion list removed by anti-join BEFORE
+    * the distinct aggregation (lineitem's (part, supplier) pairs stand
+    * in for partsupp, which the testdata lacks). The pair-distinct is
+    * partial+final; the small negative-balance supplier list broadcasts
+    * into the anti-join. */
+  def q16PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pairs.join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_size"))
+  }
+
   /** Mode (most frequent event_type) per user as two partial+final
     * aggregates — never a window over raw events: counts per
     * (user, type), then min_by over a (−count, type) struct so ties
@@ -634,6 +653,7 @@ object Analytics {
     "q7_volume_shipping" -> q7VolumeShipping,
     "q10_returned_items" -> q10ReturnedItems,
     "q13_customer_distribution" -> q13CustomerDistribution,
+    "q16_part_suppliers" -> q16PartSuppliers,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
     "corr_agg" -> corrAgg,
@@ -705,6 +725,12 @@ object Analytics {
         "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q16_part_suppliers" ->
+      ("SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM " +
+        "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size"),
     "mode_agg" ->
       ("SELECT user_id, event_type AS mode_event, cnt AS n_events FROM " +
         "(SELECT user_id, event_type, cnt, row_number() OVER " +

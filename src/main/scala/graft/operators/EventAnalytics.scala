@@ -120,8 +120,19 @@ object EventAnalytics {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** EWMA-residual anomaly screen: hours whose count deviates from the
+    * 6-hour EWMA by more than 50% — the smoothed-baseline alerting shape
+    * (raw thresholds page on daily seasonality; the EWMA baseline
+    * doesn't). Pure composition over ewmaHourly's tiny hourly table. */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame =
+    ewmaHourly(spark, dir)
+      .filter(abs(col("cnt") - col("ewma")) > col("ewma") * 0.5)
+      .select(col("event_type"), col("hour_ts"), col("cnt"), col("ewma"))
+      .orderBy("event_type", "hour_ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ewma_hourly" -> ewmaHourly,
+    "ewma_anomaly" -> ewmaAnomaly,
     "cohort_retention" -> cohortRetention,
     "event_transitions" -> eventTransitions,
     "funnel_stages" -> funnelStages,
@@ -137,6 +148,15 @@ object EventAnalytics {
         "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
         "AND b.h BETWEEN a.h - 6 AND a.h " +
         "GROUP BY a.event_type, a.hour_ts, a.cnt ORDER BY a.event_type, a.hour_ts"),
+    "ewma_anomaly" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt, " +
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events GROUP BY 1, 2), " +
+        "sm AS (SELECT a.event_type, a.hour_ts, a.cnt, " +
+        "round(sum(b.cnt * pow(0.5, a.h - b.h)) / sum(pow(0.5, a.h - b.h)), 6) AS ewma " +
+        "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
+        "AND b.h BETWEEN a.h - 6 AND a.h GROUP BY a.event_type, a.hour_ts, a.cnt) " +
+        "SELECT event_type, hour_ts, cnt, ewma FROM sm " +
+        "WHERE abs(cnt - ewma) > ewma * 0.5 ORDER BY event_type, hour_ts"),
     "cohort_retention" ->
       ("WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
         "c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM ud) " +
