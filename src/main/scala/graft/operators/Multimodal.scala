@@ -141,11 +141,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Content-addressed media dedup: identical payloads collapse on their
+    * digest — only 16-byte digests ride the shuffle (payload bytes stay
+    * where they were scanned), the media twin of Dedup.dedupExact. At
+    * 100 TB this is THE first pass of any image/video corpus: byte-exact
+    * copies dominate crawl duplicates and cost nothing to find. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(asMedia(spark, dir)).toDF()
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        max(col("n_bytes")).as("n_bytes"))
+      .orderBy("keep_id")
+
+  /** Content-addressed storage manifest: payloads bucketed into 16 shards
+    * by digest prefix — the CAS layout pass (shard = directory, objects
+    * addressed by hash) that makes media storage rebalanceable and
+    * dedup-friendly. Map-only to the 16-row manifest. */
+  def mediaShardManifest(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(asMedia(spark, dir)).toDF()
+      .groupBy(substring(col("digest"), 1, 1).as("shard"))
+      .agg(count(lit(1)).as("n_objects"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
     "frame_sample" -> frameSample,
     "media_resize" -> mediaResize,
     "media_features" -> mediaFeaturesQuery,
+    "media_dedup" -> mediaDedup,
+    "media_shard_manifest" -> mediaShardManifest,
   )
 
   // Oracle: text is ASCII, so byte arithmetic == char arithmetic and
@@ -166,6 +192,15 @@ object Multimodal {
         "len(list_filter(list_transform(generate_series(1, len(text)), " +
         "i -> ascii(substr(text, CAST(i AS INT), 1)) // 16), x -> x = j))), ',') AS hist " +
         "FROM documents WHERE len(text) > 0 ORDER BY doc_id"),
+    "media_dedup" ->
+      ("SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies, " +
+        "CAST(max(len(text)) AS BIGINT) AS n_bytes FROM documents " +
+        "GROUP BY md5(text) ORDER BY keep_id"),
+    "media_shard_manifest" ->
+      ("SELECT substr(md5(text), 1, 1) AS shard, count(*) AS n_objects, " +
+        "CAST(sum(len(text)) AS BIGINT) AS total_bytes, " +
+        "count(DISTINCT md5(text)) AS n_distinct FROM documents " +
+        "GROUP BY 1 ORDER BY shard"),
     "media_resize" ->
       ("SELECT doc_id, CAST(len(text) AS BIGINT) AS orig_bytes, " +
         "CAST((len(text) + 3) // 4 AS BIGINT) AS resized_bytes, " +
