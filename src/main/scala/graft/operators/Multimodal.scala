@@ -165,7 +165,21 @@ object Multimodal {
         countDistinct(col("digest")).as("n_distinct"))
       .orderBy("shard")
 
+  /** Cross-document frame dedup: sampled frames shared by more than one
+    * payload, with the canonical (smallest) owner — the frame-level
+    * near-dup pass a video pipeline runs after per-file dedup (shared
+    * intros/outros/stock footage survive file-level digests). Shuffles
+    * only (frame_md5, doc_id) pairs. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir)
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("frame_md5")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "frame_dedup" -> frameDedup,
     "multimodal_meta" -> multimodalMeta,
     "frame_sample" -> frameSample,
     "media_resize" -> mediaResize,
@@ -192,6 +206,12 @@ object Multimodal {
         "len(list_filter(list_transform(generate_series(1, len(text)), " +
         "i -> ascii(substr(text, CAST(i AS INT), 1)) // 16), x -> x = j))), ',') AS hist " +
         "FROM documents WHERE len(text) > 0 ORDER BY doc_id"),
+    "frame_dedup" ->
+      ("SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical_doc FROM " +
+        "(SELECT doc_id, md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5 " +
+        "FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((len(text) - 16) / 64) AS BIGINT))) AS i " +
+        "FROM documents WHERE len(text) >= 16)) " +
+        "GROUP BY frame_md5 HAVING count(DISTINCT doc_id) > 1 ORDER BY frame_md5"),
     "media_dedup" ->
       ("SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies, " +
         "CAST(max(len(text)) AS BIGINT) AS n_bytes FROM documents " +

@@ -127,6 +127,29 @@ object StreamingBridge {
     spark.read.parquet(outDir).orderBy("hour")
   }
 
+  /** Hourly aggregation processed as MANY micro-batches — the events
+    * table is re-staged as 8 separate files and the source capped at
+    * `maxFilesPerTrigger = 1`, so the aggregate state must accumulate
+    * across 8 genuine micro-batch boundaries (the single-big-batch runs
+    * above never exercise cross-batch state merge for the windowed agg).
+    * Complete mode: the final emission is the batch answer iff every
+    * intermediate state handoff was correct. */
+  def streamIncrementalEq(spark: SparkSession, dir: String): DataFrame = {
+    val staged = graft.sources.TempDirs.create("graft_stream_incr_")
+    Tables.events(spark, dir)
+      .select(eventCols.map(col): _*)
+      .repartition(8)
+      .write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_stream_incr_${runId.incrementAndGet()}"
+    val q = StreamingOps.hourlyCounts(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("hour")
+  }
+
   /** Streaming hourly aggregation through `foreachBatch` — the
     * operational escape hatch for sinks Spark has no connector for
     * (OLTP upserts, search indexes, feature stores). Complete mode +
@@ -236,6 +259,7 @@ object StreamingBridge {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_latest_eq" -> streamLatestEq,
     "stream_foreachbatch_eq" -> streamForeachBatchEq,
+    "stream_incremental_eq" -> streamIncrementalEq,
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
@@ -258,6 +282,10 @@ object StreamingBridge {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
     "stream_foreachbatch_eq" ->
+      ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "stream_incremental_eq" ->
       ("SELECT date_trunc('hour', ts) AS hour, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
