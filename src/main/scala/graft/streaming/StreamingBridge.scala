@@ -199,6 +199,53 @@ object StreamingBridge {
       .orderBy("user_id", "n_events", "duration_s")
   }
 
+  /** Sessionization across REAL micro-batch boundaries: events staged as
+    * 8 time-range files (range partition i lands in part-0000i, so name
+    * order = time order), mtimes set ascending so the file source's
+    * (timestamp, path) ordering replays them chronologically at
+    * `maxFilesPerTrigger = 1`. Sessions spanning adjacent ranges must
+    * survive state handoff between batches, and the advancing watermark
+    * closes stale sessions MID-STREAM via event-time timeout — the two
+    * mechanisms the one-big-batch run cannot exercise. Ranges ascend, so
+    * no cross-batch event is ever late; the sentinel flushes the last
+    * open sessions. */
+  def streamSessionizeIncrementalEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.sources.TempDirs.create("graft_sess_incr_build_")
+    Tables.events(spark, dir)
+      .select(eventCols.map(col): _*)
+      .repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val staged = graft.sources.TempDirs.create("graft_sess_incr_")
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(staged, f"events_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_sess_incr_${runId.incrementAndGet()}"
+    val q = StreamingOps.sessionize(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(staged).as[Event])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, staged, schema, maxMs + 24L * 3600 * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select("user_id", "n_events", "duration_s")
+      .orderBy("user_id", "n_events", "duration_s")
+  }
+
   /** Streaming exact dedup driven to completion: one row survives per
     * (user, type) key. WHICH row survives a single unsorted batch is not
     * deterministic (first-seen per partition), so the equivalence is on
@@ -263,6 +310,7 @@ object StreamingBridge {
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
+    "stream_sessionize_incr_eq" -> streamSessionizeIncrementalEq,
     "stream_dedup_eq" -> streamDedupEq,
     "stream_join_eq" -> streamJoinEq,
   )
@@ -306,6 +354,18 @@ object StreamingBridge {
         "AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000 " +
         "ORDER BY v.user_id, view_id, purchase_id"),
     "stream_sessionize_eq" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "flagged AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "sessions AS (SELECT user_id, us, " +
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+        "FROM flagged) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
+        "FROM sessions GROUP BY user_id, session_id " +
+        "ORDER BY user_id, n_events, duration_s"),
+    "stream_sessionize_incr_eq" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "flagged AS (SELECT user_id, event_id, us, " +
         "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
