@@ -128,9 +128,9 @@ object StreamingBridge {
   }
 
   /** Hourly aggregation processed as MANY micro-batches — the events
-    * table is re-staged as 8 separate files and the source capped at
+    * table is re-staged as 4 separate files and the source capped at
     * `maxFilesPerTrigger = 1`, so the aggregate state must accumulate
-    * across 8 genuine micro-batch boundaries (the single-big-batch runs
+    * across 4 genuine micro-batch boundaries (the single-big-batch runs
     * above never exercise cross-batch state merge for the windowed agg).
     * Complete mode: the final emission is the batch answer iff every
     * intermediate state handoff was correct. */
@@ -138,7 +138,7 @@ object StreamingBridge {
     val staged = graft.sources.TempDirs.create("graft_stream_incr_")
     Tables.events(spark, dir)
       .select(eventCols.map(col): _*)
-      .repartition(8)
+      .repartition(4)
       .write.mode("overwrite").parquet(staged)
     val schema = spark.read.parquet(staged).schema
     val name = s"graft_stream_incr_${runId.incrementAndGet()}"
@@ -200,7 +200,7 @@ object StreamingBridge {
   }
 
   /** Sessionization across REAL micro-batch boundaries: events staged as
-    * 8 time-range files (range partition i lands in part-0000i, so name
+    * 4 time-range files (range partition i lands in part-0000i, so name
     * order = time order), mtimes set ascending so the file source's
     * (timestamp, path) ordering replays them chronologically at
     * `maxFilesPerTrigger = 1`. Sessions spanning adjacent ranges must
@@ -214,7 +214,7 @@ object StreamingBridge {
     val tmp = graft.sources.TempDirs.create("graft_sess_incr_build_")
     Tables.events(spark, dir)
       .select(eventCols.map(col): _*)
-      .repartitionByRange(8, col("ts"))
+      .repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(tmp)
     val staged = graft.sources.TempDirs.create("graft_sess_incr_")
     val parts = new java.io.File(tmp).listFiles()
