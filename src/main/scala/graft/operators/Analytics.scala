@@ -601,6 +601,19 @@ object Analytics {
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** Fulfillment-lag histogram: days between order and line shipment,
+    * bucketed in weeks — the operational latency distribution. One fact
+    * join on the order key, then a bounded aggregate (lag domain is
+    * contract-bounded); no windows. */
+  def shipLagHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((floor(datediff(col("l_shipdate"), col("o_orderdate")) / 7)
+        .cast("long")).as("lag_weeks"))
+      .groupBy("lag_weeks").agg(count(lit(1)).as("n_lines"))
+      .orderBy("lag_weeks")
+
   /** TPC-H Q16-style supplier diversity: distinct suppliers per part
     * (brand, size) with an exclusion list removed by anti-join BEFORE
     * the distinct aggregation (lineitem's (part, supplier) pairs stand
@@ -654,6 +667,7 @@ object Analytics {
     "q10_returned_items" -> q10ReturnedItems,
     "q13_customer_distribution" -> q13CustomerDistribution,
     "q16_part_suppliers" -> q16PartSuppliers,
+    "ship_lag_hist" -> shipLagHist,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
     "corr_agg" -> corrAgg,
@@ -725,6 +739,10 @@ object Analytics {
         "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "ship_lag_hist" ->
+      ("SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7) AS BIGINT) AS lag_weeks, " +
+        "count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY lag_weeks"),
     "q16_part_suppliers" ->
       ("SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM " +
         "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +

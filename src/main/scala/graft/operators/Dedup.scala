@@ -366,6 +366,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** BFS levels over the verified dup graph from its smallest node — the
+    * reachability probe (how far does a contamination/duplication chain
+    * spread from a seed?). Frontier-expansion loop via Graph.bfsLevels;
+    * the only driver-side values are the per-level growth scalars. */
+  def dedupBfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    val edges = verifiedCandidates(spark, dir)
+      .filter(col("is_dup") === 1).select("id1", "id2")
+    val source = edges.agg(min(col("id1"))).head().getLong(0)
+    Graph.bfsLevels(edges, source).orderBy("id")
+  }
+
   /** 32-bit SimHash per document (majority vote per bit) over one
     * 32-bit md5-derived integer per token — bit tests are integer
     * shifts, not string surgery. */
@@ -614,6 +625,7 @@ object Dedup {
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_incremental" -> dedupIncremental,
     "dedup_jaro" -> dedupJaro,
+    "dedup_bfs_levels" -> dedupBfsLevels,
   )
 
   // ---- oracle SQL ----
@@ -771,6 +783,18 @@ object Dedup {
         "round(1.0 - levenshtein(d1.text, d2.text) / greatest(len(d1.text), len(d2.text)), 6) AS edit_sim " +
         "FROM cands JOIN documents d1 ON d1.doc_id = id1 JOIN documents d2 ON d2.doc_id = id2 " +
         "ORDER BY id1, id2"),
+    "dedup_bfs_levels" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "src AS (SELECT min(id1) AS s FROM verified), " +
+        "bfs AS (SELECT s AS id, CAST(0 AS BIGINT) AS level FROM src " +
+        "UNION SELECT e.nbr, b.level + 1 FROM bfs b JOIN edges e ON e.id = b.id WHERE b.level < 30) " +
+        "SELECT id, min(level) AS level FROM bfs GROUP BY id ORDER BY id"),
     "dedup_jaro" ->
       (s"WITH $lshCtesSql " +
         "SELECT id1, id2, round(jaro_winkler_similarity(d1.text, d2.text), 6) AS jw_sim " +

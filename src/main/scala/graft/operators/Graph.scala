@@ -110,6 +110,37 @@ object Graph {
       .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
   }
 
+  /** BFS levels from a source node over an undirected edge list:
+    * frontier expansion, one join per level, state checkpointed per
+    * round (the CC lineage lesson). Unreached nodes are absent from the
+    * output. Returns (id, level). */
+  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int = 30): DataFrame = {
+    val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
+      .union(edges.select(col("id2").as("id"), col("id1").as("nbr")))
+      .persist()
+    var visited = adj.sparkSession.range(1).select(
+      lit(source).as("id"), lit(0L).as("level")).localCheckpoint(true)
+    var frontier = visited.select("id")
+    var level = 0L
+    var grew = true
+    while (grew && level < maxDepth) {
+      level += 1
+      val next = adj.join(frontier.select(col("id").as("nbr")), "nbr")
+        .select(col("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(level).as("level"))
+        .localCheckpoint(true) // leaf plan per level
+      val n = next.count()
+      grew = n > 0
+      if (grew) {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select("id")
+      }
+    }
+    adj.unpersist()
+    visited
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_events" -> pagerankEvents,
   )

@@ -98,4 +98,13 @@ class GraphSpec extends SparkSpec {
     val edges = (for { l <- 1L to 3L; r <- 10L to 12L } yield (l, r)).toDF("id1", "id2")
     assert(Graph.trianglesOf(edges).count() === 0L)
   }
+
+  test("bfsLevels assigns shortest-path levels and ignores unreachable nodes") {
+    // path 1-2-3-4 with shortcut 1-3, plus disconnected edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Graph.bfsLevels(edges, source = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
 }
