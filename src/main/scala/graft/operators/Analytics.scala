@@ -601,6 +601,31 @@ object Analytics {
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** Month-over-month revenue growth: the event-scale work is one
+    * partial+final aggregate to the tiny monthly table; the lag window
+    * runs over ~tens of rows. Growth in basis points as exact integer
+    * arithmetic on decimal cents (no float division race). */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    val w = Window.orderBy("month")
+    // exact floor division on integer cents: floor(a/b) = (a − pmod(a,b))/b
+    // — identical on both engines for negative growth months, where
+    // truncating `div` and flooring `//` would disagree
+    val a = (col("rev_c") - col("prev_c")) * 10000L
+    val b = col("prev_c")
+    monthly
+      .select(col("month"), col("revenue"),
+        (col("revenue") * 100).cast("long").as("rev_c"))
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("month"), col("revenue").cast("double").as("revenue"),
+        when(col("prev_c").isNotNull,
+          ((a - pmod(a, b)) / b).cast("long"))
+          .otherwise(lit(null)).as("growth_bps"))
+      .orderBy("month")
+  }
+
   /** Fulfillment-lag histogram: days between order and line shipment,
     * bucketed in weeks — the operational latency distribution. One fact
     * join on the order key, then a bounded aggregate (lag domain is
@@ -668,6 +693,7 @@ object Analytics {
     "q13_customer_distribution" -> q13CustomerDistribution,
     "q16_part_suppliers" -> q16PartSuppliers,
     "ship_lag_hist" -> shipLagHist,
+    "monthly_growth" -> monthlyGrowth,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
     "corr_agg" -> corrAgg,
@@ -739,6 +765,15 @@ object Analytics {
         "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "monthly_growth" ->
+      ("WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue FROM orders GROUP BY 1), " +
+        "c AS (SELECT month, revenue, CAST(revenue * 100 AS BIGINT) AS rev_c, " +
+        "lag(CAST(revenue * 100 AS BIGINT), 1) OVER (ORDER BY month) AS prev_c FROM m) " +
+        "SELECT month, CAST(revenue AS DOUBLE) AS revenue, " +
+        "CASE WHEN prev_c IS NOT NULL THEN " +
+        "CAST(((rev_c - prev_c) * 10000 - ((((rev_c - prev_c) * 10000) % prev_c + prev_c) % prev_c)) / prev_c AS BIGINT) " +
+        "ELSE NULL END AS growth_bps FROM c ORDER BY month"),
     "ship_lag_hist" ->
       ("SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7) AS BIGINT) AS lag_weeks, " +
         "count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
