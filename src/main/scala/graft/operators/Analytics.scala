@@ -626,6 +626,30 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Open-order timeline by sweep line: each order contributes +1 at its
+    * order day and −1 the day after its last line ships; the running sum
+    * over the DAY timeline is the number of open orders. The classic
+    * interval-overlap counting shape without an interval join: two
+    * aggregates collapse the facts to ±1 deltas on a bounded timeline,
+    * and the only window runs over that tiny day table. */
+  def openOrdersTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("last_ship"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_trunc("day", col("o_orderdate")).as("start_day"),
+        date_add(date_trunc("day", col("last_ship")), 1).as("end_day"))
+    val deltas = spans.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .unionAll(spans.select(col("end_day").cast("timestamp").as("day"), lit(-1L).as("delta")))
+      .groupBy("day").agg(sum(col("delta")).as("d"))
+    deltas
+      .withColumn("open_orders",
+        sum(col("d")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("open_orders"))
+      .orderBy("day")
+  }
+
   /** Fulfillment-lag histogram: days between order and line shipment,
     * bucketed in weeks — the operational latency distribution. One fact
     * join on the order key, then a bounded aggregate (lag domain is
@@ -693,6 +717,7 @@ object Analytics {
     "q13_customer_distribution" -> q13CustomerDistribution,
     "q16_part_suppliers" -> q16PartSuppliers,
     "ship_lag_hist" -> shipLagHist,
+    "open_orders_timeline" -> openOrdersTimeline,
     "monthly_growth" -> monthlyGrowth,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
@@ -765,6 +790,16 @@ object Analytics {
         "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "open_orders_timeline" ->
+      ("WITH spans AS (SELECT date_trunc('day', o_orderdate) AS start_day, " +
+        "date_trunc('day', last_ship) + INTERVAL 1 DAY AS end_day " +
+        "FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1) li " +
+        "JOIN orders ON l_orderkey = o_orderkey), " +
+        "d AS (SELECT day, sum(delta) AS d FROM (" +
+        "SELECT start_day AS day, 1 AS delta FROM spans " +
+        "UNION ALL SELECT end_day, -1 FROM spans) GROUP BY day) " +
+        "SELECT day, CAST(sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders " +
+        "FROM d ORDER BY day"),
     "monthly_growth" ->
       ("WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, " +
         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue FROM orders GROUP BY 1), " +
