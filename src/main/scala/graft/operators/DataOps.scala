@@ -170,7 +170,24 @@ object DataOps {
       .select("event_id", "event_type", "value", "zscore")
       .orderBy("event_id")
 
+  /** Completeness calendar: days inside the slice's own active range
+    * with NO rows — the ingestion-gap detector (a silent upstream outage
+    * looks exactly like this). Calendar generated from the slice bounds
+    * (generator + anti-join; both sides tiny regardless of fact volume).
+    * Checked per slice — here the 1-URGENT order stream. */
+  def missingDays(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(date_trunc("day", col("o_orderdate")).as("day"))
+    val bounds = urgent.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      .join(urgent.distinct(), Seq("day"), "left_anti")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "missing_days" -> missingDays,
     "table_checksum" -> tableChecksum,
     "dq_report" -> dqReport,
     "snapshot_diff" -> snapshotDiff,
@@ -178,6 +195,12 @@ object DataOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "missing_days" ->
+      ("WITH u AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT'), " +
+        "cal AS (SELECT unnest(generate_series((SELECT min(day) FROM u), (SELECT max(day) FROM u), " +
+        "INTERVAL 1 DAY)) AS day) " +
+        "SELECT day FROM cal WHERE day NOT IN (SELECT day FROM u) ORDER BY day"),
     "table_checksum" -> {
       // DuckDB sum(BIGINT) widens to HUGEINT — exact without the explicit
       // DECIMAL(38,0) the Spark side needs

@@ -94,6 +94,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Normalized exact dedup: case-fold + whitespace-collapse BEFORE the
+    * fingerprint, so trivially reformatted copies (case changes,
+    * re-wrapping) collapse that byte-exact dedup misses — the standard
+    * canonicalization layer between exact and near-dup. Reports how many
+    * raw byte-variants each normalized group absorbed. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("nfp"), md5(col("text")).as("fp"))
+      .groupBy("nfp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_raw_variants"))
+      .orderBy("keep_id")
+  }
+
   /** MinHash + LSH candidate pairs. k=8 permutations of ONE md5-derived
     * base hash per shingle (universal hashing), 4 bands × 2 rows; the
     * band key is the raw (h_2j, h_2j+1) pair — no re-hashing needed.
@@ -626,6 +641,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental,
     "dedup_jaro" -> dedupJaro,
     "dedup_bfs_levels" -> dedupBfsLevels,
+    "dedup_normalized" -> dedupNormalized,
   )
 
   // ---- oracle SQL ----
@@ -694,6 +710,11 @@ object Dedup {
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
         "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
     },
+    "dedup_normalized" ->
+      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp, " +
+        "min(doc_id) AS keep_id, count(*) AS n_docs, " +
+        "count(DISTINCT md5(text)) AS n_raw_variants " +
+        "FROM documents GROUP BY 1 ORDER BY keep_id"),
     "dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups " +
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
