@@ -199,6 +199,49 @@ object StreamingBridge {
       .orderBy("user_id", "n_events", "duration_s")
   }
 
+  /** Streaming dedup across micro-batch boundaries: time-ordered 4-file
+    * one-per-trigger replay (range-staged with ascending mtimes — a
+    * RANDOM split loses keys whose only events land behind the advancing
+    * watermark; measured: 749 vs 750 keys), so dropDuplicates state must
+    * suppress keys first seen in EARLIER batches. Key-set equivalence
+    * with batch DISTINCT, as in streamDedupEq. */
+  def streamDedupIncrementalEq(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_dedup_incr_${runId.incrementAndGet()}"
+    val q = StreamingOps.dedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Stage the events table as `n` time-range parquet files with
+    * ascending mtimes, so the file source (ordered by timestamp, then
+    * path) replays them chronologically — shared by the incremental
+    * dedup and sessionize bridges. */
+  private def stageTimeOrdered(spark: SparkSession, dir: String, n: Int): String = {
+    val tmp = graft.sources.TempDirs.create("graft_incr_build_")
+    Tables.events(spark, dir)
+      .select(eventCols.map(col): _*)
+      .repartitionByRange(n, col("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val staged = graft.sources.TempDirs.create("graft_incr_")
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(staged, f"events_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    staged
+  }
+
   /** Sessionization across REAL micro-batch boundaries: events staged as
     * 4 time-range files (range partition i lands in part-0000i, so name
     * order = time order), mtimes set ascending so the file source's
@@ -211,22 +254,7 @@ object StreamingBridge {
     * open sessions. */
   def streamSessionizeIncrementalEq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = graft.sources.TempDirs.create("graft_sess_incr_build_")
-    Tables.events(spark, dir)
-      .select(eventCols.map(col): _*)
-      .repartitionByRange(4, col("ts"))
-      .write.mode("overwrite").parquet(tmp)
-    val staged = graft.sources.TempDirs.create("graft_sess_incr_")
-    val parts = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val base = System.currentTimeMillis() - 1000L * parts.length
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = java.nio.file.Paths.get(staged, f"events_$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-    }
+    val staged = stageTimeOrdered(spark, dir, 4)
     val schema = spark.read.parquet(staged).schema
     val name = s"graft_sess_incr_${runId.incrementAndGet()}"
     val q = StreamingOps.sessionize(
@@ -312,6 +340,7 @@ object StreamingBridge {
     "stream_sessionize_eq" -> streamSessionizeEq,
     "stream_sessionize_incr_eq" -> streamSessionizeIncrementalEq,
     "stream_dedup_eq" -> streamDedupEq,
+    "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
     "stream_join_eq" -> streamJoinEq,
   )
 
@@ -342,6 +371,8 @@ object StreamingBridge {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
     "stream_dedup_eq" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "stream_dedup_incr_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     // µs-domain comparisons: Spark truncates the ns parquet timestamps to
     // µs on read, so the oracle joins on epoch_us, not raw ns timestamps
