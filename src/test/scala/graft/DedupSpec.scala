@@ -93,4 +93,21 @@ class DedupSpec extends SparkSpec {
       .as[Double].collect()
     assert(self.forall(_ == 1.0))
   }
+
+  test("dedup_incremental covers exactly the new slice with consistent statuses") {
+    val rows = Dedup.dedupIncremental(spark, sf)
+      .as[(Long, String)].collect()
+    val newIds = Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 === 0).select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet === newIds, "one status per new doc, none missing")
+    assert(rows.map(_._2).toSet.subsetOf(Set("kept", "dup_exact", "dup_near")))
+    // every dup_exact doc must share its text fingerprint with a SMALLER doc
+    val fps = Tables.documents(spark, sf)
+      .select($"doc_id", md5($"text").as("fp")).as[(Long, String)].collect()
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val fpOf = fps.toMap
+    rows.filter(_._2 == "dup_exact").foreach { case (id, _) =>
+      assert(byFp(fpOf(id)) < id, s"doc $id marked dup_exact without an earlier holder")
+    }
+  }
 }
