@@ -626,6 +626,26 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Revenue share per part brand in exact basis points: one fact join,
+    * one grouped decimal-cents aggregate, the scalar total broadcast
+    * back, and the share computed with the same exact floor-division-on-
+    * cents identity as monthlyGrowth — no float ratio anywhere. */
+  def brandShare(spark: SparkSession, dir: String): DataFrame = {
+    val byBrand = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("rev_c"))
+    val total = byBrand.agg(sum(col("rev_c")).as("total_c"))
+    val a = col("rev_c") * 10000L
+    val b = col("total_c")
+    byBrand.crossJoin(broadcast(total))
+      .select(col("p_brand"), (col("rev_c").cast("double") / 100).as("revenue"),
+        ((a - pmod(a, b)) / b).cast("long").as("share_bps"))
+      .orderBy("p_brand")
+  }
+
   /** Open-order timeline by sweep line: each order contributes +1 at its
     * order day and −1 the day after its last line ships; the running sum
     * over the DAY timeline is the number of open orders. The classic
@@ -718,6 +738,7 @@ object Analytics {
     "q16_part_suppliers" -> q16PartSuppliers,
     "ship_lag_hist" -> shipLagHist,
     "open_orders_timeline" -> openOrdersTimeline,
+    "brand_share" -> brandShare,
     "monthly_growth" -> monthlyGrowth,
     "mode_agg" -> modeAgg,
     "unpivot_measures" -> unpivotMeasures,
@@ -790,6 +811,13 @@ object Analytics {
         "(SELECT c_custkey, count(o_custkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "brand_share" ->
+      ("WITH b AS (SELECT p_brand, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand), " +
+        "t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM b) " +
+        "SELECT p_brand, CAST(rev_c AS DOUBLE) / 100 AS revenue, " +
+        "CAST((rev_c * 10000 - ((rev_c * 10000 % total_c + total_c) % total_c)) / total_c AS BIGINT) AS share_bps " +
+        "FROM b CROSS JOIN t ORDER BY p_brand"),
     "open_orders_timeline" ->
       ("WITH spans AS (SELECT date_trunc('day', o_orderdate) AS start_day, " +
         "date_trunc('day', last_ship) + INTERVAL 1 DAY AS end_day " +
