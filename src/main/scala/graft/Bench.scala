@@ -87,7 +87,8 @@ object Bench {
     val dedupChainConsumers = Set(
       "dedup_minhash_lsh", "dedup_verify_candidates", "dedup_clusters",
       "dedup_apply", "minhash_est_vs_exact", "dedup_editdist", "dedup_jaro",
-      "dedup_triangles", "dedup_cluster_sizes", "dedup_incremental")
+      "dedup_triangles", "dedup_cluster_sizes", "dedup_incremental",
+      "dedup_bfs_levels")
     val chainDefs: Seq[(String, Set[String], () => Unit)] = Seq(
       ("chain_dedup_sigs", dedupChainConsumers,
         () => { operators.Dedup.cachedSignatures(spark, sfDir).count(); () }),

@@ -112,13 +112,19 @@ object DataOps {
     * decides value semantics — see snapshotDiff's decimal canon). */
   def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
                     key: String, value: String): DataFrame = {
-    val o = oldSnap.select(col(key).as("k"), col(value).as("old_value"))
-    val n = newSnap.select(col(key).as("k"), col(value).as("new_value"))
+    // Side presence is detected by a non-nullable marker per side, not by
+    // value nullness: a key present with a legitimately-NULL value must
+    // classify as update/same, not insert/delete.
+    val o = oldSnap.select(col(key).as("k"), col(value).as("old_value"),
+      lit(1).as("in_old"))
+    val n = newSnap.select(col(key).as("k"), col(value).as("new_value"),
+      lit(1).as("in_new"))
     o.join(n, Seq("k"), "full_outer")
       .select(col("k").as(key), col("old_value"), col("new_value"),
-        when(col("old_value").isNull, "insert")
-          .when(col("new_value").isNull, "delete")
-          .when(col("old_value") =!= col("new_value"), "update")
+        when(col("in_old").isNull, "insert")
+          .when(col("in_new").isNull, "delete")
+          // null-safe inequality: NULL→x and x→NULL are updates, NULL→NULL is same
+          .when(!(col("old_value") <=> col("new_value")), "update")
           .otherwise("same").as("change"))
       .filter(col("change") =!= "same")
   }

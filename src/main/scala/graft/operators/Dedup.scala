@@ -246,71 +246,87 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
-  /** Min-label propagation over an undirected (id1, id2) edge list.
-    * Returns (id, label) with label = min id of the component, for every
-    * node that appears in an edge. See dedupClusters for the scale
-    * argument.
+  /** Connected components by contraction — alternating neighbor-min
+    * hooking with pointer doubling (the Shiloach–Vishkin shape; same
+    * O(log d) round bound as the large-star/small-star formulation, with
+    * an exact, hash-free convergence test). Returns (id, label) with
+    * label = min id of the component, for every node that appears in an
+    * edge. See dedupClusters for the scale argument.
+    *
+    * Per round:
+    *   hook:  label(v) ← min(label(v), min over neighbors' labels)
+    *   jump:  label(v) ← label(label(v))   (parent-pointer doubling)
+    * The jump halves every pointer chain, so total rounds are
+    * O(log diameter) instead of the O(diameter) a pure min-label
+    * propagation needs — a 200-node path converges in ~9 rounds, and no
+    * component shape can force more than ~⌈log₂ d⌉ + O(1) rounds.
+    * Because labels are node ids that only strictly decrease (bounded
+    * below by the component min), the loop provably terminates on ANY
+    * input — there is deliberately no round cap to abort behind.
+    *
+    * Fixed-point correctness: convergence means label(v) ≤ label(u) for
+    * every edge (u,v) in both directions, so labels are constant per
+    * component; labels are always in-component node ids and the component
+    * min m keeps label(m)=m, so the constant is exactly m — identical
+    * semantics (and oracle hashes) to the propagation it replaces.
     *
     * Lineage hygiene: each round's state is `localCheckpoint(eager)`ed,
     * not merely persisted. persist() caches DATA but leaves the logical
-    * plan intact, and round k's plan references round k−1's frame twice
-    * (once as `labels`, once under `nbrMin`) — so the plan tree DOUBLES
-    * per round, which blows up driver memory inside AQE replanning
-    * (measured: OOM in an 8 GiB heap on a ~30-round random-graph
-    * property). Checkpointing truncates the plan to a leaf, making every
-    * round O(1) in plan size regardless of component diameter; the
-    * checkpoint blocks of superseded rounds are reclaimed by the
-    * ContextCleaner once the loop drops its reference. (On a multi-node
-    * cluster with executor churn, `checkpoint` to reliable storage is the
-    * fault-tolerant variant; iteration state here is tiny — two longs per
-    * node — so executor-local is the right default.)
+    * plan intact, and round k's plan references round k−1's frame more
+    * than once (hook input, jump's self-join sides) — so the plan tree
+    * would grow geometrically per round, which blows up driver memory
+    * inside AQE replanning (measured: OOM in an 8 GiB heap on a ~30-round
+    * random-graph property before checkpointing). Checkpointing truncates
+    * the plan to a leaf, making every round O(1) in plan size; superseded
+    * rounds' blocks are reclaimed by the ContextCleaner once the loop
+    * drops its reference. (On a multi-node cluster with executor churn,
+    * `checkpoint` to reliable storage is the fault-tolerant variant;
+    * iteration state here is tiny — two longs per node — so
+    * executor-local is the right default.)
     *
     * The returned frame is persisted and materialized (the final
     * convergence count forced it); the caller owns the handle —
     * clusterLabels keeps it for the process, direct callers (specs)
-    * should unpersist when done. Throws if the graph has not converged
-    * within the round cap: silently returning partial labels would make
-    * dedupApply keep/drop the wrong documents with no signal. */
+    * should unpersist when done. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     // undirected adjacency, cached: re-read every round
     val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
       .union(edges.select(col("id2").as("id"), col("id1").as("nbr")))
       .persist()
-    // `state` carries the previous label as `old` so the convergence count
-    // is a filter over the frame being materialized anyway — one join
-    // fewer per round than re-joining the update against the old labels.
-    // Initial labels fold the first propagation round into the dedup
-    // aggregation itself — label₀ = min(id, min neighbor) — saving one
-    // full join round; `old` starts at id so round 1's changed-count
-    // still registers the fold.
+    // Initial labels fold the first hook into the dedup aggregation
+    // itself — label₀ = min(id, min neighbor) — saving one join round.
     var state = adj
       .groupBy("id").agg(least(col("id"), min(col("nbr"))).as("label"))
-      .select(col("id"), col("id").as("old"), col("label"))
       .localCheckpoint(true)
     var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val labels = state.select("id", "label")
+    while (changed > 0) {
+      // hook: pull the min label across every edge
       val nbrMin = adj
-        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .join(state.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .groupBy("id").agg(min("nbr_label").as("min_nbr"))
-      val step = labels.join(nbrMin, Seq("id"), "left")
+      // `old` rides along so the convergence count is a filter over the
+      // frame being materialized anyway — no extra join against state.
+      val hooked = state.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .localCheckpoint(true) // referenced twice by the jump join below
+      // jump: label ← label(label). Labels are node ids, so the parent's
+      // row always exists; the left join + coalesce is belt-and-braces.
+      // Parent labels ≤ parent ids ≤ own label, so the jump is monotone
+      // and the changed-count below still measures true progress.
+      val jumped = hooked
+        .join(hooked.select(col("id").as("label"), col("label").as("plabel"))
+          .as("parent"), Seq("label"), "left")
+        .select(col("id"), col("old"),
+          coalesce(col("plabel"), col("label")).as("label"))
         .localCheckpoint(true) // plan becomes a leaf — see scaladoc
-      changed = step.filter(col("label") < col("old")).count()
-      state = step
-      iter += 1
+      changed = jumped.filter(col("label") < col("old")).count()
+      state = jumped.select("id", "label")
     }
     adj.unpersist()
-    if (changed != 0) {
-      throw new IllegalStateException(
-        s"connectedComponents did not converge after $iter rounds (a component " +
-          "with diameter > the round cap would yield wrong cluster ids)")
-    }
     // cache the clean projection over the final checkpoint leaf: the
     // returned frame is the one whose unpersist() releases the storage
-    val result = state.select("id", "label").persist()
+    val result = state.persist()
     result.count()
     result
   }
@@ -388,8 +404,14 @@ object Dedup {
   def dedupBfsLevels(spark: SparkSession, dir: String): DataFrame = {
     val edges = verifiedCandidates(spark, dir)
       .filter(col("is_dup") === 1).select("id1", "id2")
-    val source = edges.agg(min(col("id1"))).head().getLong(0)
-    Graph.bfsLevels(edges, source).orderBy("id")
+    val minRow = edges.agg(min(col("id1"))).head()
+    if (minRow.isNullAt(0)) {
+      // zero verified dup pairs: no graph, no levels — empty frame, not NPE
+      import spark.implicits._
+      spark.emptyDataset[(Long, Long)].toDF("id", "level")
+    } else {
+      Graph.bfsLevels(edges, minRow.getLong(0)).orderBy("id")
+    }
   }
 
   /** 32-bit SimHash per document (majority vote per bit) over one
@@ -603,7 +625,15 @@ object Dedup {
       .toDF("doc_id", "g")
       .select(col("doc_id"), explode(col("g")).as("gr"))
     val bench = grams.filter(col("doc_id") % 50 === 0).select("gr").distinct()
-    val bf = bench.stat.bloomFilter("gr", 200000L, 0.01)
+    // Size the filter from the realized benchmark-gram cardinality (the
+    // bench side is bounded — MBs, not the corpus — so this count is
+    // cheap): a hardcoded capacity silently degrades fpp at larger SFs,
+    // eroding the map-only screening advantage. Floor keeps tiny inputs
+    // from under-sizing below the library's effective minimum.
+    val benchGrams = bench.persist()
+    val expected = math.max(benchGrams.count(), 10000L)
+    val bf = benchGrams.stat.bloomFilter("gr", expected, 0.01)
+    benchGrams.unpersist()
     val bfB = spark.sparkContext.broadcast(bf)
     // map-only screen: per-doc count of sketch-positive grams
     val screened = grams.filter(col("doc_id") % 50 =!= 0)

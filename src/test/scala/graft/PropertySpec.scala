@@ -112,17 +112,33 @@ class PropertySpec extends SparkSpec {
   }
 
   test("connectedComponents handles a long-diameter chain without plan blowup") {
-    // A 40-node path graph needs ~⌈log₂ 40⌉..40 min-label rounds depending
-    // on propagation order — the regression case for per-round lineage
-    // growth: before localCheckpoint, the logical plan DOUBLED every round
-    // (round k references round k−1 twice) and OOM'd an 8 GiB driver heap
-    // inside AQE's explainString long before 40 rounds.
+    // A 40-node path graph — the regression case for per-round lineage
+    // growth: before localCheckpoint, the logical plan grew geometrically
+    // every round (round k references round k−1 more than once) and OOM'd
+    // an 8 GiB driver heap inside AQE's explainString within tens of
+    // rounds.
     val n = 40
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
     val labels = Dedup.connectedComponents(chain.toDF("id1", "id2"))
     val got = labels.as[(Long, Long)].collect().toMap
     labels.unpersist()
     assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+  }
+
+  test("connectedComponents labels a 200-node path in O(log d) rounds, no cap") {
+    // Diameter 199: pure min-label propagation needs ~100+ rounds (the
+    // old implementation's 50-round cap made this exact graph ABORT by
+    // design). Hooking + pointer doubling converges in ~⌈log₂ 199⌉ + O(1)
+    // rounds, so this must pass quickly in the default test heap; ids are
+    // offset so the component min is non-zero (catches a zero-default
+    // label bug a 0-rooted chain would mask).
+    val n = 200
+    val base = 1000L
+    val chain = (0 until n - 1).map(i => (base + i, base + i + 1))
+    val labels = Dedup.connectedComponents(chain.toDF("id1", "id2"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    assert(got == (0 until n).map(i => (base + i) -> base).toMap)
   }
 
   test("property: histogram quantiles == naive sorted interpolation on random groups") {
