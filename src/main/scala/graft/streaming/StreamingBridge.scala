@@ -68,7 +68,7 @@ object StreamingBridge {
     * session's timeout, and the subsequent no-data batch fires the
     * event-time timeouts. This is also how a production ingest directory
     * closes its last sessions — event time only advances through data. */
-  private def writeSentinel(spark: SparkSession, streamDir: String,
+  private[graft] def writeSentinel(spark: SparkSession, streamDir: String,
       schema: StructType, flushMs: Long): Unit = {
     val tsVal: Any =
       if (schema("ts").dataType == LongType) flushMs * 1000000L
@@ -222,7 +222,7 @@ object StreamingBridge {
     * ascending mtimes, so the file source (ordered by timestamp, then
     * path) replays them chronologically — shared by the incremental
     * dedup and sessionize bridges. */
-  private def stageTimeOrdered(spark: SparkSession, dir: String, n: Int): String = {
+  private[graft] def stageTimeOrdered(spark: SparkSession, dir: String, n: Int): String = {
     val tmp = graft.sources.TempDirs.create("graft_incr_build_")
     Tables.events(spark, dir)
       .select(eventCols.map(col): _*)
