@@ -39,6 +39,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial and final aggregates")
   }
 
+  test("dedup_ngram_jaccard blocks carry the length band, never raw (lang, source) alone") {
+    // the scale guard for the in-block verifier: every hash partitioning
+    // of the self-join must include the length-band block key — a
+    // (lang, source)-only exchange means the whole (en, web) slice of a
+    // 100 TB corpus lands in one quadratic block again
+    val p = plan(graft.operators.Dedup.dedupNgramJaccard(spark, sf))
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).filter(_.contains("lang#")).toSeq
+    assert(parts.nonEmpty, s"no block exchange found:\n$p")
+    parts.foreach(keys =>
+      assert(keys.contains("block#"),
+        s"self-join exchange keyed on raw (lang, source) alone: $keys"))
+  }
+
   test("mode_agg contains no window operator over raw events") {
     val p = plan(Analytics.modeAgg(spark, sf))
     assert(!p.contains("Window"), s"mode_agg regressed to a window plan:\n$p")
