@@ -224,22 +224,39 @@ object TextAnalysis {
   /** Token packing (concat-and-chunk): assign every document its starting
     * (chunk, offset) position when the corpus is concatenated in doc_id
     * order and sliced into 2048-token windows — the layout step before
-    * writing training shards. Packing runs per (lang, source) shard, so
-    * the prefix sum is a partitioned window (one shuffle, every shard
-    * packs in parallel) rather than a single-partition global order —
-    * exactly how a 100 TB corpus is packed: per shard, not globally.
-    * Stated bound: parallelism (and the largest single sort) is the
-    * (lang, source) shard key's cardinality/skew — at production scale
-    * the shard key must be chosen so no shard outgrows an executor, e.g.
-    * by adding a date or bucket component to it. */
+    * writing training shards. Packing runs per (lang, source) shard, and
+    * the shard prefix sum is TWO-LEVEL, so no single sort ever sees a
+    * whole shard:
+    *   1. docs are bucketed by `doc_id div 4096` (monotone in doc_id, so
+    *      bucket order = doc order) and each bucket computes its local
+    *      exclusive prefix sum — the largest sort in the plan is one
+    *      bucket (≤ 4096 docs), regardless of shard skew;
+    *   2. per-bucket token totals (a B-fold smaller table) take their own
+    *      per-shard running sum and broadcast back as bucket offsets —
+    *      final position = bucket offset + local prefix.
+    * At 100 TB a hot (en, web) shard therefore packs with full cluster
+    * parallelism; the only per-shard serial step is the window over
+    * bucket TOTALS, corpus/4096 rows. Identical output to the one-level
+    * shard window it replaces. */
   def tokenPack(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang", "source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         size(toks).cast("long").as("n_tokens"))
-      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bucket", expr("doc_id div 4096"))
+    val wLocal = W.partitionBy("lang", "source", "bucket").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val local = base
+      .withColumn("local_cum", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+    val wBucket = W.partitionBy("lang", "source").orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum("bucket_tokens").over(wBucket), lit(0L)))
+      .select("lang", "source", "bucket", "bucket_offset")
+    local.join(broadcast(offsets), Seq("lang", "source", "bucket"))
+      .withColumn("cum", col("bucket_offset") + col("local_cum"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         expr("cum div 2048").as("start_chunk"),
         (col("cum") % 2048).as("start_offset"))

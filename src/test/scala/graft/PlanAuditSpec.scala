@@ -53,6 +53,20 @@ class PlanAuditSpec extends SparkSpec {
         s"self-join exchange keyed on raw (lang, source) alone: $keys"))
   }
 
+  test("token_pack's doc-level window is bucket-partitioned (two-level prefix sum)") {
+    // the doc-row prefix sum must be partitioned by (lang, source, bucket)
+    // — a (lang, source)-only doc window sorts a whole 100 TB shard in one
+    // task; only the bucket-TOTALS window (ordered by bucket, B-fold
+    // smaller input) may remain shard-partitioned
+    val p = plan(graft.operators.TextAnalysis.tokenPack(spark, sf))
+    val docWindows = "windowspecdefinition\\(([^)]*doc_id#[^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(docWindows.nonEmpty, s"no doc-level window found:\n$p")
+    docWindows.foreach(spec =>
+      assert(spec.contains("bucket#"),
+        s"doc-level prefix sum windows over the whole shard: $spec"))
+  }
+
   test("mode_agg contains no window operator over raw events") {
     val p = plan(Analytics.modeAgg(spark, sf))
     assert(!p.contains("Window"), s"mode_agg regressed to a window plan:\n$p")
