@@ -100,6 +100,8 @@ object Bench {
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
       ("chain_ivf_index", Set("ivf_assign", "ivf_search"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
+      ("chain_ivf_incr", Set("ivf_incremental"),
+        () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
       ("chain_doc_scores", Set("quality_gate", "quality_score"),
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
     )

@@ -98,6 +98,7 @@ object Similarity {
     }
     pairsMemo.clear()
     indexMemo.clear()
+    incrMemo.clear()
   }
 
   def scoredLshPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -182,11 +183,16 @@ object Similarity {
     * the marker already exists the build is skipped — the CALLER owns
     * keying `root` by (dataset, params, code version); nothing here
     * guesses at staleness. */
-  def ivfBuildIndex(spark: SparkSession, dir: String, root: String): String = {
+  def ivfBuildIndex(spark: SparkSession, dir: String, root: String): String =
+    ivfBuildIndexFrom(emb(spark, dir), spark, root)
+
+  /** Same atomic build over a caller-supplied vector frame (the
+    * incremental path builds from the resident corpus only). */
+  private def ivfBuildIndexFrom(e: DataFrame, spark: SparkSession,
+      root: String): String = {
     val marker = new java.io.File(s"$root/.complete")
     if (!marker.exists()) {
       val stage = java.nio.file.Paths.get(root, ".build")
-      val e = emb(spark, dir)
       refinedCentroids(e).write.mode("overwrite").parquet(s"$stage/centroids")
       assignCells(e, spark.read.parquet(s"$stage/centroids"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
@@ -256,6 +262,61 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select("qid", "cand_id", "cos", "rn")
       .orderBy("qid", "rn")
+  }
+
+  /** Per-process incremental-index roots (same lifecycle as indexMemo). */
+  private val incrMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** Incremental IVF maintenance root: the RESIDENT corpus
+    * (vec_id ≢ 0 mod 10) builds the persisted index once; the NEW batch
+    * (vec_id ≡ 0 mod 10, the same delta convention as dedup_incremental)
+    * is then assigned against the STORED centroids — a map-only pass over
+    * the delta with a broadcast K-row centroid table — and APPENDED to the
+    * partitioned inverted lists. Existing list files are never read or
+    * rewritten: parquet append to `partitionBy(cell)` only adds files
+    * under the touched cell directories, so ingesting a batch costs
+    * O(|delta|) regardless of index size — the steady-state ANN shape a
+    * full rebuild lacks. The `.delta_complete` marker makes the append
+    * idempotent (crash before it → the memo never exposes the root;
+    * re-entry re-runs only the append). Centroids intentionally do NOT
+    * drift with the delta — re-clustering is the periodic REBUILD
+    * operation (ivfBuildIndex), not the ingest path. */
+  private def ivfIncrRoot(spark: SparkSession, dir: String): String = {
+    incrMemo.keys.filter(_._1.sparkContext.isStopped).foreach(incrMemo.remove)
+    incrMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+      val root = graft.sources.TempDirs.create("graft_ivf_incr_")
+      val isNew = col("vec_id") % 10 === 0
+      ivfBuildIndexFrom(emb(spark, dir).filter(!isNew), spark, root)
+      val deltaMarker = new java.io.File(s"$root/.delta_complete")
+      if (!deltaMarker.exists()) {
+        assignCells(emb(spark, dir).filter(isNew),
+          spark.read.parquet(s"$root/centroids"))
+          .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
+        deltaMarker.createNewFile()
+      }
+      root
+    })
+  }
+
+  /** Public warm-up for Bench: force the one-time resident build + delta
+    * append so the chain is billed separately from the probe cost. */
+  def ivfIncrWarmIndex(spark: SparkSession, dir: String): String =
+    ivfIncrRoot(spark, dir)
+
+  /** Merged assignment read back from the incrementally-maintained index:
+    * resident rows keep their build-time cells, delta rows carry the
+    * cells the stored centroids gave them at ingest. Oracle-checked
+    * against a from-scratch resident-centroid assignment of the full
+    * corpus — green iff append-time assignment ≡ rebuild-time assignment
+    * under the same centroids (the invariant that makes incremental
+    * ingest trustworthy). */
+  def ivfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIncrRoot(spark, dir)
+    spark.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (col("vec_id") % 10 === 0).cast("int").as("is_new"))
+      .orderBy("vec_id")
   }
 
   /** Embedding-cosine near-duplicate pairs: the dedup-flavored use of the
@@ -352,6 +413,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding,
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
+    "ivf_incremental" -> ivfIncremental,
     "dedup_semantic" -> dedupSemantic,
     "ivf_purity" -> ivfPurity,
   )
@@ -410,7 +472,31 @@ object Similarity {
       s"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
       "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
 
+  /** Resident-corpus twin of refinedCentroidCtesSql: seeds and the Lloyd
+    * step use only vec_id ≢ 0 mod 10 (the corpus that built the
+    * incremental index); `c` is what the stored centroids contain. */
+  private val residentCentroidCtesSql: String =
+    s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
+      "res AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0), " +
+      s"c0 AS (SELECT vec_id AS cid, v AS cv FROM res WHERE vec_id < $IvfK), " +
+      s"a0s AS (SELECT res.vec_id, res.v, c0.cid, round(${cosSql("res.v", "c0.cv")}, 6) AS sim FROM res CROSS JOIN c0), " +
+      "a0 AS (SELECT vec_id, v, cid AS cell FROM (SELECT vec_id, v, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM a0s) WHERE rn = 1), " +
+      "mean AS (SELECT cell, p.pos, CAST(sum(CAST(v[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+      s"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
+      "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
+
   val oracle: Map[String, String] = Map(
+    "ivf_incremental" ->
+      // from-scratch assignment of the FULL corpus against the
+      // resident-built centroids: green iff the appended delta rows match
+      // what a rebuild under the same centroids would have produced
+      (s"WITH $residentCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1) " +
+        "SELECT vec_id, cell, CAST(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS INT) AS is_new " +
+        "FROM assign ORDER BY vec_id"),
     "embed_quantize" ->
       // exact side only + literal true — green iff the Spark-side
       // quantized cosine is actually within the 0.02 bound (the

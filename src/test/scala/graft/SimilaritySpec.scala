@@ -147,4 +147,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.count() === 50L) // 10 queries x top-5
     assert(rows.filter(!$"within_bound").count() === 0L)
   }
+
+  test("ivf_incremental: full cover, delta flagged, delta cells from resident centroids") {
+    val rows = graft.operators.Similarity.ivfIncremental(spark, sf)
+      .select($"vec_id", $"cell", $"is_new").as[(Long, Long, Int)].collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    // merged read-back covers every vector exactly once (append lost or
+    // duplicated nothing)
+    assert(rows.length.toLong == n)
+    assert(rows.map(_._1).distinct.length.toLong == n)
+    rows.foreach { case (id, cell, isNew) =>
+      assert(isNew == (if (id % 10 == 0) 1 else 0), s"vec $id flag $isNew")
+      // resident-built centroids: cells are resident seed ids — a delta
+      // vec_id (≡ 0 mod 10) can never name a cell
+      assert(cell % 10 != 0, s"vec $id landed in non-resident cell $cell")
+    }
+  }
 }
