@@ -9,11 +9,14 @@ import graft.sources.Tables
   * `binary` columns with typed metadata (north-star extension; the
   * reference is strings-only, /root/reference/src/mr/worker.rs:9-13).
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic STUB (`decodeStub`); everything around it —
-  * binary column handling, the typed mapPartitions batch shape, the frame
-  * sampling expressions, schemas, partition behavior — is real and tested.
-  * Swapping `decodeStub` for a JNI/codec call is a one-function change.
+  * The decode/resize steps are REAL for PNG and BMP payloads (JDK
+  * `javax.imageio` — no external dependency): magic-byte sniff routes
+  * image payloads through the codec and everything else through the
+  * clearly-marked deterministic stubs (`decodeStub`/`resizeStub`), so the
+  * synthetic text corpus stays oracle-expressible while genuine image
+  * bytes get genuine dimensions. Audio/video codecs aren't in the JDK;
+  * those payloads keep the stub path, and swapping it for a JNI call is
+  * a one-function change.
   *
   * Scale notes: payload bytes never shuffle — metadata extraction is
   * map-only; frame sampling emits fixed-size slices (bounded fan-out) and
@@ -26,14 +29,43 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, digest: String,
       width: Int, height: Int, channels: Int)
 
-  /** STUB decoder: a real implementation would hand `bytes` to an image
-    * codec. Deterministic fake: dimensions derived from the first two
-    * payload bytes, mirroring how a header parse would behave. */
+  /** STUB decoder: the deterministic fallback for payloads no in-JVM
+    * codec can read (dimensions derived from the first two payload
+    * bytes, mirroring how a header parse would behave). Real PNG/BMP
+    * payloads take the `javax.imageio` path in `decode`. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
     (64 + b0 % 64, 64 + b1 % 64, 3)
   }
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Magic-byte sniff: PNG's 8-byte signature or BMP's "BM". Cheap and
+    * row-local; a false positive (ASCII text starting "BM") is harmless —
+    * the codec parse fails and the stub fallback keeps the output
+    * deterministic. */
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    (bytes.length >= PngMagic.length &&
+      java.util.Arrays.equals(bytes, 0, PngMagic.length, PngMagic, 0, PngMagic.length)) ||
+      (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+
+  /** REAL decode for PNG/BMP via the JDK's `javax.imageio` (no external
+    * dependency, headless-safe), stub fallback for everything else —
+    * so the media layer is non-synthetic wherever the JVM has a codec.
+    * Channels = the color model's component count (RGB 3, RGBA 4,
+    * grayscale 1). Any parse failure falls back to the stub rather than
+    * failing the partition: at 100 TB a corrupt payload is data, not an
+    * exception. */
+  def decode(bytes: Array[Byte]): (Int, Int, Int) =
+    if (!looksLikeImage(bytes)) decodeStub(bytes)
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) decodeStub(bytes)
+        else (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+      } catch { case scala.util.control.NonFatal(_) => decodeStub(bytes) }
 
   private def hexMd5(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -45,7 +77,7 @@ object Multimodal {
   def decodeMeta(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
-      val (w, h, c) = decodeStub(r.media)
+      val (w, h, c) = decode(r.media)
       MediaMeta(r.doc_id, r.media.length.toLong, hexMd5(r.media), w, h, c)
     })
   }
@@ -120,12 +152,37 @@ object Multimodal {
         array_join(transform(col("counts"), _.cast("string")), ",").as("hist"))
       .orderBy("doc_id")
 
-  /** STUB resize: a real implementation would decode, scale, re-encode;
-    * the deterministic fake keeps every 4th payload byte (stride
-    * downsample) — the plumbing (bytes in, smaller bytes + digest out,
-    * map-only) is exactly what a codec-backed resize needs. */
+  /** STUB resize: the deterministic fallback for non-image payloads —
+    * keeps every 4th payload byte (stride downsample). Real PNG/BMP
+    * payloads take the codec path in `resize`. */
   def resizeStub(bytes: Array[Byte]): Array[Byte] =
     bytes.indices.by(4).map(bytes(_)).toArray
+
+  /** REAL resize for PNG/BMP: decode via `javax.imageio`, halve each
+    * dimension (floor, min 1) with a bilinear Graphics2D draw, re-encode
+    * as PNG. Stub fallback for everything else, same failure policy as
+    * `decode`. */
+  def resize(bytes: Array[Byte]): Array[Byte] =
+    if (!looksLikeImage(bytes)) resizeStub(bytes)
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) resizeStub(bytes)
+        else {
+          val w = math.max(1, img.getWidth / 2)
+          val h = math.max(1, img.getHeight / 2)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case scala.util.control.NonFatal(_) => resizeStub(bytes) }
 
   /** Resize pipeline over binary payloads via typed mapPartitions. */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
@@ -134,7 +191,7 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRecord]
       .mapPartitions(_.map { r =>
-        val resized = resizeStub(r.media)
+        val resized = resize(r.media)
         (r.doc_id, r.media.length.toLong, resized.length.toLong, hexMd5(resized))
       })
       .toDF("doc_id", "orig_bytes", "resized_bytes", "resized_digest")

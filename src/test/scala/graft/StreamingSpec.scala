@@ -181,6 +181,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("decode/resize are real for PNG and BMP payloads (javax.imageio path)") {
+    // fixtures generated in-memory: a genuine 8x6 PNG and a 10x4 BMP
+    def encodeImg(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val png = encodeImg(8, 6, "png")
+    val bmp = encodeImg(10, 4, "bmp")
+    assert(Multimodal.looksLikeImage(png) && Multimodal.looksLikeImage(bmp))
+    assert(Multimodal.decode(png) == (8, 6, 3))
+    assert(Multimodal.decode(bmp) == (10, 4, 3))
+    // resize halves each dimension and re-encodes as PNG — decode the
+    // output to prove it's a real image, not stub bytes
+    val halfPng = Multimodal.resize(png)
+    assert(Multimodal.looksLikeImage(halfPng))
+    assert(Multimodal.decode(halfPng) == (4, 3, 3))
+    assert(Multimodal.decode(Multimodal.resize(bmp)) == (5, 2, 3))
+    // non-image payloads still take the deterministic stub paths
+    val text = "plain text payload".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeImage(text))
+    assert(Multimodal.decode(text) == Multimodal.decodeStub(text))
+    assert(Multimodal.resize(text).sameElements(Multimodal.resizeStub(text)))
+    // "BM"-prefixed ASCII is a sniff false positive: the codec parse
+    // fails and the stub keeps the result deterministic
+    val bmText = "BMW dealerships report record sales this quarter".getBytes("UTF-8")
+    assert(Multimodal.decode(bmText) == Multimodal.decodeStub(bmText))
+  }
+
   test("frame_sample frames are 16-byte slices at 64-byte stride") {
     val fs = Multimodal.frameSample(spark, sf)
     val one = fs.filter($"doc_id" === 0).collect()
