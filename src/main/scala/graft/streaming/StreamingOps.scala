@@ -136,7 +136,15 @@ object StreamingOps {
     * key is ONE (ts, id, type, count) tuple, the same "one candidate row
     * per key" shape the batch aggregate keeps per partition — a key with
     * millions of events still carries O(1) state. The (us, event_id)
-    * tie-break matches the batch max_by ordering exactly. */
+    * tie-break matches the batch max_by ordering exactly.
+    *
+    * State-size bound: `NoTimeout` is the SEMANTICS of a latest-per-key
+    * materialized view (every key's latest must stay queryable forever),
+    * so the state store scales with the DISTINCT-KEY cardinality — O(1)
+    * per key, but never expiring. At 100× the key space, either accept
+    * the proportional state store or bolt on an event-time timeout to
+    * evict keys idle past a retention horizon (changing the view's
+    * contract from "all keys ever" to "keys active in the window"). */
   def latestPerUser(events: Dataset[Event]): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
 

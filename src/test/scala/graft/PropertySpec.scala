@@ -141,6 +141,34 @@ class PropertySpec extends SparkSpec {
     assert(got == (0 until n).map(i => (base + i) -> base).toMap)
   }
 
+  test("property: pagerank conserves rank mass on random digraphs with dangling nodes") {
+    // Σ ranks = 1 ± ε at every iteration count — the invariant a broken
+    // dangling-mass redistribution violates immediately (mass leaks out
+    // through sink nodes), catching regressions faster than the oracle's
+    // fixed-graph hash can. Dangling nodes are forced by stripping one
+    // node's out-edges while keeping an edge into it.
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 5 + rnd.nextInt(12)
+      val raw = Seq.fill(8 + rnd.nextInt(25))(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}", 1L + rnd.nextInt(5)))
+        .filter(e => e._1 != e._2)
+      if (raw.nonEmpty) {
+        val sink = raw.head._2 // receives an edge, loses its out-edges
+        val edges = raw.filter(_._1 != sink)
+        if (edges.nonEmpty) {
+          for (iters <- Seq(1, 4, 10)) {
+            val mass = graft.operators.Graph
+              .pagerankOf(edges.toDF("src", "dst", "w"), 0.85, iters)
+              .agg(sum($"r")).head().getDouble(0)
+            assert(math.abs(mass - 1.0) < 1e-9,
+              s"seed=$seed iters=$iters mass=$mass edges=$edges")
+          }
+        }
+      }
+    }
+  }
+
   test("property: histogram quantiles == naive sorted interpolation on random groups") {
     val rng = new scala.util.Random(7)
     // /4 keeps values dyadic so the interpolation arithmetic is exact in
