@@ -38,11 +38,22 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** O2/O3 flatMap observable as rows: (doc_id, token) pairs, pre-shuffle
-    * shape of the reference's map phase output (mr-i-r.txt lines). */
+    * shape of the reference's map phase output (mr-i-r.txt lines).
+    *
+    * The global (doc_id, word) order comes from range-partitioning the
+    * COMPACT doc rows on the sort-key prefix, then exploding and sorting
+    * within partitions — same total order (doc ranges are disjoint and
+    * a doc's tokens are co-partitioned), but the range sampler reads doc
+    * rows instead of re-running the tokenizer, the corpus is tokenized
+    * ONCE instead of twice (a plain `orderBy` above the explode samples
+    * its child — measured 2×), and the exchange carries each text once
+    * rather than one row per token. */
   def flatmapTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(col("doc_id"))
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
-      .orderBy("doc_id", "word")
+      .sortWithinPartitions("doc_id", "word")
 
   /** O12 + limit: Catalyst plans TakeOrderedAndProject — per-partition
     * top-k then a k-row merge on the driver, never a full global sort.
