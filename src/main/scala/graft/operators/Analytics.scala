@@ -150,6 +150,21 @@ object Analytics {
       .orderBy("p_partkey")
   }
 
+  /** Ranking-distribution windows — ntile quartiles, percent_rank,
+    * cume_dist per event type, the per-group score-normalization pass a
+    * feature pipeline runs (e.g. percentile features for a ranker).
+    * Unique (value, event_id) ordering makes all three deterministic
+    * across engines; one shuffle on the group key, in-partition sort. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("event_id")
+  }
+
   /** Ranking window: top-3 line items per supplier by price.
     * At scale this is one shuffle on l_suppkey + an in-partition sort —
     * no global sort, no driver materialization. */
@@ -760,6 +775,7 @@ object Analytics {
     "right_outer_join" -> rightOuterJoin,
     "full_outer_join" -> fullOuterJoin,
     "window_topn" -> windowTopn,
+    "window_ntile" -> windowNtile,
     "window_running" -> windowRunning,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -973,6 +989,13 @@ object Analytics {
         "(SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, " +
         "row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
         "FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn"),
+    "window_ntile" ->
+      ("SELECT event_id, event_type, value, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pct_rank, " +
+        "round(cume_dist() OVER w, 6) AS cume " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) " +
+        "ORDER BY event_id"),
     "window_running" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +

@@ -129,12 +129,13 @@ object DataOps {
       .filter(col("change") =!= "same")
   }
 
-  /** CDC between two deterministic snapshots of orders: snapshot A drops
-    * keys ≡0 mod 101, snapshot B drops keys ≡0 mod 97 and reprices keys
-    * ≡0 mod 89 by exact decimal ×1.1 — so the diff exhibits all three
-    * change kinds. Values ride as canonical decimal strings (scale-3
-    * product is exact; no float rounding race between engines). */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  /** Two deterministic orders snapshots shared by the CDC family:
+    * snapshot A drops keys ≡0 mod 101, snapshot B drops keys ≡0 mod 97
+    * and reprices keys ≡0 mod 89 by exact decimal ×1.1 — so the diff
+    * exhibits all three change kinds. Values ride as canonical decimal
+    * strings (scale-3 product is exact; no float rounding race between
+    * engines). */
+  private def demoSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val orders = Tables.orders(spark, dir)
     val price = col("o_totalprice").cast("decimal(18,2)")
     val a = orders.filter(col("o_orderkey") % 101 =!= 0)
@@ -143,9 +144,56 @@ object DataOps {
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 89 === 0, price * lit(BigDecimal("1.1")))
           .otherwise(price.cast("decimal(21,3)")).cast("string").as("v"))
+    (a, b)
+  }
+
+  /** CDC diff between the two demo snapshots (see demoSnapshots). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = demoSnapshots(spark, dir)
     diffSnapshots(a, b, "o_orderkey", "v")
       .select(col("o_orderkey"), col("change"), col("old_value"), col("new_value"))
       .orderBy("o_orderkey")
+  }
+
+  /** CDC apply — the WRITE side of change-data-capture (the MERGE an
+    * upsert sink runs): base snapshot + diff → target snapshot, via one
+    * broadcast anti-join (the touched-key list is delta-sized, so the
+    * base streams map-only) and a union append of the upserts. The
+    * oracle computes the target snapshot independently, so the row is
+    * green iff apply(base, diff(base, target)) == target — the round-trip
+    * invariant that makes a CDC pipeline trustworthy. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = demoSnapshots(spark, dir)
+    val delta = diffSnapshots(a, b, "o_orderkey", "v")
+    val upserts = delta.filter(col("change").isin("insert", "update"))
+      .select(col("o_orderkey"), col("new_value").as("v"))
+    val touched = delta.select("o_orderkey")
+    a.join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+      .union(upserts)
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD2 history build: the two snapshot versions collapse into
+    * validity-interval rows — (key, value, valid_from, valid_to) with
+    * valid_to NULL for current rows — the slowly-changing-dimension
+    * layout every warehouse keeps for point-in-time joins. One full
+    * outer join on the key; unchanged keys yield a single open interval,
+    * updates close v1 and open v2, deletes close v1, inserts open at v2.
+    * Presence is marker-based (NULL-value-safe, like diffSnapshots). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = demoSnapshots(spark, dir)
+    val j = a.select(col("o_orderkey"), col("v").as("va"), lit(1).as("in_a"))
+      .join(b.select(col("o_orderkey"), col("v").as("vb"), lit(1).as("in_b")),
+        Seq("o_orderkey"), "full_outer")
+    val changed = col("in_b").isNull || !(col("va") <=> col("vb"))
+    val v1Rows = j.filter(col("in_a") === 1)
+      .select(col("o_orderkey"), col("va").as("value"), lit(1).as("valid_from"),
+        when(changed, lit(2)).otherwise(lit(null).cast("int")).as("valid_to"))
+    val v2Rows = j.filter(col("in_b") === 1 &&
+        (col("in_a").isNull || !(col("va") <=> col("vb"))))
+      .select(col("o_orderkey"), col("vb").as("value"), lit(2).as("valid_from"),
+        lit(null).cast("int").as("valid_to"))
+    v1Rows.union(v2Rows).orderBy("o_orderkey", "valid_from")
   }
 
   /** Generic per-group z-score outlier filter. Moments come from exact
@@ -197,6 +245,8 @@ object DataOps {
     "table_checksum" -> tableChecksum,
     "dq_report" -> dqReport,
     "snapshot_diff" -> snapshotDiff,
+    "cdc_apply" -> cdcApply,
+    "scd2_history" -> scd2History,
     "outliers_zscore" -> outliersZscore,
   )
 
@@ -246,6 +296,28 @@ object DataOps {
          |  UNION ALL SELECT 'returnflag_domain_violations', CAST(returnflag_domain_violations AS DOUBLE) FROM a
          |  UNION ALL SELECT 'quantity_range_violations', CAST(quantity_range_violations AS DOUBLE) FROM a
          |) ORDER BY metric""".stripMargin),
+    "cdc_apply" ->
+      // the target snapshot computed independently (the round-trip check)
+      ("""SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 89 = 0
+         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+         |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END AS VARCHAR) AS v
+         |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
+    "scd2_history" ->
+      ("""WITH a AS (SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 101 <> 0),
+         |b AS (SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 89 = 0
+         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+         |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 97 <> 0),
+         |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, a.v AS va, b.v AS vb,
+         |  (a.o_orderkey IS NOT NULL) AS in_a, (b.o_orderkey IS NOT NULL) AS in_b
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT o_orderkey, va AS value, 1 AS valid_from,
+         |  CASE WHEN NOT in_b OR va <> vb THEN 2 ELSE NULL END AS valid_to FROM j WHERE in_a
+         |UNION ALL
+         |SELECT o_orderkey, vb AS value, 2 AS valid_from, NULL AS valid_to
+         |FROM j WHERE in_b AND (NOT in_a OR va <> vb)
+         |ORDER BY o_orderkey, valid_from""".stripMargin),
     "snapshot_diff" ->
       ("""WITH a AS (SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
          |  FROM orders WHERE o_orderkey % 101 <> 0),

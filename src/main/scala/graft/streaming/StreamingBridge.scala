@@ -308,6 +308,24 @@ object StreamingBridge {
     spark.table(name).orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** Stream-static broadcast enrichment driven to completion: every
+    * event joins its nation dimension row map-side (stateless — no
+    * watermark, no state store), the bronze→silver enrichment shape.
+    * One processAllAvailable suffices; nothing is held back. */
+  def streamEnrichEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
+    val q = StreamingOps.enrichWithDim(events,
+        Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")),
+        "n_nationkey")
+      .select(col("event_id"), col("user_id"), col("n_name"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** mapGroupsWithState latest-per-key driven to completion. The memory
     * sink accumulates one update row per key per micro-batch; the final
     * state is the row with the highest cumulative count (n_events grows
@@ -340,6 +358,7 @@ object StreamingBridge {
     "stream_sessionize_eq" -> streamSessionizeEq,
     "stream_sessionize_incr_eq" -> streamSessionizeIncrementalEq,
     "stream_dedup_eq" -> streamDedupEq,
+    "stream_enrich_eq" -> streamEnrichEq,
     "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
     "stream_join_eq" -> streamJoinEq,
   )
@@ -372,6 +391,9 @@ object StreamingBridge {
         "FROM events GROUP BY 1 ORDER BY 1"),
     "stream_dedup_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "stream_enrich_eq" ->
+      ("SELECT e.event_id, e.user_id, n.n_name FROM events e " +
+        "JOIN nation n ON e.user_id % 25 = n.n_nationkey ORDER BY e.event_id"),
     "stream_dedup_incr_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     // µs-domain comparisons: Spark truncates the ns parquet timestamps to

@@ -70,6 +70,18 @@ object StreamingOps {
           .as("gap_s"))
   }
 
+  /** Stream-static enrichment join: each event picks up its dimension row
+    * (nation here; any slowly-changing dim in production) via a STATELESS
+    * broadcast hash join — no watermark, no state store, the map-side
+    * enrichment shape every ingest pipeline runs before writing bronze →
+    * silver tables. The static side is re-resolvable per micro-batch, so
+    * a dim refresh is picked up without restarting the query; at any
+    * scale the stream side never shuffles for this join. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    events
+      .withColumn("dim_key", pmod(col("user_id"), lit(25)))
+      .join(broadcast(dim), col("dim_key") === col(dimKey))
+
   private val GapUs: Long = 30L * 60 * 1000000
 
   /** Exact event-time micros. Timestamp.getTime is MILLIS — multiplying it
