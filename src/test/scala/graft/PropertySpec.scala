@@ -169,6 +169,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: band-blocked ngram jaccard == naive all-pairs on random corpora") {
+    // Direct guard for the length-band sub-blocking losslessness claim:
+    // doc lengths are drawn to straddle geometric band boundaries (sz 5^k
+    // edges), and the asymmetric {band, band+1} join must produce exactly
+    // the pairs a naive quadratic all-pairs scan admits at J >= 0.2 —
+    // no pair lost across a band edge, none double-generated.
+    def grams(s: String): Set[Long] =
+      (0 to s.length - 5).map { i =>
+        var h = 0L; var j = 0
+        while (j < 5) { h = h * 31 + s.charAt(i + j).toLong; j += 1 }; h
+      }.toSet
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      val alphabet = "abcd" // tiny alphabet => real gram collisions
+      // lengths clustered near 5^2=25 and 5^3=125 gram-count band edges
+      val docs = (0 until 24).map { i =>
+        val len = Seq(9, 20, 28, 31, 120, 135, 300)(rnd.nextInt(7)) + rnd.nextInt(8)
+        (i.toLong, String.valueOf(Array.fill(len)(alphabet(rnd.nextInt(4)))),
+          "xx", if (i % 2 == 0) "web" else "book")
+      }
+      val tmp = graft.sources.TempDirs.create("graft_ngram_prop_")
+      docs.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.operators.Dedup.dedupNgramJaccard(spark, tmp)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSeq
+      val want = (for {
+        a <- docs; b <- docs
+        if a._1 < b._1 && a._4 == b._4 && a._2.length >= 5 && b._2.length >= 5
+        ga = grams(a._2); gb = grams(b._2)
+        inter = (ga & gb).size
+        if inter * 6 >= ga.size + gb.size // J >= 0.2
+      } yield (a._1, b._1)).sorted
+      assert(got.size == got.toSet.size, s"seed=$seed duplicated pairs")
+      assert(got.sorted == want, s"seed=$seed got=${got.sorted} want=$want")
+    }
+  }
+
   test("property: histogram quantiles == naive sorted interpolation on random groups") {
     val rng = new scala.util.Random(7)
     // /4 keeps values dyadic so the interpolation arithmetic is exact in
