@@ -106,6 +106,38 @@ object DataOps {
       .orderBy("metric")
   }
 
+  /** Observed metrics: `Dataset.observe` piggybacks aggregate metrics on
+    * a pass the job was running ANYWAY — the production shape for data
+    * quality monitoring at 100 TB, where a separate metrics scan over the
+    * corpus is an unaffordable second read. Here the "real work" pass is
+    * a noop-sink write of the projection; the observation collects row
+    * count, null count, sum, and min/max for free on its back, and the
+    * query emits them as (metric, value) rows. The oracle recomputes the
+    * same aggregates with plain SQL — green iff the listener-delivered
+    * metrics equal a dedicated scan's answer. */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("quantity_nulls"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price_sum"),
+        min(col("l_quantity")).as("quantity_min"),
+        max(col("l_quantity")).as("quantity_max"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq(
+      ("n_rows", m("n_rows").asInstanceOf[Long].toDouble),
+      ("price_sum", m("price_sum").asInstanceOf[Double]),
+      ("quantity_max", m("quantity_max").asInstanceOf[Double]),
+      ("quantity_min", m("quantity_min").asInstanceOf[Double]),
+      ("quantity_nulls", m("quantity_nulls").asInstanceOf[Long].toDouble))
+      .toDF("metric", "value")
+      .orderBy("metric")
+  }
+
   /** Generic CDC diff of two keyed snapshots: one full outer join on the
     * key, rows classified insert/delete/update by null-side and value
     * inequality. `oldVal`/`newVal` must be canonical strings (the caller
@@ -245,6 +277,7 @@ object DataOps {
     "table_checksum" -> tableChecksum,
     "dq_report" -> dqReport,
     "snapshot_diff" -> snapshotDiff,
+    "observed_metrics" -> observedMetrics,
     "cdc_apply" -> cdcApply,
     "scd2_history" -> scd2History,
     "outliers_zscore" -> outliersZscore,
@@ -295,6 +328,14 @@ object DataOps {
          |  UNION ALL SELECT 'price_mean', price_mean FROM a
          |  UNION ALL SELECT 'returnflag_domain_violations', CAST(returnflag_domain_violations AS DOUBLE) FROM a
          |  UNION ALL SELECT 'quantity_range_violations', CAST(quantity_range_violations AS DOUBLE) FROM a
+         |) ORDER BY metric""".stripMargin),
+    "observed_metrics" ->
+      ("""SELECT metric, value FROM (
+         |  SELECT 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM lineitem
+         |  UNION ALL SELECT 'price_sum', CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT 'quantity_max', max(l_quantity) FROM lineitem
+         |  UNION ALL SELECT 'quantity_min', min(l_quantity) FROM lineitem
+         |  UNION ALL SELECT 'quantity_nulls', CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS DOUBLE) FROM lineitem
          |) ORDER BY metric""".stripMargin),
     "cdc_apply" ->
       // the target snapshot computed independently (the round-trip check)

@@ -141,8 +141,46 @@ object Graph {
     visited
   }
 
+  private val LpaIters = 5
+
+  /** Synchronized label-propagation communities over the symmetrized,
+    * weight-summed event-transition graph: each round EVERY node adopts
+    * the label carrying the highest incident edge weight among its
+    * neighbors' current labels (ties to the lexicographically smallest
+    * label), for a fixed 5 synchronized rounds. Synchronous updates +
+    * total tie order make the result deterministic — the property async
+    * sweep-order LPA lacks and an exact cross-engine oracle needs; the
+    * oracle unrolls the same rounds as MATERIALIZED CTEs (the PageRank
+    * pattern). Per round: one equi-join on the neighbor, one
+    * (node, label) weight aggregate (partial+final), one min_by pick —
+    * and a localCheckpoint keeps the plan a leaf. */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = transitionEdges(spark, dir)
+    val und = e.select(col("src"), col("dst"), col("w"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaIters) {
+      labels = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(sum("w").as("ws"))
+        .groupBy("node")
+        .agg(min_by(col("label"), struct((-col("ws")).as("nws"), col("label")))
+          .as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+      .select(col("node").as("event_type"), col("label").as("community"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_events" -> pagerankEvents,
+    "lpa_communities" -> lpaCommunities,
   )
 
   /** Oracle: the same 10 iterations unrolled as chained CTEs (r0..r10),
@@ -174,10 +212,26 @@ object Graph {
         s"CAST($Damping AS DOUBLE) * (coalesce(i.inc, CAST(0.0 AS DOUBLE)) + d.dang / nn.n) AS r " +
         s"FROM nodes LEFT JOIN inc$k i ON i.dst = nodes.node CROSS JOIN nn CROSS JOIN dang$k d)"
     }.mkString(", ")
+    val lpaBase =
+      "tr AS MATERIALIZED (SELECT event_type AS src, lead(event_type, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst FROM events), " +
+        "edges AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY src, dst), " +
+        "und AS MATERIALIZED (SELECT src, dst, sum(w) AS w FROM " +
+        "(SELECT src, dst, w FROM edges UNION ALL SELECT dst AS src, src AS dst, w FROM edges) GROUP BY src, dst), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und)"
+    val lpaIters = (1 to LpaIters).map { k =>
+      s"l$k AS MATERIALIZED (SELECT node, label FROM (" +
+        "SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY ws DESC, label) AS rn FROM (" +
+        s"SELECT u.src AS node, l.label AS label, sum(u.w) AS ws FROM und u " +
+        s"JOIN l${k - 1} l ON l.node = u.dst GROUP BY u.src, l.label)) WHERE rn = 1)"
+    }.mkString(", ")
     Map(
       "pagerank_events" ->
         (s"WITH $base, $iters " +
           s"SELECT node AS event_type, round(r, 6) AS pr FROM r$Iters ORDER BY event_type"),
+      "lpa_communities" ->
+        (s"WITH $lpaBase, $lpaIters " +
+          s"SELECT node AS event_type, label AS community FROM l$LpaIters ORDER BY event_type"),
     )
   }
 }

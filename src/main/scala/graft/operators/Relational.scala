@@ -173,17 +173,19 @@ object Relational {
   }
 
   /** O11 sink + O1 source, oracle-checked round trip: a projection is
-    * written as headered CSV AND JSON lines to a process-private temp
-    * dir, read back with explicit schemas, and aggregated per format —
-    * the oracle (running on the original parquet) only matches if every
-    * value survived both write/read cycles. Complements SinkSpec's
-    * text/csv round-trip specs by putting the sink paths under the
-    * DuckDB gate. */
+    * written as headered CSV, JSON lines, AND ORC to a process-private
+    * temp dir, read back (explicit schemas for the text formats; ORC is
+    * self-describing), and aggregated per format — the oracle (running
+    * on the original parquet) only matches if every value survived all
+    * three write/read cycles. Complements SinkSpec's text/csv
+    * round-trip specs by putting the sink paths under the DuckDB
+    * gate. */
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.TempDirs.create("graft_sink_rt_")
     val proj = Tables.documents(spark, dir).select("doc_id", "lang")
     proj.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
     proj.write.mode("overwrite").json(s"$out/json")
+    proj.write.mode("overwrite").orc(s"$out/orc")
     def agg(df: DataFrame, fmt: String): DataFrame =
       df.groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
@@ -192,6 +194,7 @@ object Relational {
         .schema("doc_id LONG, lang STRING").csv(s"$out/csv"), "csv")
       .union(agg(spark.read.schema("doc_id LONG, lang STRING")
         .json(s"$out/json"), "json"))
+      .union(agg(spark.read.orc(s"$out/orc"), "orc"))
       .select("fmt", "lang", "n", "sum_ids")
       .orderBy("fmt", "lang")
   }
@@ -297,7 +300,7 @@ object Relational {
         "FROM c GROUP BY user_id ORDER BY user_id"),
     "sink_roundtrip" ->
       ("SELECT f.fmt, lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
-        "FROM documents CROSS JOIN (VALUES ('csv'), ('json')) f(fmt) " +
+        "FROM documents CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(fmt) " +
         "GROUP BY f.fmt, lang ORDER BY f.fmt, lang"),
     "sink_partitioned" ->
       ("SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
