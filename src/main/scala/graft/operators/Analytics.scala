@@ -261,6 +261,60 @@ object Analytics {
       .select(col("window.start").as("hour"), col("n"), col("total_value"))
       .orderBy("hour")
 
+  /** Calendar resample + LOCF gap-fill: per event type, daily value sums
+    * on a COMPLETE day calendar (generated per type from its own min/max
+    * day), missing days forward-filled with the last observed sum — the
+    * time-series regularization every metrics/feature pipeline runs
+    * before models that assume an unbroken grid. Scale shape: the
+    * calendar explode is bounded by (types × days), orders of magnitude
+    * below the event count; the fill is one window per type, no
+    * self-joins. `n` carries 0 on filled days so gaps stay observable. */
+  def eventResample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 6).as("day_value"))
+    val cal = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Rolling 7-day median of daily order revenue — an exact holistic
+    * window aggregate Spark has no native window function for, expressed
+    * scale-safely: the frame is BOUNDED (7 rows), so collect + sort per
+    * row is O(7 log 7) regardless of history length, and the daily-sum
+    * input is already one row per day. Median arithmetic is written out
+    * explicitly (same element picks + same double ops) so both engines
+    * compute bit-identical values rather than trusting two median()
+    * implementations to interpolate alike. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+    // single-partition ordered window is SAFE here: the input is one row
+    // per calendar DAY (cardinality grows with time, not data volume),
+    // unlike a per-event window this never concentrates the corpus
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("win", array_sort(collect_list(col("rev")).over(w)))
+      .select(col("day"), round(col("rev"), 6).as("rev"),
+        size(col("win")).as("n_days"),
+        round(when(size(col("win")) % 2 === 1,
+            expr("element_at(win, cast((size(win) + 1) div 2 as int))"))
+          .otherwise((expr("element_at(win, cast(size(win) div 2 as int))") +
+            expr("element_at(win, cast(size(win) div 2 + 1 as int))")) / 2.0), 6)
+          .as("median7"))
+      .orderBy("day")
+  }
+
   /** Sliding 2-hour windows advancing hourly — each event lands in two
     * buckets; expressed for the oracle as an explicit 2-element unnest. */
   def eventSliding(spark: SparkSession, dir: String): DataFrame =
@@ -776,6 +830,8 @@ object Analytics {
     "full_outer_join" -> fullOuterJoin,
     "window_topn" -> windowTopn,
     "window_ntile" -> windowNtile,
+    "event_resample" -> eventResample,
+    "rolling_median" -> rollingMedian,
     "window_running" -> windowRunning,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -989,6 +1045,26 @@ object Analytics {
         "(SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, " +
         "row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
         "FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn"),
+    "event_resample" ->
+      ("""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS day_value
+         |  FROM events GROUP BY 1, 2),
+         |cal AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY event_type))
+         |SELECT c.event_type, c.day, coalesce(d.n, 0) AS n,
+         |  last_value(d.day_value IGNORE NULLS) OVER
+         |    (PARTITION BY c.event_type ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         |FROM cal c LEFT JOIN daily d ON d.event_type = c.event_type AND d.day = c.day
+         |ORDER BY c.event_type, c.day""".stripMargin),
+    "rolling_median" ->
+      ("""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev FROM orders GROUP BY 1),
+         |win AS (SELECT day, rev, list_sort(list(rev) OVER
+         |  (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w FROM daily)
+         |SELECT day, round(rev, 6) AS rev, CAST(len(w) AS INT) AS n_days,
+         |  round(CASE WHEN len(w) % 2 = 1 THEN w[(len(w) + 1) // 2]
+         |        ELSE (w[len(w) // 2] + w[len(w) // 2 + 1]) / 2.0 END, 6) AS median7
+         |FROM win ORDER BY day""".stripMargin),
     "window_ntile" ->
       ("SELECT event_id, event_type, value, " +
         "CAST(ntile(4) OVER w AS INT) AS quartile, " +
