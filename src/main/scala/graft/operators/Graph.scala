@@ -178,9 +178,47 @@ object Graph {
       .orderBy("event_type")
   }
 
+  private val SsspRounds = 8
+
+  /** Single-source shortest paths by Bellman-Ford relaxation — the
+    * min-plus counterpart of PageRank's sum-times iteration: each round
+    * unions current distances with every one-edge relaxation and keeps
+    * the per-node min. A fixed round count ≥ (node count − 1) is exact
+    * (extra rounds are idempotent at the fixed point), which is what
+    * makes the unrolled-CTE oracle equality sound. Per round: one
+    * equi-join + one partial+final min aggregate, localCheckpoint'd —
+    * the same O(1)-plan discipline as every iterative loop here. */
+  def ssspOf(edgesIn: DataFrame, source: String, rounds: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** SSSP over the event-transition graph from its alphabetically first
+    * source node (deterministic), edge length = transition count. Nodes
+    * unreachable from the source are absent — the contract a reachability
+    * probe wants. */
+  def ssspEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = transitionEdges(spark, dir)
+    val src = e.agg(min(col("src"))).head().getString(0)
+    ssspOf(e, src, SsspRounds)
+      .select(col("node").as("event_type"), col("dist"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_events" -> pagerankEvents,
     "lpa_communities" -> lpaCommunities,
+    "sssp_events" -> ssspEvents,
   )
 
   /** Oracle: the same 10 iterations unrolled as chained CTEs (r0..r10),
@@ -232,6 +270,21 @@ object Graph {
       "lpa_communities" ->
         (s"WITH $lpaBase, $lpaIters " +
           s"SELECT node AS event_type, label AS community FROM l$LpaIters ORDER BY event_type"),
+      "sssp_events" -> {
+        val ssspBase =
+          "tr AS MATERIALIZED (SELECT event_type AS src, lead(event_type, 1) OVER " +
+            "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst FROM events), " +
+            "edges AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY src, dst), " +
+            "d0 AS MATERIALIZED (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges)"
+        val ssspIters = (1 to SsspRounds).map { k =>
+          s"d$k AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (" +
+            s"SELECT node, dist FROM d${k - 1} UNION ALL " +
+            s"SELECT e.dst AS node, d.dist + e.w AS dist FROM edges e JOIN d${k - 1} d ON d.node = e.src" +
+            ") GROUP BY node)"
+        }.mkString(", ")
+        s"WITH $ssspBase, $ssspIters " +
+          s"SELECT node AS event_type, dist FROM d$SsspRounds ORDER BY event_type"
+      },
     )
   }
 }

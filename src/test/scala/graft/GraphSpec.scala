@@ -107,4 +107,15 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("ssspOf prefers a longer-hop cheaper path over the greedy direct edge") {
+    // a->c direct costs 10; a->b->c costs 1+2=3 — fewer-hop BFS and
+    // greedy nearest-neighbor both get this wrong, Bellman-Ford must not.
+    // d is unreachable (only an out-edge to a) and must stay absent.
+    val edges = Seq(("a", "c", 10L), ("a", "b", 1L), ("b", "c", 2L),
+      ("c", "e", 1L), ("d", "a", 1L)).toDF("src", "dst", "w")
+    val got = Graph.ssspOf(edges, "a", rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 3L, "e" -> 4L))
+  }
 }
