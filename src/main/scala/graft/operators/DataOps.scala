@@ -194,14 +194,22 @@ object DataOps {
     * oracle computes the target snapshot independently, so the row is
     * green iff apply(base, diff(base, target)) == target — the round-trip
     * invariant that makes a CDC pipeline trustworthy. */
+  /** Generic diff application: deletes/updates drop their base row via
+    * one broadcast anti-join on the touched keys, inserts/updates append
+    * `new_value` rows. For delta = diffSnapshots(base, target) this
+    * reconstructs target EXACTLY, including legitimately-NULL values —
+    * the round-trip invariant is property-tested on random snapshots. */
+  def applyDiff(base: DataFrame, delta: DataFrame,
+                key: String, value: String): DataFrame = {
+    val upserts = delta.filter(col("change").isin("insert", "update"))
+      .select(col(key), col("new_value").as(value))
+    val touched = delta.select(col(key))
+    base.join(broadcast(touched), Seq(key), "left_anti").union(upserts)
+  }
+
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = demoSnapshots(spark, dir)
-    val delta = diffSnapshots(a, b, "o_orderkey", "v")
-    val upserts = delta.filter(col("change").isin("insert", "update"))
-      .select(col("o_orderkey"), col("new_value").as("v"))
-    val touched = delta.select("o_orderkey")
-    a.join(broadcast(touched), Seq("o_orderkey"), "left_anti")
-      .union(upserts)
+    applyDiff(a, diffSnapshots(a, b, "o_orderkey", "v"), "o_orderkey", "v")
       .orderBy("o_orderkey")
   }
 

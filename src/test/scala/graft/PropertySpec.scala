@@ -207,6 +207,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CDC diff/apply round-trips random snapshots with NULL values") {
+    // applyDiff(base, diffSnapshots(base, target)) must equal target even
+    // when values are legitimately NULL — the case the presence-marker
+    // fix exists for (value-nullness-based detection misclassifies a
+    // present-but-NULL value as insert/delete and breaks the round trip).
+    import graft.operators.DataOps
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(400 + seed)
+      def snap(): Map[Long, Option[String]] =
+        (0L until 30L).filter(_ => rnd.nextDouble() < 0.8)
+          .map(k => k -> (if (rnd.nextDouble() < 0.25) None
+                          else Some(s"v${rnd.nextInt(5)}"))).toMap
+      val base = snap()
+      val target = snap()
+      val baseDf = base.toSeq.toDF("k", "v")
+      val targetDf = target.toSeq.toDF("k", "v")
+      val delta = DataOps.diffSnapshots(baseDf, targetDf, "k", "v")
+      val got = DataOps.applyDiff(baseDf, delta, "k", "v")
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == target, s"seed=$seed base=$base target=$target got=$got")
+      // and the diff itself never reports a spurious change
+      val changes = delta.select($"k", $"change").as[(Long, String)].collect()
+      changes.foreach { case (k, ch) =>
+        assert(base.get(k).flatten != target.get(k).flatten ||
+          base.contains(k) != target.contains(k), s"seed=$seed spurious $ch on $k")
+      }
+    }
+  }
+
+  test("property: two-level token_pack == naive single prefix sum") {
+    // doc_ids straddle the 4096 bucket boundary and shards are skewed;
+    // the bucketed two-level positions must equal a naive per-shard
+    // cumulative sum in doc_id order.
+    val rnd = new scala.util.Random(11)
+    val ids = (Seq(0L, 1L, 4094L, 4095L, 4096L, 4097L, 8191L, 8192L) ++
+      Seq.fill(40)(rnd.nextInt(12000).toLong)).distinct
+    val docs = ids.map { id =>
+      val k = 1 + rnd.nextInt(7)
+      (id, Seq.fill(k)("w").mkString(" "), if (id % 3 == 0) "en" else "de",
+        if (id % 2 == 0) "web" else "book")
+    }
+    val tmp = graft.sources.TempDirs.create("graft_pack_prop_")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.tokenPack(spark, tmp)
+      .select($"doc_id", $"start_chunk", $"start_offset")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val want = docs.groupBy(d => (d._3, d._4)).values.flatMap { shard =>
+      var cum = 0L
+      shard.sortBy(_._1).map { d =>
+        val pos = (d._1, cum / 2048, cum % 2048)
+        cum += d._2.split(" ").length.toLong
+        pos
+      }
+    }.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == want)
+  }
+
   test("property: histogram quantiles == naive sorted interpolation on random groups") {
     val rng = new scala.util.Random(7)
     // /4 keeps values dyadic so the interpolation arithmetic is exact in
