@@ -218,11 +218,15 @@ object Analytics {
     * oracle-checkable shape is the error BOUND: Spark emits the exact
     * count plus `within_5pct` = |approx − exact|/exact ≤ 0.05, and the
     * DuckDB oracle emits the exact count with a literal TRUE — the row
-    * hash-matches iff the sketch really is within bound. */
+    * hash-matches iff the sketch really is within bound. The sketch is
+    * sized at rsd = 0.01 so the 5% gate sits at 5σ — the default 0.05
+    * makes 5% a 1σ bound that a third of groups would breach (observed:
+    * one group at sf0.1); a production bound must be slack against the
+    * sketch's own precision, not equal to it. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
