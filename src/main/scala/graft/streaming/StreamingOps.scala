@@ -82,6 +82,34 @@ object StreamingOps {
       .withColumn("dim_key", pmod(col("user_id"), lit(25)))
       .join(broadcast(dim), col("dim_key") === col(dimKey))
 
+  /** Stream-stream LEFT OUTER interval join — the hardest join semantics
+    * Structured Streaming has: matched pairs emit as soon as both rows
+    * arrive (like the inner join), but an UNMATCHED view can only emit
+    * its null row once the watermark proves no purchase can still arrive
+    * inside [v_ts, v_ts + 1 h] — correctness depends on the state store
+    * holding the view exactly until that proof. Both sides must carry
+    * watermarks and the condition must bound event time, or Spark
+    * rejects the outer join outright (unbounded state). Inputs here are
+    * pre-filtered single-type streams whose watermark was assigned
+    * UPSTREAM of the filter, so flush sentinels advance event time even
+    * though they match neither side. */
+  def viewPurchaseLeftJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        floor((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) / 1000000L)
+          .as("gap_s"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000000
 
   /** Exact event-time micros. Timestamp.getTime is MILLIS — multiplying it
