@@ -187,6 +187,23 @@ object DataOps {
       .orderBy("o_orderkey")
   }
 
+  /** Generic diff application: deletes/updates drop their base row via
+    * one broadcast anti-join on the touched keys, inserts/updates append
+    * `new_value` rows. For delta = diffSnapshots(base, target) this
+    * reconstructs target EXACTLY, including legitimately-NULL values —
+    * the round-trip invariant is property-tested on random snapshots.
+    * Base is projected to (key, value) and the append is by NAME, so
+    * extra or reordered base columns cannot silently misalign rows. */
+  def applyDiff(base: DataFrame, delta: DataFrame,
+                key: String, value: String): DataFrame = {
+    val upserts = delta.filter(col("change").isin("insert", "update"))
+      .select(col(key), col("new_value").as(value))
+    val touched = delta.select(col(key))
+    base.select(col(key), col(value))
+      .join(broadcast(touched), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** CDC apply — the WRITE side of change-data-capture (the MERGE an
     * upsert sink runs): base snapshot + diff → target snapshot, via one
     * broadcast anti-join (the touched-key list is delta-sized, so the
@@ -194,19 +211,6 @@ object DataOps {
     * oracle computes the target snapshot independently, so the row is
     * green iff apply(base, diff(base, target)) == target — the round-trip
     * invariant that makes a CDC pipeline trustworthy. */
-  /** Generic diff application: deletes/updates drop their base row via
-    * one broadcast anti-join on the touched keys, inserts/updates append
-    * `new_value` rows. For delta = diffSnapshots(base, target) this
-    * reconstructs target EXACTLY, including legitimately-NULL values —
-    * the round-trip invariant is property-tested on random snapshots. */
-  def applyDiff(base: DataFrame, delta: DataFrame,
-                key: String, value: String): DataFrame = {
-    val upserts = delta.filter(col("change").isin("insert", "update"))
-      .select(col(key), col("new_value").as(value))
-    val touched = delta.select(col(key))
-    base.join(broadcast(touched), Seq(key), "left_anti").union(upserts)
-  }
-
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = demoSnapshots(spark, dir)
     applyDiff(a, diffSnapshots(a, b, "o_orderkey", "v"), "o_orderkey", "v")

@@ -209,6 +209,15 @@ object Graph {
     * probe wants. */
   def ssspEvents(spark: SparkSession, dir: String): DataFrame = {
     val e = transitionEdges(spark, dir)
+    // Exactness needs rounds ≥ nodes−1, and the oracle unrolls the SAME
+    // fixed count — so a dataset whose node cardinality outgrows the
+    // constant must fail HERE, loudly, not pass while both sides
+    // under-relax in lockstep.
+    val nodes = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
+      .agg(count_distinct(col("n"))).head().getLong(0)
+    require(nodes - 1 <= SsspRounds,
+      s"SsspRounds=$SsspRounds < nodes-1=${nodes - 1}: raise the constant " +
+        "and the unrolled oracle CTE together")
     val src = e.agg(min(col("src"))).head().getString(0)
     ssspOf(e, src, SsspRounds)
       .select(col("node").as("event_type"), col("dist"))

@@ -277,9 +277,10 @@ object Similarity {
     * rewritten: parquet append to `partitionBy(cell)` only adds files
     * under the touched cell directories, so ingesting a batch costs
     * O(|delta|) regardless of index size — the steady-state ANN shape a
-    * full rebuild lacks. The `.delta_complete` marker makes the append
-    * idempotent (crash before it → the memo never exposes the root;
-    * re-entry re-runs only the append). Centroids intentionally do NOT
+    * full rebuild lacks. Atomicity comes from the memo + process-private
+    * root: a failure anywhere before the memo insert abandons the fresh
+    * root entirely, and re-entry starts over with a new one — a
+    * half-appended index is never exposed. Centroids intentionally do NOT
     * drift with the delta — re-clustering is the periodic REBUILD
     * operation (ivfBuildIndex), not the ingest path. */
   private def ivfIncrRoot(spark: SparkSession, dir: String): String = {
@@ -288,13 +289,9 @@ object Similarity {
       val root = graft.sources.TempDirs.create("graft_ivf_incr_")
       val isNew = col("vec_id") % 10 === 0
       ivfBuildIndexFrom(emb(spark, dir).filter(!isNew), spark, root)
-      val deltaMarker = new java.io.File(s"$root/.delta_complete")
-      if (!deltaMarker.exists()) {
-        assignCells(emb(spark, dir).filter(isNew),
-          spark.read.parquet(s"$root/centroids"))
-          .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
-        deltaMarker.createNewFile()
-      }
+      assignCells(emb(spark, dir).filter(isNew),
+        spark.read.parquet(s"$root/centroids"))
+        .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
       root
     })
   }

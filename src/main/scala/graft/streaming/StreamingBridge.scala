@@ -69,19 +69,28 @@ object StreamingBridge {
     * event-time timeouts. This is also how a production ingest directory
     * closes its last sessions — event time only advances through data. */
   private[graft] def writeSentinel(spark: SparkSession, streamDir: String,
-      schema: StructType, flushMs: Long): Unit = {
+      schema: StructType, flushMs: Long): Unit =
+    writeSentinelNamed(spark, streamDir, schema, flushMs, "zz_sentinel.parquet")
+
+  private[graft] def writeSentinelNamed(spark: SparkSession, streamDir: String,
+      schema: StructType, flushMs: Long, fileName: String,
+      eventTypes: Seq[String] = Seq("flush")): Unit = {
     val tsVal: Any =
       if (schema("ts").dataType == LongType) flushMs * 1000000L
       else new java.sql.Timestamp(flushMs)
-    val row = Row(-1L, tsVal, -1L, "flush", 0.0)
+    val rows: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row]()
+      eventTypes.foreach(t => l.add(Row(-1L, tsVal, -1L, t, 0.0)))
+      l
+    }
     val tmp = graft.sources.TempDirs.create("graft_stream_sentinel_")
-    spark.createDataFrame(java.util.Collections.singletonList(row), schema)
+    spark.createDataFrame(rows, schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file written under $tmp"))
     java.nio.file.Files.copy(part.toPath,
-      java.nio.file.Paths.get(streamDir, "zz_sentinel.parquet"))
+      java.nio.file.Paths.get(streamDir, fileName))
   }
 
   /** Streaming hourly windowed counts, driven to completion in one batch.
@@ -308,6 +317,76 @@ object StreamingBridge {
     spark.table(name).orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join driven to completion:
+    * matched pairs emit like the inner join, but an unmatched view's
+    * null row emits only once the watermark PROVES no purchase can still
+    * arrive inside [v_ts, v_ts + 1 h] — so after the first drain,
+    * far-future sentinels push the watermark past every open window and
+    * later drains flush the null rows. The sentinels must be TYPED (one
+    * 'view' + one 'purchase' row, user_id −1): Catalyst pushes the
+    * event-type filters below the watermark operator, so each branch's
+    * event-time stats see only rows of its own type and a neither-type
+    * 'flush' row would never advance the query watermark (= min across
+    * branches). Sentinel rows are excluded from the result by user_id.
+    * Two sentinel batches, because outer-join null emission lags state
+    * eviction by one micro-batch. */
+  def streamLeftJoinEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+      .withWatermark("ts", "1 hour")
+    def side(eventType: String): DataFrame =
+      events.filter(col("event_type") === eventType)
+    val name = s"graft_stream_ljoin_${runId.incrementAndGet()}"
+    val q = StreamingOps.viewPurchaseLeftJoin(side("view"), side("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinelNamed(spark, streamDir, schema, maxMs + 24L * 3600 * 1000,
+        "zz_sentinel.parquet", Seq("view", "purchase"))
+      q.processAllAvailable()
+      writeSentinelNamed(spark, streamDir, schema, maxMs + 48L * 3600 * 1000,
+        "zz_sentinel2.parquet", Seq("view", "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  // scratch debug — deleted before commit
+  def debugLeftJoin(spark: SparkSession, dir: String): Unit = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+      .withWatermark("ts", "1 hour")
+    def side(eventType: String): DataFrame =
+      events.filter(col("event_type") === eventType)
+    val name = s"graft_stream_ljoin_dbg_${runId.incrementAndGet()}"
+    val q = StreamingOps.viewPurchaseLeftJoin(side("view"), side("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def report(tag: String): Unit = {
+      val p = q.lastProgress
+      println(s"== $tag rows=${spark.table(name).count()} " +
+        s"nulls=${spark.table(name).filter(col("purchase_id").isNull).count()} " +
+        s"watermark=${if (p != null) p.eventTime.get("watermark") else "?"} batch=${if (p != null) p.batchId else -1}")
+    }
+    try {
+      q.processAllAvailable(); report("drain1")
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, streamDir, schema, maxMs + 24L * 3600 * 1000)
+      q.processAllAvailable(); report("drain2")
+      writeSentinelNamed(spark, streamDir, schema, maxMs + 48L * 3600 * 1000,
+        "zz_sentinel2.parquet")
+      q.processAllAvailable(); report("drain3")
+      writeSentinelNamed(spark, streamDir, schema, maxMs + 72L * 3600 * 1000,
+        "zz_sentinel3.parquet")
+      q.processAllAvailable(); report("drain4")
+    } finally q.stop()
+  }
+
   /** Stream-static broadcast enrichment driven to completion: every
     * event joins its nation dimension row map-side (stateless — no
     * watermark, no state store), the bronze→silver enrichment shape.
@@ -361,6 +440,7 @@ object StreamingBridge {
     "stream_enrich_eq" -> streamEnrichEq,
     "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
     "stream_join_eq" -> streamJoinEq,
+    "stream_left_join_eq" -> streamLeftJoinEq,
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -403,6 +483,15 @@ object StreamingBridge {
         "CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s " +
         "FROM events v JOIN events p ON p.user_id = v.user_id " +
         "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+        "AND epoch_us(p.ts) >= epoch_us(v.ts) " +
+        "AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000 " +
+        "ORDER BY v.user_id, view_id, purchase_id"),
+    "stream_left_join_eq" ->
+      ("SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, " +
+        "CAST(floor((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000) AS BIGINT) AS gap_s " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON p.user_id = v.user_id " +
         "AND epoch_us(p.ts) >= epoch_us(v.ts) " +
         "AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000 " +
         "ORDER BY v.user_id, view_id, purchase_id"),

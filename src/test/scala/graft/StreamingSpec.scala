@@ -88,6 +88,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream LEFT join flushes unmatched views after typed sentinels") {
+    val got = graft.streaming.StreamingBridge.streamLeftJoinEq(spark, sf)
+      .select($"user_id", $"view_id", $"purchase_id", $"gap_s")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"us".as("vus"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"us".as("pus"))
+    val want = v.join(p, $"user_id" === $"pu" &&
+        $"pus" >= $"vus" && $"pus" <= $"vus" + 3600000000L, "left_outer")
+      .select($"user_id", $"view_id", $"purchase_id",
+        floor(($"pus" - $"vus") / 1000000L).as("gap_s"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    // the null rows are the point: unmatched views must be flushed
+    assert(want.exists(_._3.isEmpty))
+    assert(got == want)
+  }
+
   test("file sink crash-recovery: restart from same checkpoint is exactly-once") {
     // The fault-tolerance claim the reference's WAL gestures at
     // (/root/reference/src/mr/coordinator.rs:134-199) demonstrated end to
