@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++ Relational.queries ++ MrQueries.queries ++
-      Analytics.queries ++ AdvancedSql.queries ++ EventAnalytics.queries ++
+      Analytics.queries ++ TpcH2.queries ++ AdvancedSql.queries ++ EventAnalytics.queries ++
       Graph.queries ++ Layout.queries ++ DataOps.queries ++
       Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     WordCount.oracle ++ Relational.oracle ++ MrQueries.oracle ++
-      Analytics.oracle ++ AdvancedSql.oracle ++ EventAnalytics.oracle ++
+      Analytics.oracle ++ TpcH2.oracle ++ AdvancedSql.oracle ++ EventAnalytics.oracle ++
       Graph.oracle ++ Layout.oracle ++ DataOps.oracle ++
       Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Multimodal.oracle ++
