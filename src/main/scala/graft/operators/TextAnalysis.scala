@@ -477,8 +477,63 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Cross-document duplicated-5-gram fraction — the Gopher/RefinedWeb
+    * repetition signal at CORPUS scope (repetitionRatio is the within-doc
+    * twin): for each document, the share of its word-5-gram occurrences
+    * whose gram also appears in at least one OTHER document. Shape is the
+    * decontamination inverted index — grams shuffle once to count
+    * distinct docs (partial+final), then join back against the gram
+    * stream. All arithmetic is integer (scaled fraction via `div`), so
+    * the cross-engine compare is exact by construction. At 100 TB the
+    * gram→doc-count table is the corpus vocabulary of 5-grams — the same
+    * cardinality class the MinHash/LSH stages already shuffle. */
+  def dupGramFraction(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShinglesFromTokens(col("tk"), 5)).as("g"))
+    val nd = grams.groupBy("g").agg(count_distinct(col("doc_id")).as("ndocs"))
+    grams.join(nd, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac_scaled", expr("(1000000 * dup_grams) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document character-level Shannon entropy (nats) — the
+    * low-entropy screen that catches boilerplate/garbage text a length
+    * gate misses. Determinism across engines is BIT-EXACT, not
+    * tolerance-based: H = ln(n) − (Σ cnt·ln(cnt))/n is evaluated as a
+    * left fold over the per-char counts in sorted char order on BOTH
+    * engines (Spark `aggregate` over a sorted struct array; DuckDB
+    * `list_reduce` over a `list(... ORDER BY c)`), and Java's Math.log
+    * matches libm/DuckDB ln bit-for-bit on every integer count (verified
+    * 1..5000) — identical operand order + identical primitive ops ⇒
+    * identical doubles. Corpus pass is one partial+final count aggregate;
+    * the fold runs over ≤|alphabet| entries per doc. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+    cnts.groupBy("doc_id")
+      .agg(sum("cnt").as("n_chars_counted"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        array_sort(collect_list(struct(col("c"),
+          col("cnt").cast("double").as("cnt")))).as("cl"))
+      .select(col("doc_id"), col("n_chars_counted"), col("n_distinct"),
+        round(log(col("n_chars_counted").cast("double")) -
+          aggregate(col("cl"), lit(0.0),
+            (acc, x) => acc + x.getField("cnt") * log(x.getField("cnt"))) /
+            col("n_chars_counted"), 6).as("ent_nats"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_e2e" -> pipelineE2e,
+    "dup_gram_fraction" -> dupGramFraction,
+    "char_entropy" -> charEntropy,
     "heavy_hitters" -> heavyHitters,
     "doc_chunking" -> docChunking,
     "pii_redact" -> piiRedact,
@@ -507,6 +562,26 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "dup_gram_fraction" ->
+      (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "grams AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g " +
+        "FROM toks, UNNEST(CASE WHEN len(tk) >= 5 THEN range(1, len(tk) - 3) ELSE [] END) AS t(i)), " +
+        "nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams, " +
+        "(1000000 * CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_frac_scaled " +
+        "FROM grams JOIN nd USING (g) GROUP BY doc_id ORDER BY doc_id"),
+    "char_entropy" ->
+      ("WITH cnts AS (SELECT doc_id, c, count(*) AS cnt FROM " +
+        "(SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) u " +
+        "WHERE length(c) > 0 GROUP BY doc_id, c), " +
+        "folded AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_counted, " +
+        "CAST(count(*) AS INT) AS n_distinct, list(CAST(cnt AS DOUBLE) ORDER BY c) AS cl " +
+        "FROM cnts GROUP BY doc_id) " +
+        "SELECT doc_id, n_chars_counted, n_distinct, " +
+        "round(ln(CAST(n_chars_counted AS DOUBLE)) - " +
+        "list_reduce(list_transform(cl, x -> x * ln(x)), (a, b) -> a + b) / n_chars_counted, 6) AS ent_nats " +
+        "FROM folded ORDER BY doc_id"),
     "pipeline_e2e" ->
       (s"WITH t AS (SELECT doc_id, lang, md5(text) AS fp, len($toksSql) AS n_toks " +
         "FROM documents WHERE n_chars >= 100), " +

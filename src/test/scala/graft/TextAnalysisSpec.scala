@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -25,5 +27,53 @@ class TextAnalysisSpec extends SparkSpec {
       // no spurious keys
       assert(est.keySet.subsetOf(exact.keySet))
     }
+  }
+
+  test("charEntropy: 0 <= H <= ln(n_distinct), and counts cover the text") {
+    val rows = TextAnalysis.charEntropy(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, nd, h) =>
+      assert(h >= 0.0, s"doc $id: negative entropy $h")
+      assert(h <= math.log(nd.toDouble) + 1e-9,
+        s"doc $id: H=$h exceeds ln($nd) uniform bound")
+      assert(n > 0 && nd > 0)
+    }
+    // spot check one doc against a driver-side recount
+    val (id0, n0, _, h0) = rows.head
+    val text = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === id0).select("text").as[String].head()
+    assert(text.length == n0)
+    val counts = text.groupBy(identity).view.mapValues(_.size).values.toSeq
+    val hRef = math.log(n0.toDouble) -
+      counts.sorted.map(c => c * math.log(c.toDouble)).sum / n0
+    assert(math.abs(h0 - hRef) < 1e-6)
+  }
+
+  test("dupGramFraction: dup_grams <= n_grams; a shared 5-gram is flagged on both docs") {
+    val rows = TextAnalysis.dupGramFraction(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, dup, frac) =>
+      assert(dup >= 0 && dup <= n, s"doc $id: dup $dup out of [0,$n]")
+      assert(frac == 1000000L * dup / n, s"doc $id: scaled frac mismatch")
+    }
+    // cross-doc property on a controlled corpus: docs 1 and 2 share one
+    // 5-gram, doc 3 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta alpha beta gamma delta epsilon theta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val grams = docs
+      .select($"doc_id", explode(graft.functions.TextFunctions.wordShingles($"text", 5)).as("g"))
+    val nd = grams.groupBy("g").agg(countDistinct($"doc_id").as("ndocs"))
+    val dupByDoc = grams.join(nd, "g").groupBy("doc_id")
+      .agg(sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("dup"))
+      .as[(Long, Long)].collect().toMap
+    // doc1's grams: "alpha..epsilon", "beta..zeta"; only the first also
+    // occurs in doc2
+    assert(dupByDoc(1L) == 1L)
+    assert(dupByDoc(2L) == 1L)
+    assert(dupByDoc(3L) == 0L)
   }
 }
