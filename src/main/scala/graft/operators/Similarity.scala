@@ -402,7 +402,27 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** k-NN graph over the memoized LSH candidate pairs: each vector's
+    * top-3 neighbors by exact cosine AMONG ITS CANDIDATES — the
+    * adjacency structure semantic clustering / label propagation /
+    * graph-based dedup consume downstream. Candidates are symmetrized
+    * (each undirected pair feeds both endpoints), then one window sorts
+    * each node's bounded candidate list — per-node work is capped by LSH
+    * bucket occupancy, never O(N), and the candidate stage is shared
+    * with ann_lsh_pairs/dedup_embedding via the pairs memo (built once
+    * per session+dataset). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val p = scoredLshPairs(spark, dir)
+    val sym = p.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("src", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> knnGraph,
     "embed_quantize" -> embedQuantize,
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -519,6 +539,13 @@ object Similarity {
         s"FROM (SELECT vec_id, $toDoubleSql AS v FROM embeddings) ORDER BY vec_id"),
     "ann_lsh_pairs" ->
       s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored ORDER BY id1, id2",
+    "knn_graph" ->
+      (s"WITH $bandedPairsCtesSql, " +
+        "sym AS (SELECT id1 AS src, id2 AS dst, cos FROM scored " +
+        "UNION ALL SELECT id2 AS src, id1 AS dst, cos FROM scored), " +
+        "ranked AS (SELECT src, dst, cos, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym) " +
+        "SELECT src, dst, cos, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3 ORDER BY src, rn"),
     "dedup_embedding" ->
       (s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored " +
         "WHERE cos >= 0.5 ORDER BY id1, id2"),

@@ -163,4 +163,26 @@ class SimilaritySpec extends SparkSpec {
       assert(cell % 10 != 0, s"vec $id landed in non-resident cell $cell")
     }
   }
+
+  test("knn_graph: <=3 ranked neighbors per node, drawn from the candidate pairs") {
+    val knn = graft.operators.Similarity.knnGraph(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(knn.nonEmpty)
+    val pairs = graft.operators.Similarity.annLshPairs(spark, sf)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    knn.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length))
+      // ranks follow (cos desc, dst asc)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"src $src: rank order broken between $a and $b")
+        case _ => ()
+      }
+      rows.foreach(r => assert(pairs.contains((r._1, r._2))))
+    }
+  }
 }
