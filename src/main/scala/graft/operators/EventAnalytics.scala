@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,7 +130,28 @@ object EventAnalytics {
       .select(col("event_type"), col("hour_ts"), col("cnt"), col("ewma"))
       .orderBy("event_type", "hour_ts")
 
+  /** Top-3 events by value per type, computed with the typed
+    * `TopKAggregator` UDAF instead of a window: partitions fold rows
+    * into O(k) buffers (map-side combine), k-row partials merge through
+    * the shuffle, and the result explodes back to ranked rows. Same
+    * answer as the row_number() formulation (the oracle IS that
+    * formulation) with |groups|·k exchange rows instead of per-group
+    * sorts — the aggregation-vs-window trade window_topn demonstrates
+    * from the other side. */
+  def topnAgg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      Encoders.product[graft.functions.TopKItem])
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top.items")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.value").as("value"), col("col.id").as("event_id"))
+      .orderBy("event_type", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topn_agg" -> topnAgg,
     "ewma_hourly" -> ewmaHourly,
     "ewma_anomaly" -> ewmaAnomaly,
     "cohort_retention" -> cohortRetention,
@@ -140,6 +161,11 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "topn_agg" ->
+      ("SELECT event_type, CAST(rn AS INT) AS rn, value, event_id FROM " +
+        "(SELECT event_type, value, event_id, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) " +
+        "WHERE rn <= 3 ORDER BY event_type, rn"),
     "ewma_hourly" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt, " +
         "epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events GROUP BY 1, 2) " +

@@ -355,38 +355,6 @@ object StreamingBridge {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
-  // scratch debug — deleted before commit
-  def debugLeftJoin(spark: SparkSession, dir: String): Unit = {
-    val (streamDir, schema) = stageEvents(spark, dir)
-    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
-      .withWatermark("ts", "1 hour")
-    def side(eventType: String): DataFrame =
-      events.filter(col("event_type") === eventType)
-    val name = s"graft_stream_ljoin_dbg_${runId.incrementAndGet()}"
-    val q = StreamingOps.viewPurchaseLeftJoin(side("view"), side("purchase"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    def report(tag: String): Unit = {
-      val p = q.lastProgress
-      println(s"== $tag rows=${spark.table(name).count()} " +
-        s"nulls=${spark.table(name).filter(col("purchase_id").isNull).count()} " +
-        s"watermark=${if (p != null) p.eventTime.get("watermark") else "?"} batch=${if (p != null) p.batchId else -1}")
-    }
-    try {
-      q.processAllAvailable(); report("drain1")
-      val maxMs = Tables.events(spark, dir)
-        .agg(max(col("ts"))).head().getTimestamp(0).getTime
-      writeSentinel(spark, streamDir, schema, maxMs + 24L * 3600 * 1000)
-      q.processAllAvailable(); report("drain2")
-      writeSentinelNamed(spark, streamDir, schema, maxMs + 48L * 3600 * 1000,
-        "zz_sentinel2.parquet")
-      q.processAllAvailable(); report("drain3")
-      writeSentinelNamed(spark, streamDir, schema, maxMs + 72L * 3600 * 1000,
-        "zz_sentinel3.parquet")
-      q.processAllAvailable(); report("drain4")
-    } finally q.stop()
-  }
-
   /** Stream-static broadcast enrichment driven to completion: every
     * event joins its nation dimension row map-side (stateless — no
     * watermark, no state store), the bronze→silver enrichment shape.
