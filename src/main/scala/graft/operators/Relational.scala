@@ -242,6 +242,72 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * 100 TB store runs: a fragmented ingest generation (forced here with
+    * `maxRecordsPerFile`, the shape thousands of tiny streaming commits
+    * produce) is rewritten into few large range-clustered files
+    * (`repartitionByRange` on the read-pattern key + in-file sort, so
+    * min/max row-group stats stay selective). The oracle checks CONTENT
+    * identity against the source table — green iff compaction lost,
+    * duplicated, or mutated nothing; the file-count collapse itself is
+    * asserted in SinkSpec (counts are layout, not semantics). */
+  def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val out = compactRoot(spark, dir)
+    spark.read.parquet(s"$out/compact")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** Build the fragmented + compacted generations once per (session, dir)
+    * so the spec can inspect both layouts without a second rewrite. */
+  def compactRoot(spark: SparkSession, dir: String): String =
+    compactMemo.getOrElseUpdate((spark, dir), {
+      val out = graft.sources.TempDirs.create("graft_compact_")
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.write.mode("overwrite")
+        .option("maxRecordsPerFile", 50).parquet(s"$out/frag")
+      spark.read.parquet(s"$out/frag")
+        .repartitionByRange(4, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id")
+        .write.mode("overwrite").parquet(s"$out/compact")
+      out
+    })
+
+  private val compactMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  /** Corrupt-record quarantine on the read path: a staged JSON-lines
+    * batch carries deliberately-broken rows (every 7th record — the
+    * malformed-producer reality of any external feed); a PERMISSIVE read
+    * with `columnNameOfCorruptRecord` lands them in a quarantine column
+    * instead of failing the job or silently dropping them. The aggregate
+    * accounts for every input row: valid rows group by their parsed
+    * lang, corrupt rows surface as the NULL-lang bucket with their raw
+    * payloads countable for replay. Map-only over the feed at any scale. */
+  def jsonQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.create("graft_quarantine_")
+    Tables.documents(spark, dir)
+      .select(when(col("doc_id") % 7 === 0,
+          concat(lit("{broken!"), col("lang")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read
+      .schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        coalesce(sum("doc_id"), lit(0L)).as("sum_ids"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): chosen group combos. */
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
@@ -259,6 +325,8 @@ object Relational {
     "sink_roundtrip" -> sinkRoundtrip,
     "sink_partitioned" -> sinkPartitioned,
     "schema_evolution" -> schemaEvolution,
+    "compact_files" -> compactFiles,
+    "json_quarantine" -> jsonQuarantine,
     "scan_project" -> scanProject,
     "filter_pred" -> filterPred,
     "flatmap_tokens" -> flatmapTokens,
@@ -310,6 +378,16 @@ object Relational {
         "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, " +
         "CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "compact_files" ->
+      ("SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "json_quarantine" ->
+      ("SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang, " +
+        "count(*) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS sum_ids " +
+        "FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST"),
     "grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +

@@ -79,4 +79,30 @@ class SinkSpec extends SparkSpec {
     val want = Tables.documents(spark, sf).filter($"lang" === "en").count()
     assert(q.count() == want)
   }
+
+  test("compact_files: compaction collapses the file count without changing rows") {
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val root = graft.operators.Relational.compactRoot(spark, sf)
+    val fragFiles = parquetFiles(s"$root/frag")
+    val compactFiles = parquetFiles(s"$root/compact")
+    val rows = Tables.documents(spark, sf).count()
+    // 50-record cap fragments the corpus into >> 4 files
+    assert(fragFiles >= (rows / 50).toInt,
+      s"expected >=${rows / 50} fragment files, got $fragFiles")
+    assert(compactFiles <= 4, s"expected <=4 compacted files, got $compactFiles")
+    assert(compactFiles < fragFiles)
+    assert(spark.read.parquet(s"$root/compact").count() == rows)
+  }
+
+  test("json_quarantine: corrupt payloads are retained verbatim for replay") {
+    val df = graft.operators.Relational.jsonQuarantine(spark, sf)
+    val corrupt = df.filter($"lang".isNull).select("n", "n_quarantined")
+      .as[(Long, Long)].collect()
+    assert(corrupt.length == 1)
+    // every NULL-lang row is quarantined, none slipped through as parsed
+    assert(corrupt.head._1 == corrupt.head._2)
+    val expected = Tables.documents(spark, sf).filter($"doc_id" % 7 === 0).count()
+    assert(corrupt.head._1 == expected)
+  }
 }
