@@ -15,6 +15,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
     "Relational" -> operators.Relational.queries.keySet,
     "MrQueries" -> operators.MrQueries.queries.keySet,
     "Analytics" -> operators.Analytics.queries.keySet,
+    "TpcH2" -> operators.TpcH2.queries.keySet,
     "AdvancedSql" -> operators.AdvancedSql.queries.keySet,
     "EventAnalytics" -> operators.EventAnalytics.queries.keySet,
     "Graph" -> operators.Graph.queries.keySet,
