@@ -503,32 +503,46 @@ object TextAnalysis {
 
   /** Per-document character-level Shannon entropy (nats) — the
     * low-entropy screen that catches boilerplate/garbage text a length
-    * gate misses. Determinism across engines is BIT-EXACT, not
-    * tolerance-based: H = ln(n) − (Σ cnt·ln(cnt))/n is evaluated as a
-    * left fold over the per-char counts in sorted char order on BOTH
-    * engines (Spark `aggregate` over a sorted struct array; DuckDB
-    * `list_reduce` over a `list(... ORDER BY c)`), and Java's Math.log
-    * matches libm/DuckDB ln bit-for-bit on every integer count (verified
-    * 1..5000) — identical operand order + identical primitive ops ⇒
-    * identical doubles. Corpus pass is one partial+final count aggregate;
-    * the fold runs over ≤|alphabet| entries per doc. */
-  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val cnts = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
-      .filter(length(col("c")) > 0)
-      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
-    cnts.groupBy("doc_id")
-      .agg(sum("cnt").as("n_chars_counted"),
-        count(lit(1)).cast("int").as("n_distinct"),
-        array_sort(collect_list(struct(col("c"),
-          col("cnt").cast("double").as("cnt")))).as("cl"))
+    * gate misses.
+    *
+    * Scale shape: entropy is a PER-DOCUMENT quantity, so no char ever
+    * crosses the wire — the per-char counts are run lengths of the
+    * row-locally sorted char array (boundary positions via one `filter`
+    * over indices, run lengths as boundary deltas), and the whole
+    * operator is map-only until the final output sort. The obvious
+    * explode → groupBy(doc_id, char) formulation shuffles one row per
+    * CHARACTER — corpus bytes × 1 exchange rows at 100 TB, for a value
+    * each row can compute alone.
+    *
+    * Determinism across engines is BIT-EXACT, not tolerance-based:
+    * H = ln(n) − (Σ cnt·ln(cnt))/n is evaluated as a left fold over the
+    * counts in ascending char order on BOTH engines (run lengths of a
+    * sorted array are char-ordered by construction; DuckDB folds a
+    * `list(... ORDER BY c)`), and Java's Math.log matches libm/DuckDB
+    * `ln` bit-for-bit on every integer count (verified 1..5000) —
+    * identical operand order + identical primitive ops ⇒ identical
+    * doubles. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_sort(filter(split(col("text"), ""), c => length(c) > 0)).as("cs"))
+      .select(col("doc_id"), col("cs"), size(col("cs")).as("n"),
+        filter(sequence(lit(1), size(col("cs"))),
+          i => (i === 1) || element_at(col("cs"), i) =!=
+            element_at(col("cs"), i - 1)).as("starts"))
+      .select(col("doc_id"), col("n"), col("starts"),
+        concat(col("starts"), array(col("n") + 1)).as("bounds"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_chars_counted"),
+        size(col("starts")).as("n_distinct"),
+        transform(sequence(lit(1), size(col("starts"))),
+          j => (element_at(col("bounds"), j + 1) -
+            element_at(col("bounds"), j)).cast("double")).as("runs"))
       .select(col("doc_id"), col("n_chars_counted"), col("n_distinct"),
         round(log(col("n_chars_counted").cast("double")) -
-          aggregate(col("cl"), lit(0.0),
-            (acc, x) => acc + x.getField("cnt") * log(x.getField("cnt"))) /
+          aggregate(col("runs"), lit(0.0), (acc, r) => acc + r * log(r)) /
             col("n_chars_counted"), 6).as("ent_nats"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_e2e" -> pipelineE2e,
