@@ -186,7 +186,52 @@ object AdvancedSql {
       .orderBy("tier")
   }
 
+  /** Co-located join over BUCKETED tables — the pay-the-shuffle-once
+    * strategy for a recurring 100 TB fact-fact join: both sides are
+    * written `bucketBy(8, orderkey).sortBy(orderkey)` into external
+    * catalog tables (one-time, memoized per session+dataset), after
+    * which every join on the bucket key reads bucket files directly —
+    * SortMergeJoin with ZERO exchanges before the join (asserted with
+    * broadcast disabled in BucketingSpec; here the production config
+    * stays untouched). The oracle runs the identical join from the raw
+    * parquet — green iff bucketed layout changed nothing but the plan. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    bucketedTablesFor(spark, dir)
+    spark.table("graft_b_lineitem")
+      .join(spark.table("graft_b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+      .orderBy("o_orderstatus", "l_returnflag")
+  }
+
+  /** One-time bucketed ingest of orders+lineitem on the join key, into
+    * process-private external paths (catalog names are fixed; the memo
+    * prevents a rewrite per consuming query). */
+  def bucketedTablesFor(spark: SparkSession, dir: String): Unit =
+    bucketMemo.getOrElseUpdate((spark, dir), {
+      val root = graft.sources.TempDirs.create("graft_bucketed_")
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      Tables.orders(spark, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders")
+        .mode("overwrite").saveAsTable("graft_b_orders")
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem")
+        .mode("overwrite").saveAsTable("graft_b_lineitem")
+      ()
+    })
+
+  private val bucketMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> bucketedJoin,
     "window_lag_lead" -> windowLagLead,
     "string_agg_langs" -> stringAggLangs,
     "histogram_prices" -> histogramPrices,
@@ -200,6 +245,11 @@ object AdvancedSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "bucketed_join" ->
+      ("SELECT o_orderstatus, l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus, l_returnflag ORDER BY o_orderstatus, l_returnflag"),
     "window_lag_lead" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, " +
         "lag(o_totalprice, 1) OVER w AS prev_price, " +

@@ -126,6 +126,30 @@ object TextAnalysis {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Mixture resampling to a uniform language target: every language is
+    * hash-downsampled to the minority language's expected count — the
+    * data-mixing step that turns a skewed crawl into the training
+    * mixture, run as one decision per row. Mechanics: per-lang counts
+    * broadcast back (≤|langs| rows), then a salted keyed hash u ∈
+    * [0, 2³²) accepts a doc iff u·n_l < n_min·2³² — the cross-multiplied
+    * EXACT integer form of P(keep) = n_min/n_l, so no float ratio sits
+    * on an acceptance boundary and reruns/appends decide identically
+    * (same keyed-hash stability argument as splitAssign). Corpus pass is
+    * map-only; emits every doc's verdict so the oracle audits decisions,
+    * not just totals. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val nMin = counts.agg(min(col("n_l")).as("n_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nMin))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("graft-mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") * col("n_l") < col("n_min") * lit(4294967296L))
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language quality gate: keep the better half of each language's
     * documents by quality score — the curation step between scoring and
     * training. Rank-based selection (2·rank ≤ count, ties broken by
@@ -562,6 +586,7 @@ object TextAnalysis {
     "repetition_ratio" -> repetitionRatio,
     "stratified_sample" -> stratifiedSample,
     "mixture_weights" -> mixtureWeights,
+    "mixture_resample" -> mixtureResample,
     "doc_fingerprint" -> docFingerprint,
   )
 
@@ -678,6 +703,12 @@ object TextAnalysis {
         "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn, " +
         "count(*) OVER (PARTITION BY lang) AS cnt FROM q) " +
         "SELECT doc_id, lang, quality FROM r WHERE rn * 2 <= cnt ORDER BY doc_id"),
+    "mixture_resample" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang), " +
+        "m AS (SELECT min(n_l) AS n_min FROM c) " +
+        "SELECT doc_id, d.lang, " +
+        "CAST('0x' || substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * n_l < n_min * 4294967296 AS kept " +
+        "FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m ORDER BY doc_id"),
     "split_assign" ->
       ("SELECT doc_id, bucket, CASE WHEN bucket < 96 THEN 'train' " +
         "WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split FROM " +

@@ -50,4 +50,21 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("bucketed_join query plan reads buckets directly (no join-side exchange)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.operators.AdvancedSql.bucketedJoin(spark, sf)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      // only the groupBy and the output sort above the join may exchange
+      val joinExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("l_orderkey") || l.contains("o_orderkey")))
+      assert(joinExchanges == 0, s"join inputs should read buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

@@ -95,6 +95,27 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/compact").count() == rows)
   }
 
+  test("mixture_resample: minority lang keeps all; majority langs land near the target") {
+    val rows = graft.operators.TextAnalysis.mixtureResample(spark, sf)
+      .as[(Long, String, Boolean)].collect()
+    val byLang = rows.groupBy(_._2)
+    val counts = byLang.view.mapValues(_.length).toMap
+    val nMin = counts.values.min
+    val minLang = counts.minBy(_._2)._1
+    // p = 1 for the minority language: every doc kept, deterministically
+    assert(byLang(minLang).forall(_._3))
+    byLang.foreach { case (lang, docs) =>
+      val kept = docs.count(_._3)
+      val sigma = math.sqrt(nMin.toDouble)
+      assert(math.abs(kept - nMin) <= math.max(5 * sigma, 5.0),
+        s"$lang kept $kept, target $nMin")
+    }
+    // keyed hash: decisions are identical under any partitioning
+    val again = graft.operators.TextAnalysis.mixtureResample(spark, sf)
+      .repartition(7).as[(Long, String, Boolean)].collect().toSet
+    assert(again == rows.toSet)
+  }
+
   test("json_quarantine: corrupt payloads are retained verbatim for replay") {
     val df = graft.operators.Relational.jsonQuarantine(spark, sf)
     val corrupt = df.filter($"lang".isNull).select("n", "n_quarantined")
