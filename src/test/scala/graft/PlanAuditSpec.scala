@@ -71,4 +71,30 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Analytics.modeAgg(spark, sf))
     assert(!p.contains("Window"), s"mode_agg regressed to a window plan:\n$p")
   }
+
+  test("char_entropy is map-only: no hash exchange, no aggregate, no window") {
+    // entropy is per-document; a hashpartitioning exchange means the
+    // explode+groupBy formulation crept back (one shuffle row per CHAR)
+    val p = plan(graft.operators.TextAnalysis.charEntropy(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      s"char_entropy shuffles per-char rows again:\n$p")
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      s"char_entropy grew an aggregate/window:\n$p")
+  }
+
+  test("topn_agg is a partial+final object aggregate (k-row buffers cross the wire)") {
+    val p = plan(graft.operators.EventAnalytics.topnAgg(spark, sf))
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial and final typed aggregates:\n$p")
+    assert(!p.contains("Window"), s"topn_agg regressed to a window plan:\n$p")
+  }
+
+  test("q17's per-part average is decorrelated into a join, not re-scanned or windowed") {
+    val p = plan(graft.operators.TpcH2.q17SmallQtyRevenue(spark, sf))
+    assert(!p.contains("Window"), s"q17 grew a window:\n$p")
+    // one grouped-stats side joined back: at most one scan pair of
+    // lineitem beyond the stats branch (no per-row re-scan)
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      s"q17 re-scans its inputs more than the decorrelated shape needs:\n$p")
+  }
 }
