@@ -96,9 +96,14 @@ object Similarity {
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    clustersMemo.values.foreach { df =>
+      try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     pairsMemo.clear()
     indexMemo.clear()
     incrMemo.clear()
+    clustersMemo.clear()
   }
 
   def scoredLshPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -421,7 +426,33 @@ object Similarity {
       .orderBy("src", "rn")
   }
 
+  /** Semantic clusters: connected components over the cosine near-dup
+    * graph (edges = memoized LSH candidates with cos ≥ 0.3, the SemTau
+    * convention). Labels come from the same hooking + pointer-doubling
+    * loop the text-dedup chain uses (`Dedup.connectedComponents` —
+    * O(log diameter) checkpointed rounds, O(1) plan size); vectors with
+    * no admitted edge stay singleton clusters of themselves via one
+    * left join. The composition IS the point: candidate generation,
+    * exact verification, and graph contraction are each already
+    * oracle-gated — this row gates their interplay end-to-end. */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clustersMemo.getOrElseUpdate((spark, dir), {
+      val edges = scoredLshPairs(spark, dir)
+        .filter(col("cos") >= 0.3).select(col("id1"), col("id2"))
+      Dedup.connectedComponents(edges)
+    })
+    emb(spark, dir).select(col("vec_id"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  private val clustersMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
     "embed_quantize" -> embedQuantize,
     "cosine_topk" -> cosineTopk,
@@ -539,6 +570,15 @@ object Similarity {
         s"FROM (SELECT vec_id, $toDoubleSql AS v FROM embeddings) ORDER BY vec_id"),
     "ann_lsh_pairs" ->
       s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored ORDER BY id1, id2",
+    "embed_clusters" ->
+      (s"WITH RECURSIVE $bandedPairsCtesSql, " +
+        "fedges AS (SELECT id1, id2 FROM scored WHERE cos >= 0.3), " +
+        "gedges AS (SELECT id1 AS id, id2 AS nbr FROM fedges UNION SELECT id2, id1 FROM fedges), " +
+        "reach AS (SELECT id, nbr AS r FROM gedges " +
+        "UNION SELECT e.id, r.r FROM gedges e JOIN reach r ON e.nbr = r.id), " +
+        "lbl AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id) " +
+        "SELECT vec_id, COALESCE(lbl.cl, vec_id) AS cluster_id " +
+        "FROM embeddings LEFT JOIN lbl ON vec_id = lbl.id ORDER BY vec_id"),
     "knn_graph" ->
       (s"WITH $bandedPairsCtesSql, " +
         "sym AS (SELECT id1 AS src, id2 AS dst, cos FROM scored " +

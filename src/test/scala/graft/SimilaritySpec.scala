@@ -164,6 +164,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed_clusters: edges stay within clusters; labels are member minima") {
+    val labels = graft.operators.Similarity.embedClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val edges = graft.operators.Similarity.annLshPairs(spark, sf)
+      .filter($"cos" >= 0.3).select($"id1", $"id2").as[(Long, Long)].collect()
+    // every vector is labeled, every admitted edge joins equal labels
+    assert(labels.size == graft.sources.Tables.embeddings(spark, sf).count())
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) crosses clusters")
+    }
+    // the label of each cluster is its smallest member id
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster $cl min is ${members.keys.min}")
+    }
+  }
+
   test("knn_graph: <=3 ranked neighbors per node, drawn from the candidate pairs") {
     val knn = graft.operators.Similarity.knnGraph(spark, sf)
       .as[(Long, Long, Double, Int)].collect()
