@@ -159,6 +159,57 @@ object StreamingBridge {
     spark.table(name).orderBy("hour")
   }
 
+  /** Streaming dead-letter quarantine — json_quarantine's streaming
+    * twin, the split every production ingest stream runs: a text feed
+    * carrying deliberately-broken rows (every 7th) is parsed with
+    * `from_json` (corrupt → NULL struct), and ONE `foreachBatch` routes
+    * each micro-batch to two sinks — parsed rows to the silver parquet
+    * table, unparseable payloads verbatim to a dead-letter table for
+    * replay. Neither failure mode stops the stream nor drops a row: the
+    * final accounting (parsed langs + the NULL-lang quarantine bucket)
+    * must reconcile against the batch oracle over the ORIGINAL corpus,
+    * so a swallowed row anywhere breaks the hash. Split + both writes
+    * are stateless map work at any scale; the feed is staged across 3
+    * files read one per trigger, so routing also survives real
+    * micro-batch boundaries. */
+  def streamQuarantineEq(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TempDirs.create("graft_stream_quar_")
+    Tables.documents(spark, dir)
+      .select(when(col("doc_id") % 7 === 0,
+          concat(lit("{broken!"), col("lang")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+        .as("value"))
+      .repartition(3)
+      .write.mode("overwrite").text(s"$root/feed")
+    val parsed = spark.readStream
+      .option("maxFilesPerTrigger", 1).text(s"$root/feed")
+      .select(col("value"),
+        from_json(col("value"),
+          StructType.fromDDL("doc_id LONG, lang STRING")).as("j"))
+    val q = parsed.writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // Route on one row-local predicate, inverted for the good side —
+        // two map-only writes, no set-op shuffle inside the hot loop.
+        val isBad = col("j").isNull || col("j.doc_id").isNull
+        batch.filter(isBad).select("value")
+          .write.mode("append").text(s"$root/dead")
+        batch.filter(!isBad).select("j.doc_id", "j.lang")
+          .write.mode("append").parquet(s"$root/good")
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val good = spark.read.parquet(s"$root/good")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), lit(0L).as("n_quarantined"),
+        sum("doc_id").as("sum_ids"))
+    val dead = spark.read.text(s"$root/dead")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(null).cast("string").as("lang"), col("n"),
+        col("n").as("n_quarantined"), lit(0L).as("sum_ids"))
+    good.unionByName(dead).orderBy(asc_nulls_first("lang"))
+  }
+
   /** Streaming hourly aggregation through `foreachBatch` — the
     * operational escape hatch for sinks Spark has no connector for
     * (OLTP upserts, search indexes, feature stores). Complete mode +
@@ -409,11 +460,18 @@ object StreamingBridge {
     "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
     "stream_join_eq" -> streamJoinEq,
     "stream_left_join_eq" -> streamLeftJoinEq,
+    "stream_quarantine_eq" -> streamQuarantineEq,
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
   // and batch must produce the same answer over the same finite input.
   val oracle: Map[String, String] = Map(
+    "stream_quarantine_eq" ->
+      ("SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang, " +
+        "count(*) AS n, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS sum_ids " +
+        "FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST"),
     "stream_latest_eq" ->
       ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +
         "(SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id, " +
