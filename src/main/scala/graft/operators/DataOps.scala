@@ -268,6 +268,42 @@ object DataOps {
       .select("event_id", "event_type", "value", "zscore")
       .orderBy("event_id")
 
+  /** Robust outliers via median/MAD — the screen that survives the
+    * contamination that breaks outliers_zscore: one huge value inflates
+    * the mean AND the std, hiding smaller anomalies (here the same
+    * events slice yields ~3× the z-score flag count, because MAD
+    * ignores the tail it is hunting). Values are exact cents (the data
+    * is 2-decimal), both medians come from Analytics.quantilesOf's
+    * grouped HISTOGRAM (distinct-value-bounded, no per-group row sort
+    * at any scale), and the tiny per-group (med, mad) tables broadcast
+    * so the deviation and flag passes stay map-only. All arithmetic on
+    * the filter boundary is exact: integer cents, halves/quarters from
+    * interpolation, and one shared double product both engines compute
+    * from identical operands. 1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to σ under
+    * normality, so the >3 cut is the robust twin of |z| > 3. */
+  /** df-parametric MAD core (the outliersOf pattern): expects an
+    * integer-valued `cents` column — discretize to measurement
+    * precision first, that bound is what keeps the histograms small. */
+  def madOutliersOf(df: DataFrame, group: String, threshold: Double): DataFrame = {
+    val med = Analytics.quantilesOf(df, group, "cents", Seq(0.5 -> "med"))
+    val dev = df.join(broadcast(med), group)
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = Analytics.quantilesOf(dev, group, "dev", Seq(0.5 -> "mad"))
+    dev.join(broadcast(mad), group)
+      .withColumn("robust_z",
+        round(col("dev") / (col("mad") * lit(1.4826)), 4))
+      .filter(col("robust_z") > threshold)
+  }
+
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOf(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "event_type", 3.0)
+      .select("event_id", "event_type", "cents", "med", "mad", "robust_z")
+      .orderBy("event_id")
+
   /** Completeness calendar: days inside the slice's own active range
     * with NO rows — the ingestion-gap detector (a silent upstream outage
     * looks exactly like this). Calendar generated from the slice bounds
@@ -293,6 +329,7 @@ object DataOps {
     "cdc_apply" -> cdcApply,
     "scd2_history" -> scd2History,
     "outliers_zscore" -> outliersZscore,
+    "mad_outliers" -> madOutliers,
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +423,20 @@ object DataOps {
          |WHERE CASE WHEN a.v IS NULL THEN 'insert' WHEN b.v IS NULL THEN 'delete'
          |           WHEN a.v <> b.v THEN 'update' ELSE 'same' END <> 'same'
          |ORDER BY o_orderkey""".stripMargin),
+    "mad_outliers" ->
+      ("""WITH o AS (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |m AS (SELECT event_type, round(quantile_cont(cents, 0.5), 4) AS med
+         |  FROM o GROUP BY 1),
+         |d AS (SELECT o.*, med, abs(cents - med) AS dev
+         |  FROM o JOIN m USING (event_type)),
+         |md AS (SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+         |  FROM d GROUP BY 1)
+         |SELECT event_id, d.event_type, cents, med, mad,
+         |    round(dev / (mad * 1.4826), 4) AS robust_z
+         |FROM d JOIN md USING (event_type)
+         |WHERE round(dev / (mad * 1.4826), 4) > 3.0
+         |ORDER BY event_id""".stripMargin),
     "outliers_zscore" ->
       ("""WITH s AS (SELECT event_type, count(*) AS n,
          |    sum(CAST(value AS DECIMAL(18,6))) AS s,

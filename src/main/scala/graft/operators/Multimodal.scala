@@ -235,7 +235,30 @@ object Multimodal {
       .filter(col("n_docs") > 1)
       .orderBy("frame_md5")
 
+  /** CAS retention GC: after a delete pass retires documents (the
+    * `% 10` delta convention shared with dedup_incremental), find the
+    * stored objects NO live document references any more — per shard,
+    * how many orphans and how many bytes a sweep reclaims. This is the
+    * mark phase of content-addressed garbage collection, and it is one
+    * grouped aggregate over (digest, liveness): payload bytes never
+    * move, reference liveness folds map-side, and the orphan set —
+    * not the store — bounds the output. A digest survives iff ANY
+    * referrer is live, so correctness is per-group `sum(live)=0`, not
+    * a row filter. */
+  def casOrphans(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(asMedia(spark, dir)).toDF()
+      .groupBy("digest")
+      .agg(max(col("n_bytes")).as("n_bytes"),
+        sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L))
+          .as("live_refs"))
+      .filter(col("live_refs") === 0)
+      .groupBy(substring(col("digest"), 1, 1).as("shard"))
+      .agg(count(lit(1)).as("n_orphans"),
+        sum(col("n_bytes")).as("reclaimed_bytes"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cas_orphans" -> casOrphans,
     "frame_dedup" -> frameDedup,
     "multimodal_meta" -> multimodalMeta,
     "frame_sample" -> frameSample,
@@ -248,6 +271,13 @@ object Multimodal {
   // Oracle: text is ASCII, so byte arithmetic == char arithmetic and
   // md5(blob) == md5(text) — the stub's behavior is fully SQL-expressible.
   val oracle: Map[String, String] = Map(
+    "cas_orphans" ->
+      ("SELECT substr(digest, 1, 1) AS shard, count(*) AS n_orphans, " +
+        "CAST(sum(n_bytes) AS BIGINT) AS reclaimed_bytes FROM " +
+        "(SELECT md5(text) AS digest, CAST(max(len(text)) AS BIGINT) AS n_bytes, " +
+        "sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS live_refs " +
+        "FROM documents GROUP BY md5(text)) " +
+        "WHERE live_refs = 0 GROUP BY 1 ORDER BY shard"),
     "multimodal_meta" ->
       ("SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
         "CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width, " +

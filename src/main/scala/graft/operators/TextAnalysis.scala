@@ -424,6 +424,37 @@ object TextAnalysis {
         least(lit(64), col("n_tokens") - col("start_tok")).as("chunk_len"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Span-level cross-document dedup: 64-token chunks (stride 32, the
+    * docChunking grid) that appear verbatim in MORE THAN ONE document,
+    * with occurrence counts and the canonical (smallest) owner — the
+    * pass that catches boilerplate/license blocks/shared intros that
+    * survive whole-document dedup because the surrounding text differs
+    * (Lee et al.'s span dedup, on the chunk grid instead of suffix
+    * arrays). Chunk text and its digest are row-local; only the
+    * 16-byte digest + doc_id ride the shuffle — the frameDedup shape
+    * applied to text. Output is bounded by the duplicated-span count,
+    * not the corpus. */
+  /** df-parametric core: (doc_id, text) → shared-chunk rows. */
+  def chunkDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(32))).as("s"),
+        col("tk"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("tk"), col("s") + 1, lit(64)), " "))
+          .as("chunk_fp"))
+      .groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_fp")
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(Tables.documents(spark, dir))
+
   /** Misra-Gries heavy hitters with a VERIFIED error bound. Each
     * partition keeps k=16 counters in one pass (classic MG: new key on a
     * full map decrements every counter, zeros evicted); partial summaries
@@ -568,8 +599,41 @@ object TextAnalysis {
             col("n_chars_counted"), 6).as("ent_nats"))
       .orderBy("doc_id")
 
+  /** Collocation mining — the word2phrase pass that promotes frequent
+    * bigrams ("new york") to single tokens before embedding training:
+    * score = (c_xy − δ)·N / (c_x·c_y) with discount δ=5, kept as a
+    * SCALED INTEGER (ppm, floor division) so no float log/division sits
+    * on the rank or filter boundary cross-engine. Unigram and bigram
+    * counts are map-side-combinable aggregates; the score join keys on
+    * words (vocab-sized, not corpus-sized) and the one-row token total
+    * is broadcast. Top-50 by (score, w1, w2) is a TakeOrdered — no
+    * global sort of the vocab. */
+  def phraseDetect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).select(toks.as("tk"))
+    val uni = t.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = t.filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val total = uni.agg(sum(col("c")).as("n_tokens"))
+    bi.filter(col("c_xy") > 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("(1000000L * (c_xy - 5) * n_tokens) div (c1 * c2)")
+          .as("score_ppm"))
+      .orderBy(desc("score_ppm"), col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_e2e" -> pipelineE2e,
+    "chunk_dedup" -> chunkDedup,
+    "phrase_detect" -> phraseDetect,
     "dup_gram_fraction" -> dupGramFraction,
     "char_entropy" -> charEntropy,
     "heavy_hitters" -> heavyHitters,
@@ -601,6 +665,24 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "chunk_dedup" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "ch AS (SELECT doc_id, md5(array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')) AS chunk_fp " +
+        "FROM t, UNNEST(CASE WHEN len(tk) > 0 THEN range(0, len(tk), 32) ELSE [] END) AS u(s)) " +
+        "SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences, " +
+        "min(doc_id) AS canonical_doc FROM ch GROUP BY chunk_fp " +
+        "HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk_fp"),
+    "phrase_detect" ->
+      (s"WITH t AS (SELECT $toksSql AS tk FROM documents), " +
+        "uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni), " +
+        "bi AS (SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2, count(*) AS c_xy " +
+        "FROM t, UNNEST(CASE WHEN len(tk) >= 2 THEN range(1, len(tk)) ELSE [] END) AS u(i) GROUP BY 1, 2) " +
+        "SELECT w1, w2, c_xy, " +
+        "CAST((1000000 * (c_xy - 5) * n_tokens) // (c1 * c2) AS BIGINT) AS score_ppm FROM " +
+        "(SELECT bi.w1, bi.w2, bi.c_xy, u1.c AS c1, u2.c AS c2 FROM bi " +
+        "JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w WHERE bi.c_xy > 5) " +
+        "CROSS JOIN tot ORDER BY score_ppm DESC, w1, w2 LIMIT 50"),
     "dup_gram_fraction" ->
       (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
         "grams AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g " +

@@ -40,4 +40,37 @@ class DataOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got === Set(100L, 200L))
   }
+
+  test("madOutliersOf flags the planted point and survives contamination outliersOf misses") {
+    // Group "a": grid 1000..1004 (mad = 1) plus one wild point. Group "b":
+    // FIFTEEN wild points — past the z-score breakdown point (a cluster of
+    // k > n/10 identical outliers has z ≈ √((n−k)/k) < 3, so the moment
+    // screen swallows its own target), while med/mad barely move.
+    val a = (1 to 99).map(i => (i.toLong, "a", 1000L + (i % 5))) :+ (100L, "a", 999999L)
+    val b = (101 to 185).map(i => (i.toLong, "b", 2000L + (i % 5))) ++
+      (186 to 200).map(i => (i.toLong, "b", 5000000L))
+    val df = spark.createDataset(a ++ b).toDF("event_id", "grp", "cents")
+    val got = DataOps.madOutliersOf(df, "grp", 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === ((186L to 200L).toSet + 100L))
+    // contamination check: the 5-point cluster drags the z-score screen
+    // under threshold for at least one planted point MAD still catches
+    val z = DataOps.outliersOf(df, "grp", col("cents"), Seq(col("event_id")), 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert((got -- z).nonEmpty, "MAD should catch points z-score misses here")
+  }
+
+  test("casOrphans: with all-unique payloads, orphans are exactly the retired docs") {
+    // precondition at sf0.001: no duplicate texts, so every digest has one
+    // referrer and the orphan set must equal the % 10 == 0 delete set.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dupTexts = docs.groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    assert(dupTexts === 0L, "test precondition: sf0.001 corpus has unique texts")
+    val retired = docs.filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")))
+      .as[(Long, Long)].head()
+    val got = graft.operators.Multimodal.casOrphans(spark, sf)
+      .agg(sum("n_orphans"), sum("reclaimed_bytes")).as[(Long, Long)].head()
+    assert(got === retired)
+  }
 }

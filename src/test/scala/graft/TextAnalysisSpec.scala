@@ -76,4 +76,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dupByDoc(2L) == 1L)
     assert(dupByDoc(3L) == 0L)
   }
+
+  test("chunkDedupOf flags exactly the shared 64-token chunk on a controlled corpus") {
+    // doc 1 and doc 2 share their first 64 tokens (chunk start 0); their
+    // start-32 chunks differ (doc 2's tail diverges); doc 3 is unrelated.
+    val shared = (1 to 64).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (65 to 80).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (65 to 80).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 80).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDedupOf(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 1, s"expected one shared chunk, got ${got.toSeq}")
+    val (_, nDocs, nOcc, canonical) = got.head
+    assert(nDocs == 2 && nOcc == 2 && canonical == 1L)
+  }
+
+  test("phraseDetect: 50 rows, ranked, min-count honored, head score recomputable") {
+    val rows = TextAnalysis.phraseDetect(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.length == 50)
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
+      "score_ppm must be non-increasing")
+    assert(rows.forall(_._3 > 5), "min-count c_xy > 5 must hold")
+    // independent recount of the head row's ingredients
+    val (w1, w2, cxy, score) = rows.head
+    val tk = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+    val n = tk.count()
+    val c1 = tk.filter($"w" === w1).count()
+    val c2 = tk.filter($"w" === w2).count()
+    val cxyRef = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .filter($"b.w1" === w1 && $"b.w2" === w2)
+      .count()
+    assert(cxyRef == cxy)
+    assert(score == 1000000L * (cxy - 5) * n / (c1 * c2))
+  }
 }
