@@ -683,7 +683,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Train/eval leakage matrix: verified near-dup pairs bucketed by the
+    * (split, split) cell their endpoints land in — the check that
+    * decontaminate can't do, because the leak here is NEAR-duplication
+    * across the pipeline's OWN split boundary (an eval doc whose
+    * near-twin sits in train inflates the benchmark silently; exact
+    * dedup misses it, and benchmark decontamination only guards
+    * external suites). Composes two memoized stages: the LSH→verify
+    * candidate pairs (sub-quadratic, candidate-bounded) joined to the
+    * hash-derived split labels (row-local, deterministic, the
+    * split_assign function) — the join keys on doc ids and the output
+    * is the ≤9-cell matrix, so beyond the shared verify stage this
+    * costs one vocab-free broadcast-sized pass at any corpus size. A
+    * cell is a leak iff it is off-diagonal with verified dups in it. */
+  def crossSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextAnalysis.splitAssign(spark, dir).select("doc_id", "split")
+    verifiedCandidates(spark, dir)
+      .join(s.select(col("doc_id").as("id1"), col("split").as("split1")), "id1")
+      .join(s.select(col("doc_id").as("id2"), col("split").as("split2")), "id2")
+      .groupBy("split1", "split2")
+      .agg(count(lit(1)).as("n_candidates"), sum(col("is_dup")).as("n_dups"))
+      .withColumn("is_leak",
+        (col("split1") =!= col("split2") && col("n_dups") > 0).cast("int"))
+      .orderBy("split1", "split2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cross_split_leakage" -> crossSplitLeakage,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "dedup_exact" -> dedupExact,
@@ -779,6 +805,20 @@ object Dedup {
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
     "dedup_minhash_lsh" ->
       s"WITH $lshCtesSql SELECT id1, id2 FROM cands ORDER BY id1, id2",
+    "cross_split_leakage" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "scored AS (SELECT id1, id2, CAST(inter * 6 >= tot AS INT) AS is_dup FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2)), " +
+        "sp AS (SELECT doc_id, CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, CAST('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b FROM documents)) " +
+        "SELECT split1, split2, n_candidates, n_dups, " +
+        "CAST(split1 <> split2 AND n_dups > 0 AS INT) AS is_leak FROM " +
+        "(SELECT s1.split AS split1, s2.split AS split2, count(*) AS n_candidates, " +
+        "CAST(sum(is_dup) AS BIGINT) AS n_dups FROM scored " +
+        "JOIN sp s1 ON id1 = s1.doc_id JOIN sp s2 ON id2 = s2.doc_id GROUP BY 1, 2) " +
+        "ORDER BY split1, split2"),
     "dedup_verify_candidates" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +

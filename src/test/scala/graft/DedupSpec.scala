@@ -110,4 +110,16 @@ class DedupSpec extends SparkSpec {
       assert(byFp(fpOf(id)) < id, s"doc $id marked dup_exact without an earlier holder")
     }
   }
+
+  test("crossSplitLeakage matrix accounts for every verified candidate pair") {
+    val cells = Dedup.crossSplitLeakage(spark, sf)
+      .as[(String, String, Long, Long, Int)].collect()
+    val pairs = Dedup.dedupVerifyCandidates(spark, sf).count()
+    assert(cells.map(_._3).sum === pairs, "cell counts must cover all candidate pairs")
+    cells.foreach { case (s1, s2, n, nDups, isLeak) =>
+      assert(nDups <= n)
+      assert(isLeak === (if (s1 != s2 && nDups > 0) 1 else 0),
+        s"cell ($s1,$s2) leak flag inconsistent")
+    }
+  }
 }
