@@ -177,7 +177,8 @@ object Dedup {
     * md5-derived long sets (identical on both engines, cheap to shuffle).
     */
   def dedupVerifyCandidates(spark: SparkSession, dir: String): DataFrame =
-    verifiedCandidates(spark, dir).orderBy("id1", "id2")
+    verifiedCandidates(spark, dir)
+      .select("id1", "id2", "jaccard", "is_dup").orderBy("id1", "id2")
 
   /** Memoized verify stage: LSH candidates scored with exact Jaccard,
     * computed once per (session, dataset) and persisted — every chain
@@ -198,8 +199,9 @@ object Dedup {
         .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
         .select(col("id1"), col("id2"),
           size(array_intersect(col("g1"), col("g2"))).as("inter"),
-          (col("sz1") + col("sz2")).as("tot"))
-        .select(col("id1"), col("id2"),
+          (col("sz1") + col("sz2")).as("tot"),
+          least(col("sz1"), col("sz2")).as("sz_min"))
+        .select(col("id1"), col("id2"), col("inter"), col("sz_min"),
           round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"),
           // integer threshold algebra: J = i/(tot−i) ≥ 0.2 ⟺ 6i ≥ tot
           (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
@@ -683,6 +685,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment on the verified candidate pairs:
+    * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication
+    * (a short doc quoted whole inside a long one) which symmetric
+    * Jaccard dilutes toward 0 as the size gap grows. Pure projection
+    * over the memoized verify stage (the intersection and sizes are
+    * already computed there), so the marginal cost is zero; the score
+    * stays a scaled integer and the ≥0.8 flag is the cross-multiplied
+    * form 5·inter ≥ 4·min, no float on a decision boundary. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    verifiedCandidates(spark, dir)
+      .select(col("id1"), col("id2"),
+        expr("(1000000L * inter) div sz_min").as("containment_ppm"),
+        (col("inter") * 5 >= col("sz_min") * 4).cast("int").as("is_contained"))
+      .orderBy("id1", "id2")
+
   /** Train/eval leakage matrix: verified near-dup pairs bucketed by the
     * (split, split) cell their endpoints land in — the check that
     * decontaminate can't do, because the leak here is NEAR-duplication
@@ -710,6 +727,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cross_split_leakage" -> crossSplitLeakage,
+    "dedup_containment" -> dedupContainment,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "dedup_exact" -> dedupExact,
@@ -819,6 +837,15 @@ object Dedup {
         "CAST(sum(is_dup) AS BIGINT) AS n_dups FROM scored " +
         "JOIN sp s1 ON id1 = s1.doc_id JOIN sp s2 ON id2 = s2.doc_id GROUP BY 1, 2) " +
         "ORDER BY split1, split2"),
+    "dedup_containment" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +
+        "SELECT id1, id2, CAST((1000000 * inter) // sz_min AS BIGINT) AS containment_ppm, " +
+        "CAST(inter * 5 >= sz_min * 4 AS INT) AS is_contained FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, " +
+        "least(len(g1.g), len(g2.g)) AS sz_min " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "ORDER BY id1, id2"),
     "dedup_verify_candidates" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +

@@ -111,6 +111,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard on every candidate pair; subset doc is fully contained") {
+    // C = i/min ≥ J = i/union always; equality iff the smaller set is a subset
+    val c = Dedup.dedupContainment(spark, sf)
+      .select("id1", "id2", "containment_ppm").as[(Long, Long, Long)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    val j = Dedup.dedupVerifyCandidates(spark, sf)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+    assert(j.nonEmpty)
+    j.foreach { case (a, b, jac) =>
+      assert(c((a, b)) >= math.floor(jac * 1e6).toLong - 1,
+        s"pair ($a,$b): containment ${c((a, b))} below jaccard $jac")
+    }
+  }
+
   test("crossSplitLeakage matrix accounts for every verified candidate pair") {
     val cells = Dedup.crossSplitLeakage(spark, sf)
       .as[(String, String, Long, Long, Int)].collect()
