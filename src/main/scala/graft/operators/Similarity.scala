@@ -451,7 +451,40 @@ object Similarity {
   private val clustersMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
+  /** ANN recall eval: for each query in the exact-top-k panel, the
+    * fraction of its TRUE top-5 cosine neighbors the banded-LSH
+    * candidate stage actually surfaces — the number that tells you
+    * whether the (bands, rowsPerBand) recall dial is set right before
+    * you trust the index at scale. Ground truth is the bounded query
+    * panel (brute force over a panel is the standard eval harness, not
+    * a production scan); candidates come from the MEMOIZED scored-pair
+    * stage, so the eval adds one panel-sized join to work the index
+    * already did. Recall is a scaled integer (ppm, floor division) —
+    * no float ratio in the output hash.
+    *
+    * Reading the number: THIS index is dialed for near-duplicate
+    * retrieval (16 shared planes ⇒ collisions concentrate at cos ≳
+    * 0.9), so against a random panel whose true top-5 sit near cos
+    * 0.3–0.5 the measured recall is honestly LOW — that is the report
+    * doing its job, telling you to add bands / shorten keys before
+    * using the same index for general k-NN. The IVF probe path
+    * (ivf_search) is the general-k-NN configuration. */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopk(spark, dir).select(col("qid"), col("vec_id"))
+    val pairs = scoredLshPairs(spark, dir).select("id1", "id2")
+    val cand = pairs.select(col("id1").as("qid"), col("id2").as("vec_id"))
+      .unionByName(pairs.select(col("id2").as("qid"), col("id1").as("vec_id")))
+      .filter(col("qid") < 10).distinct()
+    truth.join(cand.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("(1000000L * n_hit) div n_true"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> annRecallReport,
     "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
     "embed_quantize" -> embedQuantize,
@@ -570,6 +603,22 @@ object Similarity {
         s"FROM (SELECT vec_id, $toDoubleSql AS v FROM embeddings) ORDER BY vec_id"),
     "ann_lsh_pairs" ->
       s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored ORDER BY id1, id2",
+    "ann_recall_report" ->
+      (s"WITH $bandedPairsCtesSql, " +
+        "tq AS (SELECT vec_id AS qid, v AS qv FROM b WHERE vec_id < 10), " +
+        s"ts AS (SELECT qid, b.vec_id, round(${cosSql("qv", "b.v")}, 6) AS cos " +
+        "FROM b CROSS JOIN tq WHERE b.vec_id <> qid), " +
+        "tr AS (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM ts), " +
+        "truth AS (SELECT qid, vec_id FROM tr WHERE rn <= 5), " +
+        "cand AS (SELECT DISTINCT qid, vec_id FROM " +
+        "(SELECT id1 AS qid, id2 AS vec_id FROM p UNION ALL SELECT id2, id1 FROM p) " +
+        "WHERE qid < 10) " +
+        "SELECT t.qid, count(*) AS n_true, " +
+        "CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST((1000000 * sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_ppm " +
+        "FROM truth t LEFT JOIN cand c ON t.qid = c.qid AND t.vec_id = c.vec_id " +
+        "GROUP BY t.qid ORDER BY t.qid"),
     "embed_clusters" ->
       (s"WITH RECURSIVE $bandedPairsCtesSql, " +
         "fedges AS (SELECT id1, id2 FROM scored WHERE cos >= 0.3), " +

@@ -201,4 +201,27 @@ class SimilaritySpec extends SparkSpec {
       rows.foreach(r => assert(pairs.contains((r._1, r._2))))
     }
   }
+
+  test("annRecallReport: one row per panel query, hits bounded and consistent") {
+    val rows = Similarity.annRecallReport(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq,
+      "every panel query gets exactly one row, in order")
+    rows.foreach { case (qid, nTrue, nHit, ppm) =>
+      assert(nTrue == 5, s"qid $qid: panel truth must be top-5")
+      assert(nHit >= 0 && nHit <= nTrue)
+      assert(ppm == 1000000L * nHit / nTrue, s"qid $qid: ppm inconsistent")
+    }
+    // cross-check one query's hits against the candidate pair set
+    val pairSet = Similarity.annLshPairs(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    val truth = Similarity.cosineTopk(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val expectHits = truth.groupBy(_._1).view
+      .mapValues(_.count(t => pairSet.contains(t))).toMap
+    rows.foreach { case (qid, _, nHit, _) =>
+      assert(expectHits.getOrElse(qid, 0) == nHit, s"qid $qid hit count mismatch")
+    }
+  }
 }
