@@ -47,6 +47,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Classifier-eval confusion matrix for the language-ID heuristic:
+    * labeled × predicted counts plus a per-cell accuracy flag — the
+    * quality report any heuristic labeler ships with (precision/recall
+    * per language read straight off the matrix). One grouped count over
+    * langId's map-only scoring pass; output bounded by |langs|², never
+    * the corpus. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_correct",
+        (col("labeled_lang") === col("pred_lang")).cast("int"))
+      .orderBy("labeled_lang", "pred_lang")
+
   /** Shared doc-scoring stage: tokenize + quality signals, persisted once
     * per (session, dataset identity) — the same memo discipline as
     * Dedup.chainMemo. qualityScore reads it once, but qualityGate's
@@ -642,6 +656,7 @@ object TextAnalysis {
     "tfidf_top_terms" -> tfidfTopTerms,
     "lm_bigram_score" -> lmBigramScore,
     "lang_id" -> langId,
+    "lang_confusion" -> langConfusion,
     "quality_score" -> qualityScore,
     "quality_gate" -> qualityGate,
     "split_assign" -> splitAssign,
@@ -749,6 +764,19 @@ object TextAnalysis {
         "FROM bgw JOIN c_bg ON bgw.bg = c_bg.bg JOIN c_w1 ON bgw.w1 = c_w1.w1) " +
         "SELECT doc_id, count(*) AS n_bigrams, CAST(floor(sum(p) / count(*)) AS BIGINT) AS avg_p_scaled " +
         "FROM scored GROUP BY doc_id ORDER BY doc_id"),
+    "lang_confusion" ->
+      (s"WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents), " +
+        s"s AS (SELECT doc_id, labeled_lang, ${markersSql("en")} AS s_en, ${markersSql("es")} AS s_es, " +
+        s"${markersSql("de")} AS s_de, ${markersSql("fr")} AS s_fr FROM t), " +
+        "pred AS (SELECT labeled_lang, CASE " +
+        "WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
+        "WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en' " +
+        "WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es' " +
+        "WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de' " +
+        "ELSE 'fr' END AS pred_lang FROM s) " +
+        "SELECT labeled_lang, pred_lang, count(*) AS n, " +
+        "CAST(labeled_lang = pred_lang AS INT) AS is_correct FROM pred " +
+        "GROUP BY 1, 2 ORDER BY labeled_lang, pred_lang"),
     "lang_id" ->
       (s"WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS toks FROM documents), " +
         s"s AS (SELECT doc_id, labeled_lang, ${markersSql("en")} AS s_en, ${markersSql("es")} AS s_es, " +
