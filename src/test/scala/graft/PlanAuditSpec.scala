@@ -89,6 +89,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"topn_agg regressed to a window plan:\n$p")
   }
 
+  test("phrase_detect: top-50 is a TakeOrdered and the token total broadcasts") {
+    val p = plan(graft.operators.TextAnalysis.phraseDetect(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"phrase ranking became a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row token total not broadcast:\n$p")
+  }
+
+  test("chunk_dedup shuffles digests only: no join, one partial+final aggregate") {
+    val p = plan(graft.operators.TextAnalysis.chunkDedupOf(
+      graft.sources.Tables.documents(spark, sf)))
+    assert(!p.contains("Join"), s"chunk_dedup grew a join:\n$p")
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("chunk_fp#")),
+      s"expected only digest-keyed exchanges:\n$p")
+  }
+
+  test("mad_outliers joins its per-group stats by broadcast, never sort-merge") {
+    val p = plan(graft.operators.DataOps.madOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast stats join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mad_outliers shuffles the fact for a tiny stats side:\n$p")
+  }
+
   test("q17's per-part average is decorrelated into a join, not re-scanned or windowed") {
     val p = plan(graft.operators.TpcH2.q17SmallQtyRevenue(spark, sf))
     assert(!p.contains("Window"), s"q17 grew a window:\n$p")
