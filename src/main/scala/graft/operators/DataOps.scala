@@ -268,6 +268,32 @@ object DataOps {
       .select("event_id", "event_type", "value", "zscore")
       .orderBy("event_id")
 
+  /** Column-statistics publishing — the ANALYZE TABLE pass that feeds a
+    * cost-based optimizer (join reorder and broadcast thresholds are
+    * only as good as these numbers at 100 TB): row count, null count,
+    * EXACT distinct count, min/max per measure column, in ONE scan.
+    * The multi-column exact-NDV agg plans through Spark's Expand
+    * (one shuffle of (col-tag, value) pairs, partial-combined); the
+    * wide one-row result is reshaped row-local with `stack`. Output is
+    * one row per column — stats tables are broadcast-sized by
+    * construction. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = (count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")))).toIndexedSeq
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+          ") AS (col_name, n_nulls, ndv, min_val, max_val)")
+      .select("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+      .orderBy("col_name")
+  }
+
   /** Robust outliers via median/MAD — the screen that survives the
     * contamination that breaks outliers_zscore: one huge value inflates
     * the mean AND the std, hiding smaller anomalies (here the same
@@ -330,6 +356,7 @@ object DataOps {
     "scd2_history" -> scd2History,
     "outliers_zscore" -> outliersZscore,
     "mad_outliers" -> madOutliers,
+    "table_stats" -> tableStats,
   )
 
   val oracle: Map[String, String] = Map(
@@ -423,6 +450,14 @@ object DataOps {
          |WHERE CASE WHEN a.v IS NULL THEN 'insert' WHEN b.v IS NULL THEN 'delete'
          |           WHEN a.v <> b.v THEN 'update' ELSE 'same' END <> 'same'
          |ORDER BY o_orderkey""".stripMargin),
+    "table_stats" -> {
+      val branch = (c: String) =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS ndv, min($c) AS min_val, max($c) AS max_val FROM lineitem"
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "mad_outliers" ->
       ("""WITH o AS (SELECT event_id, event_type,
          |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
