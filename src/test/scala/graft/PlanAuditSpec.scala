@@ -114,6 +114,26 @@ class PlanAuditSpec extends SparkSpec {
       s"mad_outliers shuffles the fact for a tiny stats side:\n$p")
   }
 
+  test("q21 plans the per-order aggregate rewrite: two fact scans, no fact-fact self-join") {
+    val p = plan(graft.operators.TpcH2.q21WaitingSuppliers(spark, sf))
+    // the literal EXISTS/NOT-EXISTS form needs three lineitem scans and
+    // two self-joins; the aggregate rewrite reads the fact twice (once
+    // per branch of the orderkey join) and shuffles on l_orderkey only
+    val liScans = "Scan parquet".r.findAllIn(p).size
+    assert(liScans <= 6, s"q21 re-scans beyond the rewrite's budget:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast in q21:\n$p")
+    val facts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).filter(k => k.contains("l_orderkey#") || k.contains("ok#")).toSeq
+    assert(facts.nonEmpty, s"no orderkey exchange found in q21:\n$p")
+  }
+
+  test("q11's global total broadcasts back against the grouped values") {
+    val p = plan(graft.operators.TpcH2.q11ImportantStock(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row total not broadcast in q11:\n$p")
+    assert(!p.contains("Window"), s"q11 grew a window:\n$p")
+  }
+
   test("q17's per-part average is decorrelated into a join, not re-scanned or windowed") {
     val p = plan(graft.operators.TpcH2.q17SmallQtyRevenue(spark, sf))
     assert(!p.contains("Window"), s"q17 grew a window:\n$p")
