@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Builder-side iteration aid: SPARK_GRAFT_ONLY=q1,q2 dumps just those
+    // queries. The driver never sets it, so the contracted behavior
+    // (dump everything) is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // delete any previous dump FIRST: a query that throws must leave no
       // output, not a stale pass from an earlier run/SF (this exact
       // masquerade hid a broken streaming source behind a green compare)

@@ -346,6 +346,95 @@ object DataOps {
       .orderBy("day")
   }
 
+  /** Generic FK-orphan audit for one child→parent relationship:
+    * one row (relation, child_rows, null_keys, orphan_rows, orphan_keys).
+    *
+    * Scale shape: the child collapses to (key, cnt) FIRST (partial+final
+    * aggregate — NDV rows, not raw rows, reach the join), then one left
+    * join against the parent's distinct keys tags presence, and a single
+    * aggregate folds the audit. The join is keyed on the FK, exactly the
+    * partitioning a later repair join would need; null FKs never match by
+    * SQL join semantics, which is precisely the accounting we want. */
+  def fkAudit(relation: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+    val keyed = child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("cnt"))
+    val parents = parent.select(col(parentKey).as("k")).distinct()
+      .withColumn("present", lit(1))
+    val orphan = col("k").isNotNull && col("present").isNull
+    keyed.join(parents, Seq("k"), "left").agg(
+      sum(col("cnt")).as("child_rows"),
+      coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("null_keys"),
+      coalesce(sum(when(orphan, col("cnt"))), lit(0L)).as("orphan_rows"),
+      count(when(orphan, lit(1))).as("orphan_keys"))
+      .select(lit(relation).as("relation"), col("child_rows"),
+        col("null_keys"), col("orphan_rows"), col("orphan_keys"))
+  }
+
+  /** Referential-integrity report over the star schema: every FK edge a
+    * query planner would join on, plus the events→customer edge that ties
+    * the behavioral stream to the dimension world. All-zero orphan counts
+    * are the healthy production state; any nonzero row pinpoints which
+    * ingest broke and by how many rows/keys. Each edge is an independent
+    * audit — at 100 TB they run as parallel NDV-sized joins, never wider
+    * than the child's key cardinality. */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    Seq(
+      fkAudit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      fkAudit("events.user_id->customer", Tables.events(spark, dir), "user_id", c, "c_custkey"),
+      fkAudit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      fkAudit("lineitem.l_partkey->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      fkAudit("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      fkAudit("nation.n_regionkey->region", n, "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
+      fkAudit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      fkAudit("supplier.s_nationkey->nation", Tables.supplier(spark, dir), "s_nationkey", n, "n_nationkey"),
+    ).reduce(_.unionByName(_)).orderBy("relation")
+  }
+
+  /** Generic per-key skew profile of one join/grouping key: one row
+    * (key_col, total_rows, ndv, max_cnt, max_key, top_share_ppm). This is
+    * the measurement that DECIDES salting/AQE-skew handling — top_share_ppm
+    * ≈ 1e6/ndv means uniform; a hot key shows up as max_cnt ≫ total/ndv.
+    *
+    * One scan: groupBy(key) partial+final collapses to NDV rows, then a
+    * single aggregate folds the profile — max_key via min_by over the
+    * (−cnt, key) struct, so ties break to the smallest key string
+    * deterministically on both engines. Null keys are excluded (they never
+    * participate in an equi-join; fkAudit accounts for them). */
+  def skewReportOf(name: String, df: DataFrame, key: Column): DataFrame = {
+    val keyed = df.filter(key.isNotNull)
+      .groupBy(key.cast("string").as("k")).agg(count(lit(1)).as("cnt"))
+    keyed.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("ndv"),
+      max(col("cnt")).as("max_cnt"),
+      min_by(col("k"), struct((-col("cnt")).as("nc"), col("k"))).as("max_key"))
+      .select(lit(name).as("key_col"), col("total_rows"), col("ndv"),
+        col("max_cnt"), col("max_key"),
+        expr("max_cnt * 1000000 div total_rows").as("top_share_ppm"))
+  }
+
+  /** Skew audit of the keys this engine's big joins and aggregations
+    * actually shuffle on. The output is the planner-input table: any row
+    * with top_share_ppm ≫ 10⁶/ndv names a key needing the salted join /
+    * AQE skew split this library already provides (salted_join,
+    * SkewJoinSpec). */
+  def joinSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    Seq(
+      skewReportOf("documents.lang", Tables.table(spark, dir, "documents"), col("lang")),
+      skewReportOf("events.event_type", ev, col("event_type")),
+      skewReportOf("events.user_id", ev, col("user_id")),
+      skewReportOf("lineitem.l_orderkey", li, col("l_orderkey")),
+      skewReportOf("lineitem.l_partkey", li, col("l_partkey")),
+      skewReportOf("orders.o_custkey", Tables.orders(spark, dir), col("o_custkey")),
+    ).reduce(_.unionByName(_)).orderBy("key_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "missing_days" -> missingDays,
     "table_checksum" -> tableChecksum,
@@ -357,9 +446,54 @@ object DataOps {
     "outliers_zscore" -> outliersZscore,
     "mad_outliers" -> madOutliers,
     "table_stats" -> tableStats,
+    "referential_integrity" -> referentialIntegrity,
+    "join_skew_report" -> joinSkewReport,
   )
 
+  /** One fkAudit branch as DuckDB SQL — mirrors the collapse-then-join
+    * shape so the counts are computed identically. */
+  private def fkAuditSql(relation: String, child: String, childKey: String,
+                         parent: String, parentKey: String): String =
+    s"""SELECT '$relation' AS relation,
+       |  CAST(sum(cnt) AS BIGINT) AS child_rows,
+       |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT) AS null_keys,
+       |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND present IS NULL THEN cnt END), 0) AS BIGINT) AS orphan_rows,
+       |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND present IS NULL THEN 1 END), 0) AS BIGINT) AS orphan_keys
+       |FROM (SELECT c.k, c.cnt, p.present
+       |  FROM (SELECT $childKey AS k, count(*) AS cnt FROM $child GROUP BY 1) c
+       |  LEFT JOIN (SELECT DISTINCT $parentKey AS k, 1 AS present FROM $parent) p ON c.k = p.k)""".stripMargin
+
+  private def skewReportSql(name: String, table: String, key: String): String =
+    s"""SELECT '$name' AS key_col,
+       |  CAST(total_rows AS BIGINT) AS total_rows, CAST(ndv AS BIGINT) AS ndv,
+       |  CAST(max_cnt AS BIGINT) AS max_cnt, max_key,
+       |  CAST(max_cnt * 1000000 // total_rows AS BIGINT) AS top_share_ppm
+       |FROM (SELECT sum(cnt) AS total_rows, count(*) AS ndv, max(cnt) AS max_cnt,
+       |    (SELECT min(k) FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt FROM $table WHERE $key IS NOT NULL GROUP BY 1) c2
+       |      WHERE cnt = (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM $table WHERE $key IS NOT NULL GROUP BY $key) c3)) AS max_key
+       |  FROM (SELECT count(*) AS cnt FROM $table WHERE $key IS NOT NULL GROUP BY $key) c)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "referential_integrity" -> (Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ).map((fkAuditSql _).tupled)
+      .mkString("", " UNION ALL ", " ORDER BY relation")),
+    "join_skew_report" -> (Seq(
+      ("documents.lang", "documents", "lang"),
+      ("events.event_type", "events", "event_type"),
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_custkey", "orders", "o_custkey"),
+    ).map((skewReportSql _).tupled)
+      .mkString("", " UNION ALL ", " ORDER BY key_col")),
     "missing_days" ->
       ("WITH u AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders " +
         "WHERE o_orderpriority = '1-URGENT'), " +

@@ -112,6 +112,24 @@ object Relational {
       .except(Tables.orders(spark, dir).select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
 
+  /** INTERSECT ALL / EXCEPT ALL — the multiset semantics the distinct
+    * variants above erase: a customer with 3 open and 1 filled order
+    * contributes min(3,1)=1 row to the intersection and 3−1=2 rows to the
+    * difference. Spark plans both as one aggregate computing per-key
+    * multiplicities plus a generate replicating min/difference counts —
+    * same single shuffle as the distinct forms, never a raw-row join. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val filled = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    open.intersectAll(filled).withColumn("op", lit("intersect_all"))
+      .unionByName(open.exceptAll(filled).withColumn("op", lit("except_all")))
+      .select("op", "custkey")
+      .orderBy("op", "custkey")
+  }
+
   /** Scalar string/date/math function sampler (SURVEY §2.3 row
     * "String/date/math scalar fns") — one codegen'd projection, no shuffle
     * until the output sort. */
@@ -337,6 +355,7 @@ object Relational {
     "anti_join" -> antiJoin,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_ops_all" -> setOpsAll,
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,5 +440,12 @@ object Relational {
     "set_except" ->
       ("SELECT c_custkey AS custkey FROM customer EXCEPT " +
         "SELECT o_custkey AS custkey FROM orders ORDER BY custkey"),
+    "set_ops_all" ->
+      ("WITH o1 AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'), " +
+        "f1 AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') " +
+        "SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM o1 INTERSECT ALL SELECT custkey FROM f1) " +
+        "UNION ALL " +
+        "SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM o1 EXCEPT ALL SELECT custkey FROM f1) " +
+        "ORDER BY op, custkey"),
   )
 }

@@ -483,7 +483,32 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Embedding-store hygiene audit: per label, the integer facts a vector
+    * pipeline must gate ingest on — row count, dimension bounds (a single
+    * mis-dimensioned batch breaks every downstream dot product), zero-norm
+    * vectors (cosine is undefined; they silently score 0/NaN against
+    * everything), and non-finite elements (one NaN poisons any sum it
+    * touches). Integer-only output by design: counts hash identically
+    * across engines, where float norms would need tolerance gates.
+    * One map-only scan + partial+final aggregate; the lambda predicates
+    * (`exists`/`forall`) run row-local inside codegen. */
+  def embedQa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val emb = col("embedding")
+    val bad = emb.isNotNull &&
+      exists(emb, x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    e.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vectors"),
+      count(when(emb.isNull, 1)).as("n_null"),
+      coalesce(min(when(emb.isNotNull, size(emb))), lit(0)).as("min_dim"),
+      coalesce(max(when(emb.isNotNull, size(emb))), lit(0)).as("max_dim"),
+      count(when(emb.isNotNull && forall(emb, _ === 0f), 1)).as("n_zero_norm"),
+      count(when(bad, 1)).as("n_nonfinite"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_qa" -> embedQa,
     "ann_recall_report" -> annRecallReport,
     "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
@@ -568,6 +593,17 @@ object Similarity {
       "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
 
   val oracle: Map[String, String] = Map(
+    "embed_qa" ->
+      ("""SELECT label,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 END), 0) AS BIGINT) AS n_null,
+         |  CAST(coalesce(min(CASE WHEN embedding IS NOT NULL THEN len(embedding) END), 0) AS INT) AS min_dim,
+         |  CAST(coalesce(max(CASE WHEN embedding IS NOT NULL THEN len(embedding) END), 0) AS INT) AS max_dim,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x <> 0)) = 0 THEN 1 END), 0) AS BIGINT) AS n_zero_norm,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN 1 END), 0) AS BIGINT) AS n_nonfinite
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
     "ivf_incremental" ->
       // from-scratch assignment of the FULL corpus against the
       // resident-built centroids: green iff the appended delta rows match

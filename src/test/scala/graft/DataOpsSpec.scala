@@ -73,4 +73,32 @@ class DataOpsSpec extends SparkSpec {
       .agg(sum("n_orphans"), sum("reclaimed_bytes")).as[(Long, Long)].head()
     assert(got === retired)
   }
+
+  test("fkAudit counts orphan rows/keys and null FKs on a planted violation") {
+    val child = Seq(
+      (1L, Option(10L)), (2L, Option(10L)), (3L, Option(20L)),
+      (4L, Option(99L)), (5L, Option(99L)), (6L, Option(77L)),
+      (7L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val r = DataOps.fkAudit("child.fk->parent", child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("child_rows") === 7L)
+    assert(r.getAs[Long]("null_keys") === 1L)
+    assert(r.getAs[Long]("orphan_rows") === 3L, "rows with fk in {99,99,77}")
+    assert(r.getAs[Long]("orphan_keys") === 2L, "distinct orphan keys {99,77}")
+  }
+
+  test("skewReportOf profiles a planted hot key with deterministic tie-break") {
+    val data = Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i") ++ Seq(null, null)
+    val df = data.toDF("k")
+    val r = DataOps.skewReportOf("t.k", df, col("k")).head()
+    assert(r.getAs[Long]("total_rows") === 100L, "nulls excluded")
+    assert(r.getAs[Long]("ndv") === 11L)
+    assert(r.getAs[Long]("max_cnt") === 90L)
+    assert(r.getAs[String]("max_key") === "hot")
+    assert(r.getAs[Long]("top_share_ppm") === 900000L)
+    // tie on max_cnt resolves to the smallest key string
+    val tied = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq("c")).toDF("k")
+    val t = DataOps.skewReportOf("t.k", tied, col("k")).head()
+    assert(t.getAs[String]("max_key") === "a")
+  }
 }

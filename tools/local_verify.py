@@ -26,9 +26,12 @@ for a in sys.argv:
 SKIP_RUN = "--skip-run" in sys.argv
 
 if not SKIP_RUN:
+    env = dict(os.environ)
+    if ONLY:
+        env["SPARK_GRAFT_ONLY"] = ",".join(sorted(ONLY))
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
-        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800, env=env)
     if "[success]" not in r.stdout:
         print(r.stdout[-4000:]); print(r.stderr[-2000:])
         sys.exit("Verify run failed")
