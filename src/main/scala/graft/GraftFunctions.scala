@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.plans.{HyperplaneBucket, JaroWinkler, SimHashBits, SortedIntersectCount, VectorDot}
+import graft.plans.{CharNGrams, HyperplaneBucket, JaroWinkler, SimHashBits, SortedIntersectCount, VectorDot}
 
 /** SQL-surface registration for the custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API
@@ -29,6 +29,8 @@ object GraftFunctions {
     // library-internal contract (sorted distinct inputs) — registered for
     // SQL parity but see SortedIntersectCount's caller contract
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    // table function (Generator): LATERAL VIEW char_ngrams(text, n) t AS gram
+    "char_ngrams" -> (exprs => CharNGrams(exprs(0), exprs(1))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -644,7 +644,23 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Corpus character-5-gram frequency through the custom `char_ngrams`
+    * Catalyst Generator (graft.plans.CharNGrams) — the UDTF leg of the
+    * extensibility surface, driven end-to-end: documents LATERAL-VIEW a
+    * native Generate node (zero-copy byte-range grams, no UDF
+    * serialization), then one partial+final count and a top-100
+    * TakeOrderedAndProject. Deterministic tie-break on the gram itself. */
+  def ngramUdtf(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_udtf")
+    spark.sql(
+      """SELECT gram, count(*) AS cnt
+        |FROM graft_docs_udtf LATERAL VIEW char_ngrams(text, 5) t AS gram
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_udtf" -> ngramUdtf,
     "pipeline_e2e" -> pipelineE2e,
     "chunk_dedup" -> chunkDedup,
     "phrase_detect" -> phraseDetect,
@@ -680,6 +696,11 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ngram_udtf" ->
+      ("""SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+         |  i -> substr(text, i, 5))) AS gram FROM documents)
+         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin),
     "chunk_dedup" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
         "ch AS (SELECT doc_id, md5(array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')) AS chunk_fp " +

@@ -46,4 +46,37 @@ class StringExprSpec extends SparkSpec {
       if (a == b && a.nonEmpty) assert(x == 1.0)
     }
   }
+
+  test("char_ngrams generator: code-point semantics, edge cases, SQL surface") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("hello", 1L), ("héllo", 2L), ("汉字文本流", 3L), ("ab", 4L), ("", 5L))
+      .toDF("s", "id").createOrReplaceTempView("ng_t")
+    val got = spark.sql(
+      "SELECT id, gram FROM ng_t LATERAL VIEW char_ngrams(s, 3) t AS gram ORDER BY id, gram")
+      .as[(Long, String)].collect().toSeq
+    val want = Seq(
+      1L -> "ell", 1L -> "hel", 1L -> "llo",          // ascii
+      2L -> "hél", 2L -> "éll", 2L -> "llo",          // 2-byte é counts as ONE char
+      3L -> "字文本", 3L -> "文本流", 3L -> "汉字文",  // 3-byte CJK
+      // id 4 ("ab"): shorter than n → no rows; id 5 (""): no rows
+    ).sortBy(p => (p._1, p._2))
+    assert(got === want)
+    // NULL input produces no rows, not a null row
+    assert(spark.sql(
+      "SELECT gram FROM (SELECT CAST(NULL AS STRING) AS s) LATERAL VIEW char_ngrams(s, 2) t AS gram")
+      .count() === 0L)
+    // agrees with the built-in explode-over-substrings formulation
+    val doc = graft.sources.Tables.documents(spark, sf).select("text").limit(50)
+    doc.createOrReplaceTempView("ng_docs")
+    val viaUdtf = spark.sql(
+      "SELECT gram, count(*) AS c FROM ng_docs LATERAL VIEW char_ngrams(text, 4) t AS gram GROUP BY gram")
+    val viaBuiltin = spark.sql(
+      """SELECT gram, count(*) AS c FROM (
+        |  SELECT explode(transform(sequence(1, greatest(length(text) - 3, 0)),
+        |    i -> substring(text, i, 4))) AS gram FROM ng_docs)
+        |GROUP BY gram""".stripMargin)
+    assert(viaUdtf.exceptAll(viaBuiltin).count() === 0L)
+    assert(viaBuiltin.exceptAll(viaUdtf).count() === 0L)
+  }
 }
