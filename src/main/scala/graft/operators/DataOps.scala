@@ -167,7 +167,7 @@ object DataOps {
     * exhibits all three change kinds. Values ride as canonical decimal
     * strings (scale-3 product is exact; no float rounding race between
     * engines). */
-  private def demoSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def demoSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val orders = Tables.orders(spark, dir)
     val price = col("o_totalprice").cast("decimal(18,2)")
     val a = orders.filter(col("o_orderkey") % 101 =!= 0)

@@ -447,7 +447,71 @@ object StreamingBridge {
       .orderBy("user_id")
   }
 
+  /** Streaming CDC upsert — the maintenance loop of a materialized table:
+    * the batch cdc_apply's change feed (diffSnapshots of the two demo
+    * order snapshots) replays one key-disjoint file per micro-batch, and
+    * each batch MERGEs into a versioned keyed state — anti-join the
+    * current state on the batch's touched keys, union the insert/update
+    * rows, write state v(id+1). This is exactly Delta/Iceberg MERGE's
+    * copy-on-write shape without a table format: reading v(id) and
+    * overwriting v(id+1) keyed by the deterministic batchId makes a
+    * retried batch rewrite the same version from the same input —
+    * idempotent, so the sink is exactly-once without a commit log.
+    *
+    * At scale the state is partitioned by key range and a MERGE rewrites
+    * only partitions the batch touches (the anti-join's broadcast side is
+    * the batch's key set, which is the delta, not the corpus); the full
+    * rewrite here is the sf-small demo of that shape. Final state must
+    * equal the independently-recomputed target snapshot — the SAME oracle
+    * as batch cdc_apply. */
+  def streamCdcEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataOps
+    val (base, target) = DataOps.demoSnapshots(spark, dir)
+    val diff = DataOps.diffSnapshots(base, target, "o_orderkey", "v")
+      .select(col("o_orderkey"), col("change"), col("new_value"))
+    // stage the feed as 3 key-disjoint files with ascending mtimes so the
+    // file source replays them as 3 separate micro-batches
+    val staged = graft.sources.TempDirs.create("graft_cdc_feed_")
+    val tsBase = System.currentTimeMillis() - 10000L
+    (0 until 3).foreach { i =>
+      val tmp = graft.sources.TempDirs.create(s"graft_cdc_build_${i}_")
+      diff.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = java.nio.file.Paths.get(staged, f"cdc_$i%05d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+    }
+    val stateRoot = graft.sources.TempDirs.create("graft_cdc_state_")
+    base.write.mode("overwrite").parquet(s"$stateRoot/v0")
+    val ck = graft.sources.TempDirs.create("graft_cdc_ck_")
+    val feedSchema = spark.read.parquet(staged).schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val cur = s.read.parquet(s"$stateRoot/v$id")
+        val touched = batch.select("o_orderkey").distinct()
+        val upserts = batch.filter(col("change").isin("insert", "update"))
+          .select(col("o_orderkey"), col("new_value").as("v"))
+        cur.join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+          .unionByName(upserts)
+          .write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val last = new java.io.File(stateRoot).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    spark.read.parquet(s"$stateRoot/v$last").orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_eq" -> streamCdcEq,
     "stream_latest_eq" -> streamLatestEq,
     "stream_foreachbatch_eq" -> streamForeachBatchEq,
     "stream_incremental_eq" -> streamIncrementalEq,
@@ -466,6 +530,13 @@ object StreamingBridge {
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
   // and batch must produce the same answer over the same finite input.
   val oracle: Map[String, String] = Map(
+    // identical to batch cdc_apply: the target snapshot recomputed
+    // independently — streaming MERGE must land on the same table
+    "stream_cdc_eq" ->
+      ("""SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 89 = 0
+         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+         |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END AS VARCHAR) AS v
+         |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
     "stream_quarantine_eq" ->
       ("SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang, " +
         "count(*) AS n, " +
