@@ -142,4 +142,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 4,
       s"q17 re-scans its inputs more than the decorrelated shape needs:\n$p")
   }
+
+  test("referential_integrity joins NDV-collapsed keys, never raw child rows") {
+    // every FK join input must sit ABOVE a per-key aggregate: the join
+    // width is the child's key cardinality, not its row count — the
+    // property that keeps the 8-edge audit linear at 100 TB
+    val p = plan(graft.operators.DataOps.referentialIntegrity(spark, sf))
+    assert(!p.contains("SortMergeJoin") || p.contains("HashAggregate"),
+      s"unexpected raw join shape:\n$p")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size
+    assert(joins === 8, s"expected 8 FK-edge joins, got $joins:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 32,
+      s"child/parent sides not collapsed before the joins:\n$p")
+    assert(!p.contains("Window"), s"audit grew a window:\n$p")
+  }
+
+  test("join_skew_report is aggregates only — no window, no join") {
+    val p = plan(graft.operators.DataOps.joinSkewReport(spark, sf))
+    assert(!p.contains("Window"), s"skew report grew a window:\n$p")
+    assert(!p.contains("Join"), s"skew report grew a join:\n$p")
+  }
+
+  test("ngram_udtf drives a native Generate into partial+final count and top-k") {
+    val p = plan(graft.operators.TextAnalysis.ngramUdtf(spark, sf))
+    assert(p.contains("Generate"), s"no Generate node (UDTF not planned natively):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 became a global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram counts not partially aggregated before the shuffle:\n$p")
+  }
+
+  test("embed_qa is one map-only scan with partial+final aggregation") {
+    val p = plan(graft.operators.Similarity.embedQa(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"embed_qa re-scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"embed_qa grew a join/window:\n$p")
+  }
 }
