@@ -201,7 +201,7 @@ object Dedup {
           size(array_intersect(col("g1"), col("g2"))).as("inter"),
           (col("sz1") + col("sz2")).as("tot"),
           least(col("sz1"), col("sz2")).as("sz_min"))
-        .select(col("id1"), col("id2"), col("inter"), col("sz_min"),
+        .select(col("id1"), col("id2"), col("inter"), col("sz_min"), col("tot"),
           round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"),
           // integer threshold algebra: J = i/(tot−i) ≥ 0.2 ⟺ 6i ≥ tot
           (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
@@ -693,6 +693,27 @@ object Dedup {
     * already computed there), so the marginal cost is zero; the score
     * stays a scaled integer and the ≥0.8 flag is the cross-multiplied
     * form 5·inter ≥ 4·min, no float on a decision boundary. */
+  /** Threshold-tuning sweep over the verified pairs: for every candidate
+    * Jaccard threshold t = k/10 (k ∈ 2..9), how many pairs pass and how
+    * many documents the keep-first rule would drop. This is the curve an
+    * operator reads BEFORE fixing the production threshold — too low and
+    * distinct docs merge, too high and boilerplate families survive.
+    * Pure fan-out over the memoized verify stage (8 integer predicates
+    * per already-scored pair — no re-scoring, no corpus pass); each
+    * predicate is the cross-multiplied form i·(10+k) ≥ k·tot, so no float
+    * ever sits on a counting boundary. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    verifiedCandidates(spark, dir)
+      .select(col("id2"), col("inter"), col("tot"),
+        explode(sequence(lit(2), lit(9))).as("k"))
+      .filter(col("inter") * (col("k") + 10) >= col("k") * col("tot"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_docs_dropped"))
+      .select((col("k") * 10).as("threshold_pct"),
+        col("n_pairs"), col("n_docs_dropped"))
+      .orderBy("threshold_pct")
+
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     verifiedCandidates(spark, dir)
       .select(col("id1"), col("id2"),
@@ -728,6 +749,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cross_split_leakage" -> crossSplitLeakage,
     "dedup_containment" -> dedupContainment,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "dedup_exact" -> dedupExact,
@@ -837,6 +859,17 @@ object Dedup {
         "CAST(sum(is_dup) AS BIGINT) AS n_dups FROM scored " +
         "JOIN sp s1 ON id1 = s1.doc_id JOIN sp s2 ON id2 = s2.doc_id GROUP BY 1, 2) " +
         "ORDER BY split1, split2"),
+    "dedup_threshold_sweep" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "pairs AS (SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, " +
+        "len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "SELECT CAST(k * 10 AS INT) AS threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(count(DISTINCT id2) AS BIGINT) AS n_docs_dropped " +
+        "FROM pairs CROSS JOIN (SELECT unnest(generate_series(2, 9)) AS k) ks " +
+        "WHERE inter * (k + 10) >= k * tot " +
+        "GROUP BY k ORDER BY threshold_pct"),
     "dedup_containment" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +

@@ -350,6 +350,33 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** IVF index-health report: per cell, occupancy plus the cohesion of
+    * the inverted list — mean and worst member-to-centroid cosine. This
+    * is the maintenance signal an ANN service watches: occupancy skew
+    * says the K dial is wrong (one hot cell degrades every probe that
+    * hits it), a sagging mean/min cosine says the corpus has drifted off
+    * the centroids and the index needs a re-train (the trigger for the
+    * ivf_incremental → rebuild escalation). Reads only the PERSISTED
+    * index; one broadcast of the K centroids keeps the list scan
+    * map-only, and the per-cell mean comes from an exact DECIMAL sum of
+    * the rounded cosines so both engines fold identical operands. */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val lists = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+    val cents = spark.read.parquet(s"$root/centroids")
+    lists.join(broadcast(cents), col("cell") === col("cid"))
+      .select(col("cell"), round(vec_cosine(col("v"), col("cv")), 6).as("cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos").cast("decimal(18,6)")).as("s"),
+        min(col("cos")).as("min_cos"))
+      .select(col("cell"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_cos"),
+        col("min_cos"))
+      .orderBy("cell")
+  }
+
   private val SemTau = 0.3 // within-cell cosine above which the later vec drops
 
   /** SemDeDup-style semantic dedup: cluster first (the persisted IVF
@@ -522,6 +549,7 @@ object Similarity {
     "ivf_incremental" -> ivfIncremental,
     "dedup_semantic" -> dedupSemantic,
     "ivf_purity" -> ivfPurity,
+    "ivf_cell_stats" -> ivfCellStats,
   )
 
   // ---- oracle SQL ----
@@ -716,5 +744,16 @@ object Similarity {
         "CAST(sum(c) OVER (PARTITION BY cell) AS BIGINT) AS n FROM counts) " +
         "SELECT cell, n, label AS majority_label, " +
         "round(CAST(c AS DOUBLE) / n, 6) AS purity FROM ranked WHERE rn = 1 ORDER BY cell"),
+    "ivf_cell_stats" ->
+      (s"WITH $refinedCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, e.v, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id, v, cid AS cell FROM " +
+        "(SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        s"scored AS (SELECT a.cell, round(${cosSql("a.v", "c.cv")}, 6) AS cos " +
+        "FROM assign a JOIN c ON c.cid = a.cell) " +
+        "SELECT cell, CAST(count(*) AS BIGINT) AS n, " +
+        "round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_cos, " +
+        "min(cos) AS min_cos " +
+        "FROM scored GROUP BY cell ORDER BY cell"),
   )
 }
