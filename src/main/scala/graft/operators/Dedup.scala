@@ -237,6 +237,28 @@ object Dedup {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
 
+  /** Cluster-cohesion QA over the dup graph: per component, node count,
+    * verified-edge count, and edge density in ppm of the complete graph
+    * (2·10⁶·E / n(n−1)). Low-density mega-clusters are the classic LSH
+    * failure smell — long chains glued by borderline pairs where A~B~C
+    * but A̸~C — and the signal to tighten the threshold (see
+    * dedup_threshold_sweep) before keep-first deletes half a template
+    * family. Both inputs are memoized stages (labels + verified pairs);
+    * an edge's endpoints share a component BY CONSTRUCTION, so one
+    * id1→label join attributes every edge, and the output is two bounded
+    * aggregates joined on cluster_id — never a corpus pass. */
+  def dedupClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val nodes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_nodes"))
+    val edges = verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
+      .join(labels.withColumnRenamed("doc_id", "id1"), "id1")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, "cluster_id")
+      .select(col("cluster_id"), col("n_nodes"), col("n_edges"),
+        expr("2000000L * n_edges div (n_nodes * (n_nodes - 1))").as("density_ppm"))
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-size histogram over the connected components — the
     * distribution report a dedup run publishes (how much of the corpus
     * sits in pairs vs. mega-clusters decides the drop policy). Two
@@ -763,6 +785,7 @@ object Dedup {
     "dedup_editdist" -> dedupEditDistance,
     "dedup_triangles" -> dedupTriangles,
     "dedup_cluster_sizes" -> dedupClusterSizes,
+    "dedup_cluster_cohesion" -> dedupClusterCohesion,
     "dedup_incremental" -> dedupIncremental,
     "dedup_jaro" -> dedupJaro,
     "dedup_bfs_levels" -> dedupBfsLevels,
@@ -898,6 +921,23 @@ object Dedup {
         "reach AS (SELECT id, nbr AS r FROM edges " +
         "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id) " +
         "SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "dedup_cluster_cohesion" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "clus AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id), " +
+        "nn AS (SELECT cl, count(*) AS n_nodes FROM clus GROUP BY cl), " +
+        "ee AS (SELECT c.cl, count(*) AS n_edges FROM verified v JOIN clus c ON c.id = v.id1 GROUP BY c.cl) " +
+        "SELECT nn.cl AS cluster_id, CAST(n_nodes AS BIGINT) AS n_nodes, " +
+        "CAST(n_edges AS BIGINT) AS n_edges, " +
+        "CAST(2000000 * n_edges // (n_nodes * (n_nodes - 1)) AS BIGINT) AS density_ppm " +
+        "FROM nn JOIN ee ON nn.cl = ee.cl ORDER BY cluster_id"),
     "dedup_apply" ->
       (s"WITH RECURSIVE $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
