@@ -233,6 +233,32 @@ object Analytics {
           col("exact_users") <= 0.05).as("within_5pct"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch rollup: one HLL (Datasketches) per (event_type,
+    * day) partial, unioned per event_type and estimated — the pattern
+    * that makes distinct-count rollups O(sketch) instead of O(re-scan)
+    * at 100 TB: daily partials are built once at ingest, and any
+    * time-range distinct query is a union of ≤365 sketches per key,
+    * never a second pass over the events. The sketch value is
+    * engine-specific, so the oracle gates the HLL's published error
+    * bound (approx_distinct pattern): exact side + `within_5pct`
+    * literal-true hash-matches iff the merged estimate honors ±5% (lgK
+    * 12 ⇒ ~1.6% RSE, 3σ inside the gate). */
+  def hllDailyMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    merged
+      .join(ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_users")),
+        "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
   /** Approximate median (percentile_approx — a mergeable rank sketch).
     * Same oracle shape as approxDistinct: the sketch value is
     * engine-specific, but its RANK-ERROR guarantee is checkable — with
@@ -841,6 +867,7 @@ object Analytics {
     "cube_agg" -> cubeAgg,
     "distinct_users" -> distinctUsers,
     "approx_distinct" -> approxDistinct,
+    "hll_daily_merge" -> hllDailyMerge,
     "approx_quantile" -> approxQuantile,
     "event_hourly" -> eventHourly,
     "event_sliding" -> eventSliding,
@@ -1095,6 +1122,10 @@ object Analytics {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "approx_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "true AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
+    "hll_daily_merge" ->
+      ("SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+        "count(DISTINCT user_id) AS exact_users, " +
         "true AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
     "approx_quantile" ->
       ("SELECT l_returnflag, count(*) AS n, true AS within_bound " +

@@ -259,6 +259,31 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Policy-driven dedup representative selection: per near-dup cluster,
+    * keep the HIGHEST-QUALITY member (quality desc, doc_id asc tiebreak)
+    * instead of dedupApply's min-id — the policy production pipelines
+    * actually run, since the min-id doc may be the truncated or
+    * boilerplate-ridden variant of the family. Shape: the tiny cluster
+    * roster (memoized CC labels — only docs with a verified near-dup)
+    * joins the row-local quality stage on doc_id, then one window
+    * partitioned by cluster_id ranks members; the window's sort is
+    * bounded by cluster size, never corpus size, and quality values are
+    * the 6-decimal-rounded doubles both engines compute identically
+    * (quality_score is hash-green), so the cross-engine argmax is exact
+    * with the doc_id tiebreak absorbing any rounding-induced tie. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val byCl = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    clusterLabels(spark, dir)
+      .join(TextAnalysis.scoredDocs(spark, dir).select("doc_id", "quality"), "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        count(lit(1)).over(byCl).as("n_members"),
+        row_number().over(byCl.orderBy(desc("quality"), col("doc_id"))).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("quality").as("kept_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-size histogram over the connected components — the
     * distribution report a dedup run publishes (how much of the corpus
     * sits in pairs vs. mega-clusters decides the drop policy). Two
@@ -786,6 +811,7 @@ object Dedup {
     "dedup_triangles" -> dedupTriangles,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_cluster_cohesion" -> dedupClusterCohesion,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_incremental" -> dedupIncremental,
     "dedup_jaro" -> dedupJaro,
     "dedup_bfs_levels" -> dedupBfsLevels,
@@ -938,6 +964,24 @@ object Dedup {
         "CAST(n_edges AS BIGINT) AS n_edges, " +
         "CAST(2000000 * n_edges // (n_nodes * (n_nodes - 1)) AS BIGINT) AS density_ppm " +
         "FROM nn JOIN ee ON nn.cl = ee.cl ORDER BY cluster_id"),
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "clus AS (SELECT id AS doc_id, least(id, min(r)) AS cl FROM reach GROUP BY id), " +
+        s"${TextAnalysis.qualityCteSql}, " +
+        "m AS (SELECT c.cl, c.doc_id, q.quality, " +
+        "count(*) OVER (PARTITION BY c.cl) AS n_members, " +
+        "row_number() OVER (PARTITION BY c.cl ORDER BY q.quality DESC, c.doc_id) AS rn " +
+        "FROM clus c JOIN q USING (doc_id)) " +
+        "SELECT cl AS cluster_id, doc_id AS kept_doc_id, quality AS kept_quality, " +
+        "CAST(n_members AS BIGINT) AS n_members FROM m WHERE rn = 1 ORDER BY cluster_id"),
     "dedup_apply" ->
       (s"WITH RECURSIVE $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

@@ -659,8 +659,56 @@ object TextAnalysis {
         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin)
   }
 
+  /** Vocabulary coverage: share of each language's token occurrences
+    * covered by the corpus-global top-200 vocabulary — the tokenizer-fit
+    * audit run before committing a vocab (a language whose coverage
+    * craters will fragment into bytes at training time). One corpus
+    * explode feeds a persisted (lang, word) count table; everything
+    * downstream — the global top-200 (count desc, word asc: a total
+    * order, so the cut is engine-independent), per-lang totals, and the
+    * covered subset — re-aggregates that vocab-sized table instead of
+    * re-scanning the corpus. The vocab is a TakeOrdered (no global sort)
+    * broadcast into a semi-join; coverage is exact integer ppm so no
+    * float ratio sits on the hash boundary. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val byLangW = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    val vocab = byLangW.groupBy("w").agg(sum(col("c")).as("cw"))
+      .orderBy(desc("cw"), col("w")).limit(200).select("w")
+    val totals = byLangW.groupBy("lang").agg(sum(col("c")).as("total_tokens"))
+    val covered = byLangW.join(broadcast(vocab), Seq("w"), "left_semi")
+      .groupBy("lang").agg(sum(col("c")).as("covered_tokens"))
+    totals.join(covered, "lang")
+      .select(col("lang"), col("total_tokens"), col("covered_tokens"),
+        expr("1000000L * covered_tokens div total_tokens").as("coverage_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Training-shard assignment audit: the deterministic keyed-hash
+    * doc→shard map (splitAssign's salted-md5 idiom, 64 shards) with
+    * per-shard document count, byte mass, and id range — the balance
+    * report checked before a shuffle-write of training shards. The
+    * assignment is row-local and rerun/append-stable (a keyed hash, not
+    * rand() or row_number), the report is one 64-row bounded aggregate,
+    * and the same expression IS the `repartition(64, shard)` key a
+    * shard writer would use — the audit and the writer can never
+    * disagree. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(concat(lit("graft-shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 64).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_udtf" -> ngramUdtf,
+    "vocab_coverage" -> vocabCoverage,
+    "shard_assign" -> shardAssign,
     "pipeline_e2e" -> pipelineE2e,
     "chunk_dedup" -> chunkDedup,
     "phrase_detect" -> phraseDetect,
@@ -695,7 +743,38 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> list_contains($lst, t)))"
   }
 
+  /** Quality-score CTE chain ending in `q(doc_id, quality)` — the exact
+    * expression the quality_score oracle uses, exported so cross-module
+    * oracles (Dedup.dedupKeepBest) score documents identically. */
+  private[operators] def qualityCteSql: String =
+    s"qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents), " +
+      s"qd AS (SELECT doc_id, text, toks, len(toks) AS n_tokens, " +
+      s"${markersSql("en")} AS stop_hits, " +
+      "len(text) - len(regexp_replace(text, '[^\\w\\s]+', '', 'g')) AS punct FROM qt), " +
+      "q AS (SELECT doc_id, " +
+      "round(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 0.4 + " +
+      "least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.5 + " +
+      "(1.0 - CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END) * 0.1, 6) AS quality " +
+      "FROM qd)"
+
   val oracle: Map[String, String] = Map(
+    "vocab_coverage" ->
+      (s"WITH t AS (SELECT lang, unnest($toksSql) AS w FROM documents), " +
+        "blw AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2), " +
+        "vocab AS (SELECT w FROM (SELECT w, sum(c) AS cw FROM blw GROUP BY w ORDER BY cw DESC, w LIMIT 200)), " +
+        "tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total_tokens FROM blw GROUP BY lang), " +
+        "cov AS (SELECT lang, CAST(sum(c) AS BIGINT) AS covered_tokens FROM blw " +
+        "WHERE w IN (SELECT w FROM vocab) GROUP BY lang) " +
+        "SELECT tot.lang AS lang, total_tokens, covered_tokens, " +
+        "CAST(1000000 * covered_tokens // total_tokens AS BIGINT) AS coverage_ppm " +
+        "FROM tot JOIN cov ON tot.lang = cov.lang ORDER BY tot.lang"),
+    "shard_assign" ->
+      ("SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM (SELECT doc_id, n_chars, " +
+        "CAST('0x' || substr(md5('graft-shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS shard " +
+        "FROM documents) GROUP BY shard ORDER BY shard"),
     "ngram_udtf" ->
       ("""SELECT gram, CAST(count(*) AS BIGINT) AS cnt
          |FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),

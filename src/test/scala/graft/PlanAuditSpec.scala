@@ -177,4 +177,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"),
       s"embed_qa grew a join/window:\n$p")
   }
+
+  test("vocab_coverage takes its top-200 as TakeOrdered and semi-joins it by broadcast") {
+    val p = plan(graft.operators.TextAnalysis.vocabCoverage(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut became a global sort:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"vocab membership not a broadcast semi-join:\n$p")
+    assert(!p.contains("Window"), s"vocab_coverage grew a window:\n$p")
+  }
+
+  test("shard_assign is one scan into partial+final aggregation, no join") {
+    val p = plan(graft.operators.TextAnalysis.shardAssign(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"shard_assign re-scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"shard_assign grew a join/window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"shard stats not partially aggregated before the exchange:\n$p")
+  }
+
+  test("hll_daily_merge builds partial sketches below the exchange (mergeable rollup)") {
+    val p = plan(graft.operators.Analytics.hllDailyMerge(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"HLL sketch agg not planned as an object hash aggregate:\n$p")
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hllsketchagg"),
+      s"daily sketches not built map-side before the shuffle:\n$p")
+    assert(!p.contains("Window"), s"hll_daily_merge grew a window:\n$p")
+  }
+
+  test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
+    val p = plan(graft.operators.Dedup.dedupKeepBest(spark, sf))
+    val windows = "Window \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty || specs.nonEmpty, s"no window in dedup_keep_best:\n$p")
+    assert(specs.forall(_.contains("cluster_id#")),
+      s"member ranking not partitioned by cluster_id:\n$p")
+  }
 }
