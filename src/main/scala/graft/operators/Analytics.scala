@@ -259,6 +259,36 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Sketch SET ALGEBRA: day-over-day retained distinct users via theta
+    * sketches — the operation HLL cannot do (HLL unions only; theta
+    * supports intersection/difference). One theta sketch per day built
+    * map-side, then each consecutive-day pair intersects two SKETCHES —
+    * at 100 TB the (day, user) self-join this replaces is a full
+    * distinct-pairs shuffle, while the sketch path ships one ~32 KB
+    * summary per day. Gate: theta's intersection estimate is exact
+    * while both sketches are in exact mode (≤4096 retained hashes) and
+    * bounded otherwise; the oracle emits the exact retained count +
+    * literal true, hash-matching iff the estimate lands within ±5%. */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val est = daily.as("d1")
+      .join(daily.as("d2"), expr("d2.day = date_add(d1.day, 1)"))
+      .select(col("d1.day").as("day"),
+        theta_sketch_estimate(theta_intersection(col("d1.sk"), col("d2.sk"))).as("est"))
+    val exact = du.as("a")
+      .join(du.as("b"),
+        col("a.user_id") === col("b.user_id") && expr("b.day = date_add(a.day, 1)"))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("exact_retained"))
+    est.join(exact, "day")
+      .select(col("day"), col("exact_retained"),
+        (abs(col("est") - col("exact_retained")).cast("double") /
+          col("exact_retained") <= 0.05).as("within_5pct"))
+      .orderBy("day")
+  }
+
   /** Approximate median (percentile_approx — a mergeable rank sketch).
     * Same oracle shape as approxDistinct: the sketch value is
     * engine-specific, but its RANK-ERROR guarantee is checkable — with
@@ -868,6 +898,7 @@ object Analytics {
     "distinct_users" -> distinctUsers,
     "approx_distinct" -> approxDistinct,
     "hll_daily_merge" -> hllDailyMerge,
+    "theta_overlap" -> thetaOverlap,
     "approx_quantile" -> approxQuantile,
     "event_hourly" -> eventHourly,
     "event_sliding" -> eventSliding,
@@ -1127,6 +1158,12 @@ object Analytics {
       ("SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
         "count(DISTINCT user_id) AS exact_users, " +
         "true AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
+    "theta_overlap" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) " +
+        "SELECT a.day AS day, CAST(count(*) AS BIGINT) AS exact_retained, " +
+        "true AS within_5pct FROM du a JOIN du b " +
+        "ON a.user_id = b.user_id AND b.day = a.day + 1 " +
+        "GROUP BY a.day ORDER BY day"),
     "approx_quantile" ->
       ("SELECT l_returnflag, count(*) AS n, true AS within_bound " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

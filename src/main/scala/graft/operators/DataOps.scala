@@ -240,6 +240,64 @@ object DataOps {
     v1Rows.union(v2Rows).orderBy("o_orderkey", "valid_from")
   }
 
+  /** Point-in-time enrichment against the SCD2 dimension — the lookup
+    * every warehouse fact pipeline runs: each fact row joins the
+    * dimension VERSION that was valid at its as-of point
+    * (valid_from <= v < valid_to, NULL = open), so late-arriving facts
+    * enrich against history, not today's row. The as-of version here is
+    * the synthetic 1/2 derived from l_linenumber parity (the testdata
+    * has two snapshot versions); the join shape is the production one:
+    * the dimension HISTORY is broadcast (dims are MB-scale against TB
+    * facts) with the interval predicate as a residual filter inside the
+    * broadcast hash join on the key — the fact side streams map-only,
+    * and by SCD2 construction each (key, version) matches exactly one
+    * interval. Facts referencing a deleted dimension key at v2 drop out
+    * (inner join) — the PIT-correct answer, not an error. */
+  def scd2PitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2History(spark, dir)
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lit(1) + col("l_linenumber") % 2).cast("int").as("ver"))
+    facts.join(broadcast(dim),
+        facts("l_orderkey") === dim("o_orderkey") &&
+          col("valid_from") <= col("ver") &&
+          (col("valid_to").isNull || col("ver") < col("valid_to")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("ver"),
+        col("value").as("dim_value"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Incremental materialized-view maintenance: the stored per-(day,
+    * event_type) aggregate (count + exact decimal sum) absorbs a
+    * late-arriving delta batch (event_id ≡ 0 mod 10, the stand-in
+    * ingest slice) by aggregating ONLY the delta and merging it into
+    * the base aggregate with one full-outer join on the agg keys —
+    * refresh cost is O(delta) + O(affected keys), never a re-scan of
+    * history, which is the only viable refresh shape when history is
+    * 100 TB. Count and decimal sum are the decomposable aggregates
+    * that make this exact; the oracle recomputes from ALL events, so
+    * the row is green iff merge(agg(base), agg(delta)) == agg(full) —
+    * the maintenance invariant itself. */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val zero = lit(BigDecimal(0)).cast("decimal(28,2)")
+    aggOf(ev.filter(col("event_id") % 10 =!= 0))
+      .join(aggOf(ev.filter(col("event_id") % 10 === 0))
+          .select(col("day"), col("event_type"),
+            col("n").as("dn"), col("sv").as("dsv")),
+        Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("sv"), zero) + coalesce(col("dsv"), zero))
+          .cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
   /** Generic per-group z-score outlier filter. Moments come from exact
     * DECIMAL sums (order-independent across engines); the per-group
     * stats table is tiny and broadcast, so the data pass is map-only. */
@@ -443,6 +501,8 @@ object DataOps {
     "observed_metrics" -> observedMetrics,
     "cdc_apply" -> cdcApply,
     "scd2_history" -> scd2History,
+    "scd2_pit_enrich" -> scd2PitEnrich,
+    "agg_incremental" -> aggIncremental,
     "outliers_zscore" -> outliersZscore,
     "mad_outliers" -> madOutliers,
     "table_stats" -> tableStats,
@@ -569,6 +629,31 @@ object DataOps {
          |SELECT o_orderkey, vb AS value, 2 AS valid_from, NULL AS valid_to
          |FROM j WHERE in_b AND (NOT in_a OR va <> vb)
          |ORDER BY o_orderkey, valid_from""".stripMargin),
+    "scd2_pit_enrich" ->
+      ("""WITH a AS (SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 101 <> 0),
+         |b AS (SELECT o_orderkey, CAST(CASE WHEN o_orderkey % 89 = 0
+         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+         |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 97 <> 0),
+         |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, a.v AS va, b.v AS vb,
+         |  (a.o_orderkey IS NOT NULL) AS in_a, (b.o_orderkey IS NOT NULL) AS in_b
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+         |hist AS (
+         |  SELECT o_orderkey, va AS value, 1 AS valid_from,
+         |    CASE WHEN NOT in_b OR va <> vb THEN 2 ELSE NULL END AS valid_to FROM j WHERE in_a
+         |  UNION ALL
+         |  SELECT o_orderkey, vb AS value, 2 AS valid_from, NULL AS valid_to
+         |  FROM j WHERE in_b AND (NOT in_a OR va <> vb)),
+         |f AS (SELECT l_orderkey, l_linenumber, CAST(1 + l_linenumber % 2 AS INT) AS ver FROM lineitem)
+         |SELECT f.l_orderkey, f.l_linenumber, f.ver, h.value AS dim_value
+         |FROM f JOIN hist h ON h.o_orderkey = f.l_orderkey
+         |  AND h.valid_from <= f.ver AND (h.valid_to IS NULL OR f.ver < h.valid_to)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    "agg_incremental" ->
+      ("SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
     "snapshot_diff" ->
       ("""WITH a AS (SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
          |  FROM orders WHERE o_orderkey % 101 <> 0),

@@ -205,6 +205,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"hll_daily_merge grew a window:\n$p")
   }
 
+  test("theta_overlap builds partial theta sketches below the exchange") {
+    val p = plan(Analytics.thetaOverlap(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"theta sketch agg not planned as an object hash aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_theta"),
+      s"daily theta sketches not built map-side before the shuffle:\n$p")
+    assert(!p.contains("Window"), s"theta_overlap grew a window:\n$p")
+  }
+
+  test("scd2_pit_enrich broadcasts the dimension history against the streaming fact") {
+    val p = plan(graft.operators.DataOps.scd2PitEnrich(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension history not broadcast:\n$p")
+    // the fact side must never shuffle for the enrichment join — a
+    // SortMergeJoin here repartitions 100 TB of facts for a MB-scale dim
+    assert(!p.contains("SortMergeJoin"),
+      s"PIT enrichment shuffles the fact side:\n$p")
+  }
+
+  test("agg_incremental aggregates base and delta partially before the key-only merge join") {
+    val p = plan(graft.operators.DataOps.aggIncremental(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"base/delta sides not partial+final aggregated before the merge:\n$p")
+    assert(!p.contains("Window"), s"agg_incremental grew a window:\n$p")
+    // the merge join's inputs are the aggregated key sets — every
+    // exchange must be keyed on the agg keys, never raw event rows
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(k =>
+        k.contains("day#") && k.contains("event_type#")),
+      s"expected only (day, event_type) exchanges:\n$p")
+  }
+
   test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
     val p = plan(graft.operators.Dedup.dedupKeepBest(spark, sf))
     val windows = "Window \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
