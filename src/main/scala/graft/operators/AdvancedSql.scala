@@ -230,6 +230,46 @@ object AdvancedSql {
   private val bucketMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]
 
+  /** Runtime bloom-filter join pruning — the explicit form of the
+    * selective-join pattern Spark's InjectRuntimeFilter automates: when a
+    * dimension filter keeps a small key set, a bloom of those keys can
+    * screen the 100 TB fact side MAP-ONLY, before any shuffle, so the
+    * exact semi-join only ever sees the ~selectivity+fpp fraction of the
+    * fact. Build is fully distributed (`bloom_filter_agg` — partial
+    * blooms per partition, merged in the final aggregate); only the one
+    * finished ~KB filter crosses to the driver and re-enters the plan as
+    * a constant for the codegen `might_contain` probe. False positives
+    * are removed by the exact semi-join that follows and false negatives
+    * are impossible, so the result is EXACTLY the plain semi-join — which
+    * is what the oracle computes; the green row is the no-false-negative
+    * gate itself. */
+  def joinBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // bloom_filter_agg / might_contain are registry-internal (the pair
+    // InjectRuntimeFilter plants); the bridge builds them directly
+    val bfBytes = urgent
+      .agg(GraftColumnBridge.column(new BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(col("o_orderkey"))),
+        Literal(100000L), Literal(1600000L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(xxhash64(col("l_orderkey")))))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(mightContain)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> bucketedJoin,
     "window_lag_lead" -> windowLagLead,
@@ -242,9 +282,16 @@ object AdvancedSql {
     "q4_order_priority" -> q4OrderPriority,
     "q14_promo_revenue" -> q14PromoRevenue,
     "salted_join" -> saltedJoin,
+    "join_bloom_prune" -> joinBloomPrune,
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bloom_prune" ->
+      ("SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "bucketed_join" ->
       ("SELECT o_orderstatus, l_returnflag, count(*) AS n, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +

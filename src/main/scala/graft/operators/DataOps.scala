@@ -298,6 +298,46 @@ object DataOps {
       .orderBy("day", "event_type")
   }
 
+  /** Distribution-drift screen between the two CDC demo snapshots — the
+    * check an ingest pipeline runs BEFORE accepting a new batch: has the
+    * value distribution moved? Emits total-variation distance and the
+    * Kolmogorov-Smirnov D statistic over a 20-bin histogram of the
+    * snapshot values. Scale shape: min/max broadcast, row-local bin
+    * assignment, one partial+final count aggregate — every post-
+    * aggregation step (cumulative window included) runs over ≤20 rows.
+    * Cross-engine exactness: both statistics are computed in INTEGER
+    * space via cross-multiplication (|ca·nb − cb·na| in DECIMAL(38,0) /
+    * hugeint — no per-bin division, no accumulated float error), with
+    * exactly ONE integer→double division at the end; integer→double
+    * rounding and IEEE division are deterministic in both engines. */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = demoSnapshots(spark, dir)
+    val u = a.select(col("v").cast("double").as("x"), lit(0).as("side"))
+      .unionByName(b.select(col("v").cast("double").as("x"), lit(1).as("side")))
+    val mm = u.agg(min("x").as("lo"), max("x").as("hi"))
+    val counts = u.crossJoin(broadcast(mm))
+      .select(floor((col("x") - col("lo")) * 20 / (col("hi") - col("lo") + lit(1e-9)))
+        .cast("int").as("bin"), col("side"))
+      .groupBy("bin")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).cast("decimal(19,0)").as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).cast("decimal(19,0)").as("cb"))
+    val tot = counts.agg(sum("ca").cast("decimal(19,0)").as("na"),
+      sum("cb").cast("decimal(19,0)").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    counts.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("tvd_num"),
+        abs(sum(col("ca")).over(w) * col("nb") -
+          sum(col("cb")).over(w) * col("na")).as("ks_num"))
+      .groupBy("na", "nb")
+      .agg(sum("tvd_num").as("tvd_sum"), max("ks_num").as("ks_max"))
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("tvd_sum").cast("double") /
+          (lit(2.0) * col("na").cast("double") * col("nb").cast("double"))).as("tvd"),
+        (col("ks_max").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))).as("ks_d"))
+  }
+
   /** Generic per-group z-score outlier filter. Moments come from exact
     * DECIMAL sums (order-independent across engines); the per-group
     * stats table is tiny and broadcast, so the data pass is map-only. */
@@ -503,6 +543,7 @@ object DataOps {
     "scd2_history" -> scd2History,
     "scd2_pit_enrich" -> scd2PitEnrich,
     "agg_incremental" -> aggIncremental,
+    "snapshot_drift" -> snapshotDrift,
     "outliers_zscore" -> outliersZscore,
     "mad_outliers" -> madOutliers,
     "table_stats" -> tableStats,
@@ -654,6 +695,28 @@ object DataOps {
       ("SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
+    "snapshot_drift" ->
+      ("""WITH a AS (SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 101 <> 0),
+         |b AS (SELECT CAST(CASE WHEN o_orderkey % 89 = 0
+         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+         |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END AS VARCHAR) AS v
+         |  FROM orders WHERE o_orderkey % 97 <> 0),
+         |u AS (SELECT CAST(v AS DOUBLE) AS x, 0 AS side FROM a
+         |  UNION ALL SELECT CAST(v AS DOUBLE) AS x, 1 AS side FROM b),
+         |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM u),
+         |c AS (SELECT CAST(floor((x - lo) * 20 / (hi - lo + 1e-9)) AS INT) AS bin,
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+         |  FROM u CROSS JOIN mm GROUP BY 1),
+         |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb FROM c),
+         |k AS (SELECT na, nb, abs(ca * nb - cb * na) AS tvd_num,
+         |    abs(sum(ca) OVER (ORDER BY bin) * nb - sum(cb) OVER (ORDER BY bin) * na) AS ks_num
+         |  FROM c CROSS JOIN t)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CAST(sum(tvd_num) AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd,
+         |  CAST(max(ks_num) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
+         |FROM k GROUP BY na, nb""".stripMargin),
     "snapshot_diff" ->
       ("""WITH a AS (SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS VARCHAR) AS v
          |  FROM orders WHERE o_orderkey % 101 <> 0),

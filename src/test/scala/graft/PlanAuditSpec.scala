@@ -238,6 +238,37 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only (day, event_type) exchanges:\n$p")
   }
 
+  test("zone_map_manifest is row-local key math into a partial+final aggregate") {
+    val p = plan(graft.operators.Layout.zoneMapManifest(spark, sf))
+    assert(!p.contains("Window"), s"manifest grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"manifest shuffles for the 1-row min/max side:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"shard stats not partially aggregated before the exchange:\n$p")
+  }
+
+  test("snapshot_drift's cumulative window runs over the binned aggregate, not raw rows") {
+    val p = plan(graft.operators.DataOps.snapshotDrift(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bin counts not partially aggregated:\n$p")
+    // every row-count-scale exchange must be keyed on bin; the window's
+    // single-partition exchange is fed by the ≤20-row bin aggregate only
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("bin#")),
+      s"expected only bin-keyed exchanges below the tiny window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"drift grew a shuffled join:\n$p")
+  }
+
+  test("join_bloom_prune screens the fact map-side with might_contain before the semi-join") {
+    val p = plan(graft.operators.AdvancedSql.joinBloomPrune(spark, sf))
+    assert(p.contains("might_contain"), s"bloom screen missing from the plan:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"exact verification not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side shuffles for the selective dim join:\n$p")
+  }
+
   test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
     val p = plan(graft.operators.Dedup.dedupKeepBest(spark, sf))
     val windows = "Window \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
