@@ -289,6 +289,35 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Count-min sketch point-frequency estimates — the last member of the
+    * mergeable-sketch family (HLL unions, theta intersections, rank
+    * sketch, bloom membership, Misra-Gries heavy hitters, CMS point
+    * queries). Build is fully distributed (partial sketches merged in
+    * the final aggregate — the same ingest-time-partials architecture as
+    * hll_daily_merge); one ~KB array crosses to the driver and answers
+    * any point query without re-scanning. Gate: CMS never undercounts
+    * and overcounts by at most ε·N with prob ≥ δ per query — the oracle
+    * emits the exact counts + literal true, green iff every estimate
+    * lands inside [exact, exact + ε·N]. */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bytes = ev
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val bc = ev.sparkSession.sparkContext.broadcast(cms)
+    val estimate = udf((s: String) => bc.value.estimateCount(s))
+    val grouped = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+    val tot = grouped.agg(sum("exact_n").as("total"))
+    grouped.crossJoin(broadcast(tot))
+      .withColumn("est", estimate(col("event_type")))
+      .select(col("event_type"), col("exact_n"),
+        (col("est") >= col("exact_n") &&
+          col("est") <= col("exact_n") + ceil(col("total") * 0.001)).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   /** Approximate median (percentile_approx — a mergeable rank sketch).
     * Same oracle shape as approxDistinct: the sketch value is
     * engine-specific, but its RANK-ERROR guarantee is checkable — with
@@ -899,6 +928,7 @@ object Analytics {
     "approx_distinct" -> approxDistinct,
     "hll_daily_merge" -> hllDailyMerge,
     "theta_overlap" -> thetaOverlap,
+    "cms_freq" -> cmsFreq,
     "approx_quantile" -> approxQuantile,
     "event_hourly" -> eventHourly,
     "event_sliding" -> eventSliding,
@@ -1164,6 +1194,9 @@ object Analytics {
         "true AS within_5pct FROM du a JOIN du b " +
         "ON a.user_id = b.user_id AND b.day = a.day + 1 " +
         "GROUP BY a.day ORDER BY day"),
+    "cms_freq" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n, " +
+        "true AS within_bound FROM events GROUP BY event_type ORDER BY event_type"),
     "approx_quantile" ->
       ("SELECT l_returnflag, count(*) AS n, true AS within_bound " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

@@ -236,6 +236,30 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Dynamic partition pruning — the join-driven cousin of
+    * sink_partitioned's static prune: the fact is written
+    * `partitionBy(lang)`, and the qualifying langs are only known at
+    * RUNTIME (a HAVING filter over a runtime aggregate), so no static
+    * filter can reach the scan. Catalyst plants a `dynamicpruning`
+    * subquery in the fact scan's PartitionFilters — the fact directories
+    * for losing langs are never opened, which at 100 TB is the
+    * difference between reading one partition and reading the table.
+    * Asserted in PlanAuditSpec; result is oracle-exact regardless. */
+  def dppPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.create("graft_dpp_")
+    Tables.documents(spark, dir)
+      .select("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 75)
+    fact.join(dim, Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Schema evolution on the read path: two parquet batches written with
     * DIFFERENT schemas (a column added between ingest generations — the
     * normal life of a long-lived corpus store), read back as one table
@@ -342,6 +366,7 @@ object Relational {
     "grouping_sets" -> groupingSets,
     "sink_roundtrip" -> sinkRoundtrip,
     "sink_partitioned" -> sinkPartitioned,
+    "dpp_prune" -> dppPrune,
     "schema_evolution" -> schemaEvolution,
     "compact_files" -> compactFiles,
     "json_quarantine" -> jsonQuarantine,
@@ -392,6 +417,11 @@ object Relational {
     "sink_partitioned" ->
       ("SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"),
+    "dpp_prune" ->
+      ("SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents WHERE lang IN " +
+        "(SELECT lang FROM documents GROUP BY lang HAVING count(*) >= 75) " +
+        "GROUP BY lang ORDER BY lang"),
     "schema_evolution" ->
       ("SELECT lang, count(*) AS n, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, " +

@@ -434,6 +434,38 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  private val ProjK = 8
+
+  /** Deterministic Johnson-Lindenstrauss coefficient r(i,j) ∈
+    * [−500001, 500001] from an integer LCG over the (input, output)
+    * index pair — both engines regenerate the identical matrix from the
+    * formula, so no projection state is stored or shipped. */
+  private def projCoef(i: Int, j: Int): Long =
+    (i.toLong * 2654435761L + j.toLong * 40503L) % 1000003L - 500001L
+
+  /** Random-projection dimensionality reduction (64 → 8) — the
+    * preprocessing lever ahead of ANN at 100 TB: candidate generation
+    * over 8-dim projections costs 1/8 the memory/FLOPs of the raw
+    * vectors, and JL guarantees pairwise distances survive within
+    * (1±ε). Shape: entirely ROW-LOCAL (one whole-stage-codegen map over
+    * the scan — no shuffle, no state), the property that makes the
+    * projection free to fuse into any ingest. Cross-engine exactness:
+    * inputs are quantized to integers (floor(x·1e6)) and the matrix is
+    * integer, so every product/sum is exact int64 arithmetic — the
+    * projection is REPRODUCIBLE across engines, runs, and partitionings,
+    * which is what makes a projected index rebuildable. */
+  def embedProject(spark: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"), x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val projCols = (0 until ProjK).map { j =>
+      val rj = array((0 until Dim).map(i => lit(projCoef(i, j))): _*)
+      aggregate(zip_with(q, rj, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        .as(s"p$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: projCols: _*)
+      .orderBy("vec_id")
+  }
+
   /** k-NN graph over the memoized LSH candidate pairs: each vector's
     * top-3 neighbors by exact cosine AMONG ITS CANDIDATES — the
     * adjacency structure semantic clustering / label propagation /
@@ -540,6 +572,7 @@ object Similarity {
     "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
     "embed_quantize" -> embedQuantize,
+    "embed_project" -> embedProject,
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_pairs" -> annLshPairs,
@@ -662,6 +695,15 @@ object Similarity {
         "ranked AS (SELECT qid, vec_id, cos, row_number() OVER " +
         "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM scored) " +
         "SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"),
+    "embed_project" -> {
+      // same integer LCG matrix regenerated literally; exact int64 fold
+      val qSql = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+      val pCols = (0 until ProjK).map { j =>
+        val rj = (0 until Dim).map(i => projCoef(i, j).toString).mkString("[", ", ", "]")
+        s"list_reduce(list_transform(generate_series(1, $Dim), i -> q[i] * ($rj)[i]), (x, y) -> x + y) AS p$j"
+      }.mkString(", ")
+      s"SELECT vec_id, $pCols FROM (SELECT vec_id, $qSql AS q FROM embeddings) ORDER BY vec_id"
+    },
     "ann_lsh_buckets" ->
       (s"SELECT vec_id, CAST($bucketSql AS INT) AS bucket " +
         s"FROM (SELECT vec_id, $toDoubleSql AS v FROM embeddings) ORDER BY vec_id"),

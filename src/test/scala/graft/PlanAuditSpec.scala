@@ -269,6 +269,31 @@ class PlanAuditSpec extends SparkSpec {
       s"fact side shuffles for the selective dim join:\n$p")
   }
 
+  test("dpp_prune's fact scan carries a dynamicpruning partition filter") {
+    val p = plan(Relational.dppPrune(spark, sf))
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning planted on the fact scan:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"fact scan has no partition filters at all:\n$p")
+  }
+
+  test("cms_freq's point queries run over the tiny grouped frame, total broadcast") {
+    val p = plan(Analytics.cmsFreq(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row total not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"exact counts not partially aggregated:\n$p")
+    assert(!p.contains("Window"), s"cms_freq grew a window:\n$p")
+  }
+
+  test("embed_project is row-local: no exchange except the output sort, no join/agg") {
+    val p = plan(graft.operators.Similarity.embedProject(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      s"projection shuffles row data:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"projection grew a join/aggregate:\n$p")
+  }
+
   test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
     val p = plan(graft.operators.Dedup.dedupKeepBest(spark, sf))
     val windows = "Window \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
