@@ -104,6 +104,8 @@ object Bench {
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
       ("chain_doc_scores", Set("quality_gate", "quality_score"),
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
+      ("chain_pq_codes", Set("pq_encode", "pq_recon_error"),
+        () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
     )
     val chainResults = chainDefs.collect {
       case (label, consumers, build) if consumers.exists(names.contains) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,10 +100,15 @@ object Similarity {
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    pqMemo.values.foreach { case (_, df) =>
+      try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     pairsMemo.clear()
     indexMemo.clear()
     incrMemo.clear()
     clustersMemo.clear()
+    pqMemo.clear()
   }
 
   def scoredLshPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -466,6 +471,106 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- Product quantization ----
+  private val PqM = 4          // subspaces
+  private val PqSub = Dim / PqM // dims per subspace
+  private val PqK = 16         // codes per subspace
+
+  private def pqSubv(v: Column, m: Int): Column = slice(v, m * PqSub + 1, PqSub)
+
+  /** Strict left-fold squared L2 between two sub-vectors — same
+    * evaluation order as the DuckDB twin, so distances are
+    * bit-identical across engines. */
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** One-Lloyd-step codebook for subspace m: seeds are the first-PqK
+    * vectors' sub-vectors, refined once by exact-DECIMAL per-position
+    * means — the refinedCentroids recipe applied per subspace, so the
+    * codebook doubles are bit-identical across engines/runs. */
+  private def pqCodebook(e: DataFrame, m: Int): DataFrame = {
+    val seeds = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), pqSubv(col("v"), m).as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    e.join(broadcast(seeds), col("vec_id") =!= lit(-1))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(pqD2(pqSubv(col("v"), m), col("cv")), 6).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cid").as("code"), posexplode(pqSubv(col("v"), m)).as(Seq("pos", "x")))
+      .groupBy("code", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mx"))
+      .groupBy("code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("cv"))
+      .select(col("code").as("cid"), col("cv"))
+  }
+
+  private val pqMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized PQ encoding stage: (vec_id, m, code, d2). Product
+    * quantization is THE 100 TB vector-footprint lever — M=4 one-byte
+    * codes replace 64 floats (64× smaller than float32) and ADC search
+    * scans codes against a 4×16-entry broadcast lookup table. The
+    * encode itself is the production shape: all M codebooks (64 tiny
+    * rows) broadcast, sub-vectors exploded row-locally, ONE shuffle for
+    * the per-(vec, m) argmin window. Codebook training (4 seeded Lloyd
+    * steps) is the one-time build, billed as `chain_pq_codes`. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    pqMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqMemo.remove)
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    pqMemo.get((spark, dir)) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) =>
+          try { if (!spark.sparkContext.isStopped) old.unpersist() }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val e = emb(spark, dir)
+        val books = (0 until PqM)
+          .map(m => pqCodebook(e, m).withColumn("m", lit(m)))
+          .reduce(_.unionByName(_))
+        val subs = e.select(col("vec_id"),
+            explode(array((0 until PqM).map(m =>
+              struct(lit(m).as("m"), pqSubv(col("v"), m).as("sv"))): _*)).as("s"))
+          .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+        val w = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cid"))
+        val df = subs.join(broadcast(books), Seq("m"))
+          .select(col("vec_id"), col("m"), col("cid"),
+            round(pqD2(col("sv"), col("cv")), 6).as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cid").as("code"), col("d2"))
+          .persist()
+        pqMemo.put((spark, dir), (fp, df))
+        df
+    }
+  }
+
+  /** PQ code assignment per vector — the compressed representation an
+    * ANN index stores. Oracle-exact because codebooks and distances are
+    * bit-identical (see pqCodebook/pqD2). */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val codeAt = (j: Int) => max(when(col("m") === j, col("code")))
+      .cast("int").as(s"code$j")
+    pqCodes(spark, dir).groupBy("vec_id")
+      .agg(codeAt(0), codeAt(1), codeAt(2), codeAt(3))
+      .orderBy("vec_id")
+  }
+
+  /** Per-vector PQ reconstruction error (per-subspace squared L2 to the
+    * chosen code's centroid + fixed-order total) — the quality metric
+    * that decides M/K sizing before a fleet-wide re-encode. Exact in
+    * both engines: each err_m is the rounded assignment distance, the
+    * total a fixed-order double sum of the four. */
+  def pqReconError(spark: SparkSession, dir: String): DataFrame = {
+    val errAt = (j: Int) => max(when(col("m") === j, col("d2"))).as(s"err$j")
+    pqCodes(spark, dir).groupBy("vec_id")
+      .agg(errAt(0), errAt(1), errAt(2), errAt(3))
+      .select(col("vec_id"), col("err0"), col("err1"), col("err2"), col("err3"),
+        (col("err0") + col("err1") + col("err2") + col("err3")).as("err_total"))
+      .orderBy("vec_id")
+  }
+
   /** k-NN graph over the memoized LSH candidate pairs: each vector's
     * top-3 neighbors by exact cosine AMONG ITS CANDIDATES — the
     * adjacency structure semantic clustering / label propagation /
@@ -573,6 +678,8 @@ object Similarity {
     "knn_graph" -> knnGraph,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
+    "pq_encode" -> pqEncode,
+    "pq_recon_error" -> pqReconError,
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_pairs" -> annLshPairs,
@@ -653,7 +760,46 @@ object Similarity {
       s"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
       "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
 
+  /** Strict left-fold squared L2 in DuckDB — same order as pqD2. */
+  private def pqD2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $PqSub), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** DuckDB twin of the PQ build+encode: per subspace m — sub-vector
+    * slice, first-PqK seed assign, exact-decimal per-position mean
+    * (codebook), final assign against the refined codebook. CTE names:
+    * a1{m} carries subspace m's final (vec_id, cid, d2). */
+  private val pqCtesSql: String = {
+    val per = (0 until PqM).map { m =>
+      val lo = m * PqSub + 1
+      s"s$m AS (SELECT vec_id, list_transform(generate_series($lo, ${lo + PqSub - 1}), i -> v[i]) AS sv FROM e), " +
+        s"c0$m AS (SELECT vec_id AS cid, sv AS cv FROM s$m WHERE vec_id < $PqK), " +
+        s"a0${m}s AS (SELECT s.vec_id, s.sv, c.cid, round(${pqD2Sql("s.sv", "c.cv")}, 6) AS d2 FROM s$m s CROSS JOIN c0$m c), " +
+        s"a0$m AS (SELECT vec_id, sv, cid FROM (SELECT vec_id, sv, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a0${m}s) WHERE rn = 1), " +
+        s"mean$m AS (SELECT cid, p.pos, CAST(sum(CAST(sv[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+        s"FROM a0$m CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS pos) p GROUP BY cid, p.pos), " +
+        s"c$m AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM mean$m GROUP BY cid), " +
+        s"a1${m}s AS (SELECT s.vec_id, c.cid, round(${pqD2Sql("s.sv", "c.cv")}, 6) AS d2 FROM s$m s CROSS JOIN c$m c), " +
+        s"a1$m AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a1${m}s) WHERE rn = 1)"
+    }.mkString(", ")
+    s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), $per"
+  }
+
   val oracle: Map[String, String] = Map(
+    "pq_encode" ->
+      (s"WITH $pqCtesSql " +
+        "SELECT a10.vec_id, CAST(a10.cid AS INT) AS code0, CAST(a11.cid AS INT) AS code1, " +
+        "CAST(a12.cid AS INT) AS code2, CAST(a13.cid AS INT) AS code3 " +
+        "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
+        "ORDER BY vec_id"),
+    "pq_recon_error" ->
+      (s"WITH $pqCtesSql " +
+        "SELECT a10.vec_id, a10.d2 AS err0, a11.d2 AS err1, a12.d2 AS err2, a13.d2 AS err3, " +
+        "a10.d2 + a11.d2 + a12.d2 + a13.d2 AS err_total " +
+        "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
+        "ORDER BY vec_id"),
     "embed_qa" ->
       ("""SELECT label,
          |  CAST(count(*) AS BIGINT) AS n_vectors,

@@ -294,6 +294,19 @@ class PlanAuditSpec extends SparkSpec {
       s"projection grew a join/aggregate:\n$p")
   }
 
+  test("pq_encode broadcasts the codebooks and windows per (vec, subspace) only") {
+    val p = plan(graft.operators.Similarity.pqEncode(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"codebook join shuffles the vector side:\n$p")
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    // every window is per-vector (build windows) and the encode argmin
+    // additionally keys on the subspace — never a global/corpus window
+    assert(specs.nonEmpty && specs.forall(_.contains("vec_id#")),
+      s"window not per-vector:\n$p")
+    assert(specs.exists(s => s.contains("vec_id#") && s.contains("m#")),
+      s"encode argmin window not partitioned by (vec_id, m):\n$p")
+  }
+
   test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
     val p = plan(graft.operators.Dedup.dedupKeepBest(spark, sf))
     val windows = "Window \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
