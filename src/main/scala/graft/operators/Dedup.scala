@@ -284,6 +284,57 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Cluster-aware train/val/test split — the leakage FIX complementing
+    * cross_split_leakage's audit: the unit of assignment is the near-dup
+    * CLUSTER, not the document, so no verified near-duplicate pair can
+    * straddle a split boundary (the protocol violation that inflates
+    * eval scores). Singleton docs use group_key = their own doc_id with
+    * the SAME salt as split_assign, so they hash to identical buckets —
+    * migrating a doc-level split to the group-aware one only moves docs
+    * that belong to clusters. Shape: one equi-join of the (small)
+    * cluster roster against the corpus ids, then a row-local keyed
+    * hash — rerun- and append-stable like every split decision here. */
+  def groupSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusterLabels(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+      .select(col("doc_id"), col("group_key"),
+        (conv(substring(md5(concat(lit("graft-split:"), col("group_key").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("group_key"), col("bucket"),
+        when(col("bucket") < 96, "train")
+          .when(col("bucket") < 98, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Contrastive training-pair mining off the shared verify stage: per
+    * anchor, up to 2 positives (verified near-dups) and up to 2 HARD
+    * negatives (LSH candidates that failed verification — the
+    * near-misses that actually teach an embedding margin, unlike random
+    * negatives), jaccard-ranked with deterministic tie order; anchors
+    * without a positive are dropped (nothing to contrast against). Long
+    * format (anchor, role, pair_rank, other_id, jaccard) — the batch
+    * shape a contrastive trainer consumes. Marginal cost: one bounded
+    * window over the memoized candidate pairs — no re-pairing, no text
+    * access, no new shuffle wider than the candidate set. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vc = verifiedCandidates(spark, dir)
+    val sym = vc
+      .select(col("id1").as("anchor"), col("id2").as("other"), col("jaccard"), col("is_dup"))
+      .unionByName(vc
+        .select(col("id2").as("anchor"), col("id1").as("other"), col("jaccard"), col("is_dup")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor", "is_dup").orderBy(desc("jaccard"), asc("other"))
+    val kept = sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val anchored = kept.filter(col("is_dup") === 1).select(col("anchor")).distinct()
+    kept.join(anchored, Seq("anchor"))
+      .select(col("anchor"),
+        when(col("is_dup") === 1, "pos").otherwise("neg").as("role"),
+        col("rn").cast("int").as("pair_rank"),
+        col("other").as("other_id"), col("jaccard"))
+      .orderBy("anchor", "role", "pair_rank")
+  }
+
   /** Cluster-size histogram over the connected components — the
     * distribution report a dedup run publishes (how much of the corpus
     * sits in pairs vs. mega-clusters decides the drop policy). Two
@@ -816,6 +867,8 @@ object Dedup {
     "dedup_jaro" -> dedupJaro,
     "dedup_bfs_levels" -> dedupBfsLevels,
     "dedup_normalized" -> dedupNormalized,
+    "group_split_assign" -> groupSplitAssign,
+    "contrastive_pairs" -> contrastivePairs,
   )
 
   // ---- oracle SQL ----

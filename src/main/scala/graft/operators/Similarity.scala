@@ -100,7 +100,7 @@ object Similarity {
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
       catch { case scala.util.control.NonFatal(_) => () }
     }
-    pqMemo.values.foreach { case (_, df) =>
+    (pqMemo.values ++ pqBooksMemo.values).foreach { case (_, df) =>
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -109,6 +109,7 @@ object Similarity {
     incrMemo.clear()
     clustersMemo.clear()
     pqMemo.clear()
+    pqBooksMemo.clear()
   }
 
   def scoredLshPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -505,6 +506,31 @@ object Similarity {
       .select(col("code").as("cid"), col("cv"))
   }
 
+  private val pqBooksMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized union of all M codebooks, tagged by subspace: (m, cid, cv).
+    * 64 tiny rows — always broadcast by consumers. */
+  private def pqBooks(spark: SparkSession, dir: String): DataFrame = {
+    pqBooksMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqBooksMemo.remove)
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    pqBooksMemo.get((spark, dir)) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) =>
+          try { if (!spark.sparkContext.isStopped) old.unpersist() }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val e = emb(spark, dir)
+        val df = (0 until PqM)
+          .map(m => pqCodebook(e, m).withColumn("m", lit(m)))
+          .reduce(_.unionByName(_))
+          .persist()
+        pqBooksMemo.put((spark, dir), (fp, df))
+        df
+    }
+  }
+
   private val pqMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]
 
@@ -527,9 +553,7 @@ object Similarity {
           catch { case scala.util.control.NonFatal(_) => () }
         }
         val e = emb(spark, dir)
-        val books = (0 until PqM)
-          .map(m => pqCodebook(e, m).withColumn("m", lit(m)))
-          .reduce(_.unionByName(_))
+        val books = pqBooks(spark, dir)
         val subs = e.select(col("vec_id"),
             explode(array((0 until PqM).map(m =>
               struct(lit(m).as("m"), pqSubv(col("v"), m).as("sv"))): _*)).as("s"))
@@ -569,6 +593,51 @@ object Similarity {
       .select(col("vec_id"), col("err0"), col("err1"), col("err2"), col("err3"),
         (col("err0") + col("err1") + col("err2") + col("err3")).as("err_total"))
       .orderBy("vec_id")
+  }
+
+  /** ADC (asymmetric distance computation) search quality: for each
+    * query, rank the corpus by PQ-approximated L2 — the query's EXACT
+    * sub-vectors against each vector's code centroids — and report
+    * top-5 recall vs exact full-dimension L2. This is how a PQ index is
+    * actually probed at 100 TB: the per-query work is a 4×16-entry
+    * lookup table (broadcast), the corpus side touches only its byte
+    * codes — never the floats — and the scan is a map-side join of the
+    * code table against a 640-row LUT. Fully deterministic in both
+    * engines (codebooks are bit-identical, distances rounded, totals
+    * fixed-order), so recall itself is oracle-exact — the eval that
+    * decides whether M/K is sized right before a fleet re-encode. */
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val qsubs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), pqSubv(col("v"), m).as("qsv"))): _*)).as("s"))
+      .select(col("qid"), col("s.m").as("m"), col("s.qsv").as("qsv"))
+    val lut = qsubs.join(broadcast(pqBooks(spark, dir)), Seq("m"))
+      .select(col("qid"), col("m"), col("cid").as("code"),
+        round(pqD2(col("qsv"), col("cv")), 6).as("qdist"))
+    val dAt = (j: Int) => max(when(col("m") === j, col("qdist"))).as(s"qd$j")
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(dAt(0), dAt(1), dAt(2), dAt(3))
+      .select(col("qid"), col("vec_id"),
+        (col("qd0") + col("qd1") + col("qd2") + col("qd3")).as("dist"))
+    val qv = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(pqD2(col("v"), col("qv")), 6).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
+    def top5(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "vec_id")
+    val overlap = top5(adc).join(top5(exact), Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n"))
+    qv.select(col("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n"), lit(0L)) * 20).as("recall_pct"))
+      .orderBy("qid")
   }
 
   /** k-NN graph over the memoized LSH candidate pairs: each vector's
@@ -680,6 +749,7 @@ object Similarity {
     "embed_project" -> embedProject,
     "pq_encode" -> pqEncode,
     "pq_recon_error" -> pqReconError,
+    "pq_adc_recall" -> pqAdcRecall,
     "cosine_topk" -> cosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_pairs" -> annLshPairs,
@@ -800,6 +870,37 @@ object Similarity {
         "a10.d2 + a11.d2 + a12.d2 + a13.d2 AS err_total " +
         "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
         "ORDER BY vec_id"),
+    "pq_adc_recall" -> {
+      val luts = (0 until PqM).map { m =>
+        val lo = m * PqSub + 1
+        s"lut$m AS (SELECT q.qid, c.cid, round(${pqD2Sql("q.qs", "c.cv")}, 6) AS qd2 " +
+          s"FROM (SELECT vec_id AS qid, list_transform(generate_series($lo, ${lo + PqSub - 1}), i -> v[i]) AS qs " +
+          s"FROM e WHERE vec_id < 10) q CROSS JOIN c$m c)"
+      }.mkString(", ")
+      val fullD2 =
+        s"list_reduce(list_transform(generate_series(1, $Dim), " +
+          "i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])), (x, y) -> x + y)"
+      s"WITH $pqCtesSql, $luts, " +
+        "adc AS (SELECT l0.qid, a10.vec_id, l0.qd2 + l1.qd2 + l2.qd2 + l3.qd2 AS dist " +
+        "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
+        "JOIN lut0 l0 ON l0.cid = a10.cid " +
+        "JOIN lut1 l1 ON l1.cid = a11.cid AND l1.qid = l0.qid " +
+        "JOIN lut2 l2 ON l2.cid = a12.cid AND l2.qid = l0.qid " +
+        "JOIN lut3 l3 ON l3.cid = a13.cid AND l3.qid = l0.qid " +
+        "WHERE a10.vec_id <> l0.qid), " +
+        "adct AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM adc) WHERE rn <= 5), " +
+        s"ex AS (SELECT q.qid, e.vec_id, round($fullD2, 6) AS dist " +
+        "FROM e CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q " +
+        "WHERE e.vec_id <> q.qid), " +
+        "ext AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM ex) WHERE rn <= 5), " +
+        "ov AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n FROM adct a " +
+        "JOIN ext x ON a.qid = x.qid AND a.vec_id = x.vec_id GROUP BY a.qid) " +
+        "SELECT q.qid, coalesce(ov.n, 0) AS n_overlap, coalesce(ov.n, 0) * 20 AS recall_pct " +
+        "FROM (SELECT vec_id AS qid FROM e WHERE vec_id < 10) q " +
+        "LEFT JOIN ov USING (qid) ORDER BY qid"
+    },
     "embed_qa" ->
       ("""SELECT label,
          |  CAST(count(*) AS BIGINT) AS n_vectors,
