@@ -115,8 +115,12 @@ object Bench {
       timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
     val all = chainResults ++ results
-    val failed = all.collect { case t if t.wallS < 0 => "\"" + t.name + "\"" }
-      .mkString("[", ",", "]")
+    // The failed list rides the size-capped stdout line, so it must be
+    // bounded itself (22 failures once inflated the line past the 2000-char
+    // stdout tail and left the round's JSON unparseable): show at most 10
+    // names, and report the true count in n_failed.
+    val failedNames = all.collect { case t if t.wallS < 0 => t.name }
+    val failed = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_.wallS).filter(_ >= 0).sum
     // Self-diagnosing telemetry: wall time alone can't distinguish a slow
     // plan from a contended machine (BENCH_r02 ran 6x slow on an otherwise
@@ -152,7 +156,10 @@ object Bench {
     // Compact stdout line: failures first, then slowest-first, capped so the
     // whole line survives a 2000-char stdout tail with room for sbt's
     // trailing "[success]" line.
-    val budget = 1450
+    // The queries map gets whatever budget the (already-bounded) failed
+    // array leaves over, so the full line stays under the tail cap no
+    // matter how many queries fail.
+    val budget = math.max(300, 1450 - failed.length)
     val ordered = all.filter(_.wallS < 0) ++ all.filter(_.wallS >= 0).sortBy(-_.wallS)
     val entries = ordered.map(t => "\"" + t.name + "\":" + fmt(t.wallS))
     var used = 0
@@ -160,7 +167,7 @@ object Bench {
     val omitted = all.drop(kept.size)
     val omittedS = omitted.map(_.wallS).filter(_ >= 0).sum
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":${omitted.size},"omitted_s":${fmt(omittedS)},"failed":$failed,"gc_s":${fmt(gcS)},"cpu_s":${fmt(cpuS)},"load_avg":${fmt(load)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":${omitted.size},"omitted_s":${fmt(omittedS)},"failed":$failed,"n_failed":${failedNames.size},"gc_s":${fmt(gcS)},"cpu_s":${fmt(cpuS)},"load_avg":${fmt(load)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

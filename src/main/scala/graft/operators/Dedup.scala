@@ -1080,6 +1080,41 @@ object Dedup {
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d " +
         "LEFT JOIN ex ON d.doc_id = ex.doc_id LEFT JOIN nr ON d.doc_id = nr.doc_id " +
         "ORDER BY d.doc_id"),
+    "group_split_assign" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "labels AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id), " +
+        "base AS (SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS group_key " +
+        "FROM documents d LEFT JOIN labels l ON d.doc_id = l.id), " +
+        "bkt AS (SELECT doc_id, group_key, " +
+        "CAST('0x' || substr(md5('graft-split:' || CAST(group_key AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket FROM base) " +
+        "SELECT doc_id, group_key, bucket, " +
+        "CASE WHEN bucket < 96 THEN 'train' WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split " +
+        "FROM bkt ORDER BY doc_id"),
+    "contrastive_pairs" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "vc AS (SELECT id1, id2, round(inter / (tot - inter), 6) AS jaccard, " +
+        "CAST(inter * 6 >= tot AS INT) AS is_dup FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2)), " +
+        "sym AS (SELECT id1 AS anchor, id2 AS other, jaccard, is_dup FROM vc " +
+        "UNION ALL SELECT id2 AS anchor, id1 AS other, jaccard, is_dup FROM vc), " +
+        "kept AS (SELECT * FROM (SELECT anchor, other, jaccard, is_dup, " +
+        "row_number() OVER (PARTITION BY anchor, is_dup ORDER BY jaccard DESC, other) AS rn FROM sym) " +
+        "WHERE rn <= 2), " +
+        "anchored AS (SELECT DISTINCT anchor FROM kept WHERE is_dup = 1) " +
+        "SELECT k.anchor, CASE WHEN k.is_dup = 1 THEN 'pos' ELSE 'neg' END AS role, " +
+        "CAST(k.rn AS INT) AS pair_rank, k.other AS other_id, k.jaccard AS jaccard " +
+        "FROM kept k JOIN anchored a ON k.anchor = a.anchor " +
+        "ORDER BY k.anchor, role, pair_rank"),
     "dedup_cluster_sizes" ->
       (s"WITH RECURSIVE $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

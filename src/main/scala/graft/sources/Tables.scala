@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver testdata star schema
   * (`/root/repo/TESTDATA.md`).
@@ -29,16 +29,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the column arrives as
-    * LongType nanos; truncating to micros here matches DuckDB's
-    * `epoch_us(ts)` exactly, keeping event-time queries oracle-comparable. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+  /** events.ts has shipped in three physical parquet shapes across
+    * testdata generations, all normalized here to µs TimestampType so
+    * every event-time operator sees ONE type:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType;
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, so it
+    *    arrives as LongType nanos — truncate to micros (matches DuckDB's
+    *    `epoch_us(ts)` exactly).
+    *  - timestamp[us] without timezone → TimestampNTZType: `unix_micros`
+    *    and `withWatermark` reject NTZ, so cast to TimestampType; under
+    *    the pinned UTC session zone the cast is value-identical to
+    *    DuckDB's naive reading, so oracle hashes are unaffected.
+    *  - timestamp[us] UTC-adjusted → TimestampType: pass through. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"))
+
+  /** Normalize a `ts` column of any of the three shipped physical types
+    * (LongType nanos / TimestampNTZType / TimestampType) to µs
+    * TimestampType. Shared by the batch loader above and the streaming
+    * bridge's file-source reads. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -49,12 +49,12 @@ object StreamingBridge {
     (d, proj)
   }
 
-  /** ns→µs timestamp fix mirroring Tables.events (parquet TIMESTAMP(NANOS)
-    * arrives as LongType under nanosAsLong). */
+  /** ts normalization mirroring Tables.events: LongType nanos (legacy
+    * TIMESTAMP(NANOS) under nanosAsLong) → µs TimestampType, and
+    * TimestampNTZType (timestamp[us] without timezone) → TimestampType,
+    * which `withWatermark` requires. */
   private def fixTs(raw: DataFrame, schema: StructType): DataFrame =
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeTs(raw)
 
   private def typedEventStream(spark: SparkSession, streamDir: String,
       schema: StructType): Dataset[Event] = {
@@ -75,9 +75,15 @@ object StreamingBridge {
   private[graft] def writeSentinelNamed(spark: SparkSession, streamDir: String,
       schema: StructType, flushMs: Long, fileName: String,
       eventTypes: Seq[String] = Seq("flush")): Unit = {
-    val tsVal: Any =
-      if (schema("ts").dataType == LongType) flushMs * 1000000L
-      else new java.sql.Timestamp(flushMs)
+    val tsVal: Any = schema("ts").dataType match {
+      case LongType => flushMs * 1000000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ's external row type is LocalDateTime; session zone is UTC,
+        // so epoch-millis → UTC wall time preserves the value exactly
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(flushMs), java.time.ZoneOffset.UTC)
+      case _ => new java.sql.Timestamp(flushMs)
+    }
     val rows: java.util.List[Row] = {
       val l = new java.util.ArrayList[Row]()
       eventTypes.foreach(t => l.add(Row(-1L, tsVal, -1L, t, 0.0)))
@@ -256,6 +262,44 @@ object StreamingBridge {
     // tuple so the oracle compare is row-order deterministic
     spark.table(name).filter(col("user_id") >= 0)
       .select("user_id", "n_events", "duration_s")
+      .orderBy("user_id", "n_events", "duration_s")
+  }
+
+  /** Streaming sessionization via Spark's NATIVE session_window
+    * aggregation — the declarative/stateful pairing of batch
+    * sessionWindowAgg, closing the loop with the imperative
+    * flatMapGroupsWithState sessionizer: three batch/stream
+    * implementations, one oracle. Gap-bounded windows merge inside the
+    * stateful aggregate (state per key is the user's OPEN sessions, not
+    * events); append mode emits a session only once the watermark proves
+    * it closed, so the far-future sentinel flushes the last open
+    * sessions and the emitted set is final. duration = window end −
+    * start − gap exactly (session_window end = last event + gap). */
+  def streamSessionWindowEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val gapUs = 30L * 60 * 1000000
+    val name = s"graft_stream_sesswin_${runId.incrementAndGet()}"
+    val events = fixTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+      .withWatermark("ts", "1 hour")
+    val q = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, streamDir, schema, maxMs + 24L * 3600 * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        floor((col("end_us") - col("start_us") - gapUs) / lit(1000000L))
+          .cast("long").as("duration_s"))
       .orderBy("user_id", "n_events", "duration_s")
   }
 
@@ -518,6 +562,7 @@ object StreamingBridge {
     "stream_hourly_eq" -> streamHourlyEq,
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
+    "stream_session_window_eq" -> streamSessionWindowEq,
     "stream_sessionize_incr_eq" -> streamSessionizeIncrementalEq,
     "stream_dedup_eq" -> streamDedupEq,
     "stream_enrich_eq" -> streamEnrichEq,
@@ -593,6 +638,20 @@ object StreamingBridge {
         "AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000 " +
         "ORDER BY v.user_id, view_id, purchase_id"),
     "stream_sessionize_eq" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "flagged AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "sessions AS (SELECT user_id, us, " +
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+        "FROM flagged) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
+        "FROM sessions GROUP BY user_id, session_id " +
+        "ORDER BY user_id, n_events, duration_s"),
+    // native session_window twin: same sessions, same oracle as
+    // stream_sessionize_eq (one oracle, three implementations)
+    "stream_session_window_eq" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "flagged AS (SELECT user_id, event_id, us, " +
         "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
