@@ -740,8 +740,56 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Embedding-snapshot drift monitor — the model/data-shift alarm a
+    * vector pipeline runs between ingest generations: the corpus is split
+    * into a reference snapshot (even vec_id) and a current one (odd),
+    * and per ground-truth label the report carries the population facts
+    * (n_ref, n_cur, share-shift in ppm — integer `div` arithmetic, exact
+    * cross-engine) plus the squared L2 distance between the two
+    * snapshots' label centroids. A centroid that moves while its share
+    * holds signals representation drift (re-embed or re-train the index);
+    * a share that moves signals source mix drift (re-balance before the
+    * index's cell occupancy skews).
+    *
+    * Exactness recipe: per-(label, snapshot, pos) means are exact-DECIMAL
+    * sums divided once (the refinedCentroids recipe — bit-identical
+    * doubles on both engines); per-position deltas are rounded to 6 dp,
+    * cast to DECIMAL(18,6), and the 64 squared terms are summed in exact
+    * decimal arithmetic — order-independent by construction, so no fold
+    * ordering is even needed. Shape: one (label, snap, pos) keyed
+    * partial+final aggregate (the element explode never carries whole
+    * vectors), two O(labels) joins, one broadcast of the 1-row totals;
+    * output is O(labels) regardless of corpus size. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"), col("label"),
+        (col("vec_id") % 2 === 0).cast("int").as("is_ref"))
+    val means = e.select(col("label"), col("is_ref"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "is_ref", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mx"))
+    val shift = means.filter(col("is_ref") === 1)
+      .select(col("label"), col("pos"), col("mx").as("mref"))
+      .join(means.filter(col("is_ref") === 0)
+        .select(col("label"), col("pos"), col("mx").as("mcur")), Seq("label", "pos"))
+      .select(col("label"),
+        round(col("mref") - col("mcur"), 6).cast("decimal(18,6)").as("d"))
+      .groupBy("label")
+      .agg(round(sum(col("d") * col("d")).cast("double"), 6).as("centroid_shift_l2sq"))
+    val counts = e.groupBy("label").agg(
+      sum(col("is_ref").cast("long")).as("n_ref"),
+      sum(lit(1L) - col("is_ref")).as("n_cur"))
+    val totals = counts.agg(sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    counts.join(shift, "label").crossJoin(broadcast(totals))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        expr("(1000000 * n_cur) div tot_cur - (1000000 * n_ref) div tot_ref")
+          .as("share_shift_ppm"),
+        col("centroid_shift_l2sq"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_qa" -> embedQa,
+    "embed_drift" -> embedDrift,
     "ann_recall_report" -> annRecallReport,
     "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
@@ -858,6 +906,25 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "embed_drift" ->
+      (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v, label, " +
+        "CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref FROM embeddings), " +
+        "mean AS (SELECT label, is_ref, p.pos, " +
+        "CAST(sum(CAST(v[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+        s"FROM e CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p " +
+        "GROUP BY label, is_ref, p.pos), " +
+        "d AS (SELECT r.label, CAST(round(r.mx - c.mx, 6) AS DECIMAL(18,6)) AS d " +
+        "FROM (SELECT * FROM mean WHERE is_ref = 1) r " +
+        "JOIN (SELECT * FROM mean WHERE is_ref = 0) c ON r.label = c.label AND r.pos = c.pos), " +
+        "shift AS (SELECT label, round(CAST(sum(d * d) AS DOUBLE), 6) AS centroid_shift_l2sq " +
+        "FROM d GROUP BY label), " +
+        "cnt AS (SELECT label, CAST(sum(is_ref) AS BIGINT) AS n_ref, " +
+        "CAST(sum(1 - is_ref) AS BIGINT) AS n_cur FROM e GROUP BY label), " +
+        "tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref, CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM cnt) " +
+        "SELECT cnt.label, n_ref, n_cur, " +
+        "(1000000 * n_cur) // tot_cur - (1000000 * n_ref) // tot_ref AS share_shift_ppm, " +
+        "centroid_shift_l2sq " +
+        "FROM cnt JOIN shift USING (label) CROSS JOIN tot ORDER BY cnt.label"),
     "pq_encode" ->
       (s"WITH $pqCtesSql " +
         "SELECT a10.vec_id, CAST(a10.cid AS INT) AS code0, CAST(a11.cid AS INT) AS code1, " +

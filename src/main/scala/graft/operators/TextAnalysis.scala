@@ -570,6 +570,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document novel-gram fraction — the MARGINAL-CONTRIBUTION signal
+    * of corpus curation (what dup_gram_fraction is to redundancy, this is
+    * to novelty): for each document, the share of its DISTINCT word
+    * 5-grams whose corpus-wide first occurrence (min doc_id, the ingest
+    * order) is this document. A doc scoring near 0 adds nothing the
+    * corpus hasn't already seen and is a drop candidate even when no
+    * single pair-wise duplicate exists — the long-tail boilerplate case
+    * LSH never pairs up.
+    *
+    * Shape: the same gram inverted index the decontamination/dup-gram
+    * stages shuffle (gram cardinality = corpus 5-gram vocabulary), but
+    * aggregated with MIN instead of a distinct-count — partial min
+    * combines map-side, and the join back is gram-keyed like
+    * dup_gram_fraction. Per-doc grams are deduped row-locally
+    * (array_distinct before explode) so the exchange carries each
+    * (doc, gram) once. All arithmetic integer (`div`-scaled ppm) —
+    * cross-engine exact by construction. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextFunctions.wordShinglesFromTokens(col("tk"), 5))).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novel_frac_scaled", expr("(1000000 * novel_grams) div n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document character-level Shannon entropy (nats) — the
     * low-entropy screen that catches boilerplate/garbage text a length
     * gate misses.
@@ -713,6 +744,7 @@ object TextAnalysis {
     "chunk_dedup" -> chunkDedup,
     "phrase_detect" -> phraseDetect,
     "dup_gram_fraction" -> dupGramFraction,
+    "ngram_novelty" -> ngramNovelty,
     "char_entropy" -> charEntropy,
     "heavy_hitters" -> heavyHitters,
     "doc_chunking" -> docChunking,
@@ -807,6 +839,15 @@ object TextAnalysis {
         "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams, " +
         "(1000000 * CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_frac_scaled " +
         "FROM grams JOIN nd USING (g) GROUP BY doc_id ORDER BY doc_id"),
+    "ngram_novelty" ->
+      (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g " +
+        "FROM toks, UNNEST(CASE WHEN len(tk) >= 5 THEN range(1, len(tk) - 3) ELSE [] END) AS t(i)), " +
+        "fo AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams, " +
+        "(1000000 * CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS novel_frac_scaled " +
+        "FROM grams JOIN fo USING (g) GROUP BY doc_id ORDER BY doc_id"),
     "char_entropy" ->
       ("WITH cnts AS (SELECT doc_id, c, count(*) AS cnt FROM " +
         "(SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) u " +

@@ -378,6 +378,34 @@ object StreamingBridge {
       .orderBy("user_id", "n_events", "duration_s")
   }
 
+  /** BOUNDED-STATE streaming dedup via dropDuplicatesWithinWatermark —
+    * the 100 TB answer to dedupStream's unbounded dropDuplicates state
+    * (which grows with the key universe forever): state is evicted once
+    * the watermark passes an entry's event time + delay, so steady-state
+    * memory is (keys arriving within the delay window), not (all keys
+    * ever). The dedup key therefore must bound duplicate spread in event
+    * time — here (user_id, event_type, hour): duplicates of a key
+    * co-occur within one hour by construction, and the 2 h delay covers
+    * any same-hour straddle of a micro-batch boundary, so eviction can
+    * never let a duplicate through. Replayed as 4 chronological files,
+    * one per trigger, so state genuinely evicts mid-stream while the
+    * suppression guarantee holds — output equals batch DISTINCT. */
+  def streamDedupWatermarkEq(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_dedup_wm_${runId.incrementAndGet()}"
+    val q = Tables.normalizeTs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .select("user_id", "event_type", "hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type", "hour")
+  }
+
   /** Streaming exact dedup driven to completion: one row survives per
     * (user, type) key. WHICH row survives a single unsorted batch is not
     * deterministic (first-seen per partition), so the equivalence is on
@@ -567,6 +595,7 @@ object StreamingBridge {
     "stream_dedup_eq" -> streamDedupEq,
     "stream_enrich_eq" -> streamEnrichEq,
     "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
+    "stream_dedup_wm_eq" -> streamDedupWatermarkEq,
     "stream_join_eq" -> streamJoinEq,
     "stream_left_join_eq" -> streamLeftJoinEq,
     "stream_quarantine_eq" -> streamQuarantineEq,
@@ -618,6 +647,12 @@ object StreamingBridge {
         "JOIN nation n ON e.user_id % 25 = n.n_nationkey ORDER BY e.event_id"),
     "stream_dedup_incr_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // bounded-state dedup: key includes the hour bucket, so
+    // within-watermark suppression is exhaustive and the result is the
+    // plain batch DISTINCT over the bucketed key
+    "stream_dedup_wm_eq" ->
+      ("SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour " +
+        "FROM events ORDER BY user_id, event_type, hour"),
     // µs-domain comparisons: Spark truncates the ns parquet timestamps to
     // µs on read, so the oracle joins on epoch_us, not raw ns timestamps
     "stream_join_eq" ->

@@ -224,4 +224,25 @@ class SimilaritySpec extends SparkSpec {
       assert(expectHits.getOrElse(qid, 0) == nHit, s"qid $qid hit count mismatch")
     }
   }
+
+  test("embedDrift: counts reconcile, share shifts telescope to ~0, shifts are finite and non-negative") {
+    val rows = Similarity.embedDrift(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum == total,
+      "per-label ref+cur counts must partition the corpus")
+    // each snapshot's shares sum to 1e6 minus at most one ppm of `div`
+    // truncation per label, so the shift column telescopes to ~0
+    assert(math.abs(rows.map(_._4).sum) <= rows.length,
+      s"share shifts sum ${rows.map(_._4).sum} beyond truncation slack")
+    rows.foreach { case (label, nRef, nCur, _, shift) =>
+      assert(nRef > 0 && nCur > 0, s"label $label: empty snapshot")
+      assert(!shift.isNaN && shift >= 0.0, s"label $label: bad shift $shift")
+    }
+    // deterministic: a second run is value-identical
+    val again = Similarity.embedDrift(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -246,4 +246,14 @@ class StreamingSpec extends SparkSpec {
     }
     assert(one.map(_.getString(2)).toSeq == expected)
   }
+
+  test("streamDedupWatermarkEq: bounded-state dedup equals batch DISTINCT over the bucketed key") {
+    val got = graft.streaming.StreamingBridge.streamDedupWatermarkEq(spark, sf)
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    val want = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", date_trunc("hour", $"ts").as("hour"))
+      .distinct()
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    assert(got == want, s"streaming kept ${got.size} keys, batch distinct has ${want.size}")
+  }
 }

@@ -50,6 +50,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(h0 - hRef) < 1e-6)
   }
 
+  test("ngramNovelty: first gram-bearing doc is fully novel; novel grams sum to the corpus vocabulary") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, novel, frac) =>
+      assert(novel >= 0 && novel <= n, s"doc $id: novel $novel out of [0,$n]")
+      assert(frac == 1000000L * novel / n, s"doc $id: scaled frac mismatch")
+    }
+    // the lowest doc_id in the output saw the corpus first: every one of
+    // its distinct grams has first_doc = itself
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1000000L,
+      s"first doc ${first._1} not fully novel: $first")
+    // every gram is novel in exactly one doc, so novel_grams sums to the
+    // corpus-wide distinct 5-gram count
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.wordShingles($"text", 5)).as("g"))
+      .select(countDistinct($"g")).as[Long].head()
+    assert(rows.map(_._3).sum == vocab,
+      s"novel sum ${rows.map(_._3).sum} != corpus vocab $vocab")
+  }
+
   test("dupGramFraction: dup_grams <= n_grams; a shared 5-gram is flagged on both docs") {
     val rows = TextAnalysis.dupGramFraction(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
