@@ -519,6 +519,40 @@ object StreamingBridge {
       .orderBy("user_id")
   }
 
+  /** latest-per-key through the MODERN transformWithState API (Spark 4's
+    * StatefulProcessor) — same drive and final-state selection as
+    * streamLatestEq, same oracle, so the old and new arbitrary-state
+    * APIs are proven equivalent on the same input. transformWithState
+    * requires the RocksDB state store; the provider is scoped to this
+    * query (set before start, restored after — queries bind their
+    * provider at start). */
+  def streamLatestTwsEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val name = s"graft_stream_latest_tws_${runId.incrementAndGet()}"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try StreamingOps.latestPerUserTws(typedEventStream(spark, streamDir, schema))
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("last_us"), col("last_event_id"), col("last_type"), col("n_events")),
+        struct(col("n_events"), col("last_us"), col("last_event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_us").as("last_us"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.last_type").as("last_type"), col("m.n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Streaming CDC upsert — the maintenance loop of a materialized table:
     * the batch cdc_apply's change feed (diffSnapshots of the two demo
     * order snapshots) replays one key-disjoint file per micro-batch, and
@@ -585,6 +619,7 @@ object StreamingBridge {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cdc_eq" -> streamCdcEq,
     "stream_latest_eq" -> streamLatestEq,
+    "stream_latest_tws_eq" -> streamLatestTwsEq,
     "stream_foreachbatch_eq" -> streamForeachBatchEq,
     "stream_incremental_eq" -> streamIncrementalEq,
     "stream_hourly_eq" -> streamHourlyEq,
@@ -617,6 +652,14 @@ object StreamingBridge {
         "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
         "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS sum_ids " +
         "FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST"),
+    // transformWithState twin: same fold, same oracle as stream_latest_eq
+    "stream_latest_tws_eq" ->
+      ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +
+        "(SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id, " +
+        "event_type AS last_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
     "stream_latest_eq" ->
       ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +
         "(SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id, " +

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface: the streaming twins of the batch
   * event-time queries in graft.operators.Analytics. The reference is batch
@@ -207,5 +208,49 @@ object StreamingOps {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** latest-per-key on the MODERN arbitrary-state API — Spark 4's
+    * `transformWithState` StatefulProcessor, the successor to
+    * mapGroupsWithState: typed named state slots (ValueState/ListState/
+    * MapState) with per-slot TTL, timers decoupled from output mode, and
+    * schema-evolvable state — the API new pipelines should target.
+    * Same fold, same LatestOut contract as latestPerUser, so the bridge
+    * can verify both against ONE oracle. State is a single ValueState
+    * per key (O(1)); TTL is NONE to match the batch twin's all-keys
+    * semantics (production would set a retention TTL here — one line,
+    * not a rewrite, which is the point of the new API). Requires the
+    * RocksDB state store provider. */
+  class LatestStatefulProcessor extends StatefulProcessor[Long, Event, LatestOut] {
+    @transient private var st: ValueState[LatestState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LatestState]("latest",
+        org.apache.spark.sql.Encoders.product[LatestState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[LatestOut] = {
+      var s =
+        if (st.exists()) st.get()
+        else LatestState(Long.MinValue, Long.MinValue, "", 0L)
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        val newer = us > s.last_us ||
+          (us == s.last_us && e.event_id > s.last_event_id)
+        s =
+          if (newer) LatestState(us, e.event_id, e.event_type, s.n + 1)
+          else s.copy(n = s.n + 1)
+      }
+      st.update(s)
+      Iterator.single(LatestOut(userId, s.last_us, s.last_event_id, s.last_type, s.n))
+    }
+  }
+
+  def latestPerUserTws(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestStatefulProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -256,4 +256,13 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, java.sql.Timestamp)].collect().toSet
     assert(got == want, s"streaming kept ${got.size} keys, batch distinct has ${want.size}")
   }
+
+  test("transformWithState latest-per-key equals the mapGroupsWithState implementation") {
+    val old = graft.streaming.StreamingBridge.streamLatestEq(spark, sf)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    val tws = graft.streaming.StreamingBridge.streamLatestTwsEq(spark, sf)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(tws.nonEmpty && tws == old,
+      "old and new arbitrary-state APIs must agree row-for-row")
+  }
 }
