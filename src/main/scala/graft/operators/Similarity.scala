@@ -756,21 +756,25 @@ object Similarity {
     * doubles on both engines); per-position deltas are rounded to 6 dp,
     * cast to DECIMAL(18,6), and the 64 squared terms are summed in exact
     * decimal arithmetic — order-independent by construction, so no fold
-    * ordering is even needed. Shape: one (label, snap, pos) keyed
-    * partial+final aggregate (the element explode never carries whole
-    * vectors), two O(labels) joins, one broadcast of the 1-row totals;
-    * output is O(labels) regardless of corpus size. */
+    * ordering is even needed. Shape: BOTH snapshots' means come out of
+    * ONE (label, pos) keyed partial+final conditional aggregate over a
+    * single scan (a per-(label, snap, pos) grouping would force a second
+    * scan or a self-join to pair them) — the element explode never
+    * carries whole vectors, the delta/square math is then row-local,
+    * and everything downstream is O(labels): one per-label aggregate,
+    * one counts join, one broadcast of the 1-row totals. */
   def embedDrift(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"), col("label"),
         (col("vec_id") % 2 === 0).cast("int").as("is_ref"))
-    val means = e.select(col("label"), col("is_ref"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "is_ref", "pos")
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mx"))
-    val shift = means.filter(col("is_ref") === 1)
-      .select(col("label"), col("pos"), col("mx").as("mref"))
-      .join(means.filter(col("is_ref") === 0)
-        .select(col("label"), col("pos"), col("mx").as("mcur")), Seq("label", "pos"))
+    val ref = col("is_ref") === 1
+    val shift = e.select(col("label"), col("is_ref"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        (sum(when(ref, col("x")).cast("decimal(28,12)")).cast("double") /
+          sum(when(ref, 1L).otherwise(0L))).as("mref"),
+        (sum(when(!ref, col("x")).cast("decimal(28,12)")).cast("double") /
+          sum(when(!ref, 1L).otherwise(0L))).as("mcur"))
       .select(col("label"),
         round(col("mref") - col("mcur"), 6).cast("decimal(18,6)").as("d"))
       .groupBy("label")

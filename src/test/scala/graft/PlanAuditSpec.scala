@@ -315,4 +315,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(specs.forall(_.contains("cluster_id#")),
       s"member ranking not partitioned by cluster_id:\n$p")
   }
+
+  test("ngram_novelty MIN-combines the gram index map-side (partial_min before the exchange)") {
+    val p = plan(graft.operators.TextAnalysis.ngramNovelty(spark, sf))
+    assert(p.contains("partial_min"), s"gram first-doc index not partially aggregated:\n$p")
+    assert("Generate explode".r.findAllIn(p).size <= 2,
+      s"gram stream exploded more than the two intended times:\n$p")
+  }
+
+  test("embed_drift derives both snapshot centroids from ONE element explode (no self-join of means)") {
+    // the conditional aggregate must pair ref/cur means in a single
+    // (label, pos) pass — a second posexplode means the corpus is being
+    // re-scanned and the means self-joined, double the dominant cost
+    val p = plan(graft.operators.Similarity.embedDrift(spark, sf))
+    assert("Generate posexplode".r.findAllIn(p).size == 1,
+      s"expected exactly one element explode:\n$p")
+    assert(p.contains("partial_sum"), s"means not partially aggregated:\n$p")
+  }
 }
