@@ -303,6 +303,32 @@ object StreamingBridge {
       .orderBy("user_id", "n_events", "duration_s")
   }
 
+  /** Sessionization via transformWithState with explicit event-time
+    * timers — driven exactly like streamSessionizeEq (drain, far-future
+    * sentinel advances the watermark, the no-data batch fires the
+    * registered per-key alarms), same oracle: the modern API must land
+    * on the same sessions as flatMapGroupsWithState and the two batch
+    * sessionizers. */
+  def streamSessionizeTwsEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val name = s"graft_stream_sess_tws_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      StreamingOps.sessionizeTws(typedEventStream(spark, streamDir, schema))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    }
+    try {
+      q.processAllAvailable()
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, streamDir, schema, maxMs + 24L * 3600 * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select("user_id", "n_events", "duration_s")
+      .orderBy("user_id", "n_events", "duration_s")
+  }
+
   /** Streaming dedup across micro-batch boundaries: time-ordered 4-file
     * one-per-trigger replay (range-staged with ascending mtimes — a
     * RANDOM split loses keys whose only events land behind the advancing
@@ -526,21 +552,29 @@ object StreamingBridge {
     * requires the RocksDB state store; the provider is scoped to this
     * query (set before start, restored after — queries bind their
     * provider at start). */
-  def streamLatestTwsEq(spark: SparkSession, dir: String): DataFrame = {
-    val (streamDir, schema) = stageEvents(spark, dir)
-    val name = s"graft_stream_latest_tws_${runId.incrementAndGet()}"
+  /** Start a streaming query with the RocksDB state store provider scoped
+    * to it (transformWithState requires RocksDB; a query binds its
+    * provider at start, so set-before/restore-after is exact scoping). */
+  private def withRocksDb[T](spark: SparkSession)(start: => T): T = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q =
-      try StreamingOps.latestPerUserTws(typedEventStream(spark, streamDir, schema))
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  def streamLatestTwsEq(spark: SparkSession, dir: String): DataFrame = {
+    val (streamDir, schema) = stageEvents(spark, dir)
+    val name = s"graft_stream_latest_tws_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      StreamingOps.latestPerUserTws(typedEventStream(spark, streamDir, schema))
         .writeStream.outputMode("update")
         .format("memory").queryName(name).start()
-      finally prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
+    }
     try { q.processAllAvailable() } finally q.stop()
     spark.table(name)
       .groupBy("user_id")
@@ -626,6 +660,7 @@ object StreamingBridge {
     "stream_file_sink_eq" -> streamFileSinkEq,
     "stream_sessionize_eq" -> streamSessionizeEq,
     "stream_session_window_eq" -> streamSessionWindowEq,
+    "stream_sessionize_tws_eq" -> streamSessionizeTwsEq,
     "stream_sessionize_incr_eq" -> streamSessionizeIncrementalEq,
     "stream_dedup_eq" -> streamDedupEq,
     "stream_enrich_eq" -> streamEnrichEq,
@@ -716,6 +751,20 @@ object StreamingBridge {
         "AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000 " +
         "ORDER BY v.user_id, view_id, purchase_id"),
     "stream_sessionize_eq" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "flagged AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "sessions AS (SELECT user_id, us, " +
+        "CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+        "FROM flagged) " +
+        "SELECT user_id, count(*) AS n_events, " +
+        "CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_s " +
+        "FROM sessions GROUP BY user_id, session_id " +
+        "ORDER BY user_id, n_events, duration_s"),
+    // transformWithState sessionizer (event-time timers): same sessions,
+    // same oracle as stream_sessionize_eq
+    "stream_sessionize_tws_eq" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "flagged AS (SELECT user_id, event_id, us, " +
         "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new " +

@@ -253,4 +253,69 @@ object StreamingOps {
       .transformWithState(new LatestStatefulProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Sessionization on the modern API with EXPLICIT event-time timers —
+    * the piece transformWithState adds over flatMapGroupsWithState's
+    * single implicit timeout: timers are first-class (register/delete/
+    * list, many per key if needed), so the close-the-session alarm is
+    * ordinary code instead of a state-machine side channel. Same fold,
+    * gap, and SessionOut contract as `sessionize`; a batch that extends
+    * a session deletes the superseded alarm and re-registers at the new
+    * tail + gap, and `handleExpiredTimer` defensively ignores any stale
+    * alarm that outlived a deletion (expiry < current tail + gap).
+    * State per key is one SessionState + one pending timer — O(1). */
+  class SessionizeStatefulProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def expiryMs(s: SessionState): Long = s.last_us / 1000 + GapUs / 1000
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var out = List.empty[SessionOut]
+      var cur: Option[SessionState] = if (st.exists()) Some(st.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(expiryMs(s)))
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        cur match {
+          case Some(s) if us - s.last_us <= GapUs =>
+            cur = Some(s.copy(last_us = us, n = s.n + 1))
+          case Some(s) =>
+            out ::= SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.registerTimer(expiryMs(s))
+      }
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (expiredTimerInfo.getExpiryTimeInMs >= expiryMs(s)) {
+        st.clear()
+        Iterator.single(SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeStatefulProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

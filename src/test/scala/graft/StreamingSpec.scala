@@ -265,4 +265,13 @@ class StreamingSpec extends SparkSpec {
     assert(tws.nonEmpty && tws == old,
       "old and new arbitrary-state APIs must agree row-for-row")
   }
+
+  test("transformWithState sessionizer (event-time timers) equals the flatMapGroupsWithState one") {
+    val old = graft.streaming.StreamingBridge.streamSessionizeEq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val tws = graft.streaming.StreamingBridge.streamSessionizeTwsEq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tws.nonEmpty && tws == old,
+      "timer-based sessions must match the timeout-based ones row-for-row")
+  }
 }
