@@ -379,6 +379,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 top terms per document — the ranking function retrieval-style
+    * data prep actually uses where TF-IDF is the teaching example: term
+    * frequency saturates (k1) and is length-normalized (b), so a term
+    * repeated 50× in a long doc no longer drowns out a focused short doc.
+    *
+    * Cross-engine exactness: k1 = 1.2 and b = 0.75 are exact rationals,
+    * so the whole score clears to INTEGER arithmetic — with N docs, total
+    * token count TL, doc length dl: the tf factor tf·(k1+1)/(tf + k1·(1−b
+    * + b·dl·N/TL)) equals 22·tf·TL / (10·tf·TL + 3·TL + 9·dl·N) exactly,
+    * and the BM25 idf (N−df+0.5)/(df+0.5) equals (2N−2df+1)/(2df+1); both
+    * are floor-scaled by 1e6 with integer `div` — no log, no float, no
+    * ulp drift (same trick as tfidf_top_terms; at corpus scales where
+    * 22e6·tf·TL nears 2⁶³, lift the numerators to DECIMAL). Shape: the
+    * same two model aggregates as TF-IDF (df broadcast, 1-row totals
+    * broadcast) plus a per-doc length join that reuses the window's
+    * doc_id partitioning; the corpus-sized tf side shuffles once. */
+  def bm25TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.filter(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum("dl").as("tl"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("word"),
+        expr("((1000000 * (2*n - 2*df + 1)) div (2*df + 1)) * " +
+          "((1000000 * 22 * tf * tl) div (10*tf*tl + 3*tl + 9*dl*n)) div 1000000")
+          .as("bm25"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "word", "bm25")
+      .orderBy("doc_id", "rn")
+  }
+
   /** Corpus bigram language-model scoring — the model is trained on the
     * corpus and applied back to each document (the self-referential shape
     * of a data-quality pipeline). P(w2|w1) is integer-scaled like TF-IDF.
@@ -745,6 +782,7 @@ object TextAnalysis {
     "phrase_detect" -> phraseDetect,
     "dup_gram_fraction" -> dupGramFraction,
     "ngram_novelty" -> ngramNovelty,
+    "bm25_top_terms" -> bm25TopTerms,
     "char_entropy" -> charEntropy,
     "heavy_hitters" -> heavyHitters,
     "doc_chunking" -> docChunking,
@@ -839,6 +877,20 @@ object TextAnalysis {
         "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams, " +
         "(1000000 * CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_frac_scaled " +
         "FROM grams JOIN nd USING (g) GROUP BY doc_id ORDER BY doc_id"),
+    "bm25_top_terms" ->
+      (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "pairs AS (SELECT doc_id, unnest(tk) AS word FROM toks), " +
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+        "dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl), " +
+        "scored AS (SELECT t.doc_id, t.word, " +
+        "CAST(((1000000 * (2*n - 2*df + 1)) // (2*df + 1)) * " +
+        "((1000000 * 22 * tf * tl) // (10*tf*tl + 3*tl + 9*d.dl*n)) // 1000000 AS BIGINT) AS bm25 " +
+        "FROM tf t JOIN dft USING (word) JOIN dl d USING (doc_id) CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(rn AS INT) AS rn, word, bm25 FROM " +
+        "(SELECT doc_id, word, bm25, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn FROM scored) " +
+        "WHERE rn <= 3 ORDER BY doc_id, rn"),
     "ngram_novelty" ->
       (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
         "grams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g " +

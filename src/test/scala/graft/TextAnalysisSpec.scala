@@ -72,6 +72,31 @@ class TextAnalysisSpec extends SparkSpec {
       s"novel sum ${rows.map(_._3).sum} != corpus vocab $vocab")
   }
 
+  test("bm25TopTerms: ranks are 1..3 non-increasing; head score matches a driver-side recompute") {
+    val rows = TextAnalysis.bm25TopTerms(spark, sf)
+      .as[(Long, Int, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"doc $id ranks broken")
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not non-increasing: ${scores.toSeq}")
+    }
+    // recompute the top term's score for one doc from raw token counts
+    val (docId, _, word, got) = rows.head
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .as[(Long, Seq[String])].collect()
+    val n = toks.length.toLong
+    val tl = toks.map(_._2.length.toLong).sum
+    val dl = toks.find(_._1 == docId).get._2.length.toLong
+    val tf = toks.find(_._1 == docId).get._2.count(_ == word).toLong
+    val df = toks.count(_._2.contains(word)).toLong
+    val idfS = (1000000L * (2 * n - 2 * df + 1)) / (2 * df + 1)
+    val tfS = (1000000L * 22 * tf * tl) / (10 * tf * tl + 3 * tl + 9 * dl * n)
+    assert(got == idfS * tfS / 1000000L, s"doc $docId '$word': $got != ${idfS * tfS / 1000000L}")
+  }
+
   test("dupGramFraction: dup_grams <= n_grams; a shared 5-gram is flagged on both docs") {
     val rows = TextAnalysis.dupGramFraction(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
