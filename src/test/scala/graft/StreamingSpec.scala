@@ -274,4 +274,63 @@ class StreamingSpec extends SparkSpec {
     assert(tws.nonEmpty && tws == old,
       "timer-based sessions must match the timeout-based ones row-for-row")
   }
+
+  test("transformWithState crash-recovery: RocksDB state resumes across a checkpoint restart") {
+    // the modern API's counterpart of the file-sink recovery test: a
+    // tws query over ValueState is stopped after two micro-batches and
+    // restarted from the same checkpoint with the rest of the input.
+    // Correct recovery means per-key counts ACCUMULATE across the stop
+    // (state restored from the RocksDB snapshot + changelog), so the
+    // final per-user n_events equals the batch count over ALL events -
+    // a restarted-from-zero state would undercount phase-1 keys.
+    import org.apache.spark.sql.streaming.StreamingQuery
+    val allStaged = graft.streaming.StreamingBridge.stageTimeOrdered(spark, sf, 4)
+    val parts = new java.io.File(allStaged).listFiles().sortBy(_.getName).toSeq
+    val streamDir = graft.sources.TempDirs.create("graft_tws_restart_src_")
+    val ckDir = graft.sources.TempDirs.create("graft_tws_restart_ck_")
+    val outDir = graft.sources.TempDirs.create("graft_tws_restart_out_")
+    def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(streamDir, f.getName),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val schema = spark.read.parquet(allStaged).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // memory sink can't recover from a checkpoint; foreachBatch can -
+      // append each batch's update rows, the per-key max is final state
+      def start(): StreamingQuery = StreamingOps.latestPerUserTws(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(streamDir).as[Event])
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.LatestOut], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+          ()
+        }.start()
+
+      expose(parts.take(2))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+
+      expose(parts.drop(2))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val want = Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want,
+        s"state did not survive the restart: ${got.toSeq.sorted.take(5)}... vs ${want.toSeq.sorted.take(5)}...")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
