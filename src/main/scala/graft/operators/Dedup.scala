@@ -669,6 +669,43 @@ object Dedup {
       verifiedCandidates(spark, dir).filter(col("is_dup") === 1).select("id1", "id2"))
       .orderBy("a", "b", "c")
 
+  /** Per-node local clustering coefficient of the verified dup graph —
+    * the node-level refinement of dedup_cluster_cohesion's per-component
+    * density: lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) in ppm. In a genuine
+    * near-dup family every member's neighbors are each other's neighbors
+    * (lcc → 1e6); a CHAIN node gluing two families through borderline
+    * pairs has high degree but triangle-poor neighbors (lcc → 0) — this
+    * report names exactly which doc to re-verify before components are
+    * collapsed, where the component-level density only says something is
+    * off somewhere.
+    *
+    * Shape: wedges (neighbor pairs per node) from one self-join of the
+    * symmetric edge list, closed against the canonical edge set with a
+    * LEFT SEMI join, then two bounded aggregates. Wedge count is
+    * Σ deg(v)² — quadratic in DEGREE, not corpus, and the verified dup
+    * graph's degrees are bounded by near-dup family size (the same bound
+    * dedup_keep_best's window relies on); integer ppm via `div`, exact
+    * cross-engine. */
+  def dedupLocalCc(spark: SparkSession, dir: String): DataFrame = {
+    val e = verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
+      .select("id1", "id2")
+    val edges = e.unionByName(e.select(col("id2").as("id1"), col("id1").as("id2")))
+    val deg = edges.groupBy("id1").agg(count(lit(1)).as("deg"))
+    val wedges = edges.select(col("id1").as("v"), col("id2").as("a"))
+      .join(edges.select(col("id1").as("v"), col("id2").as("b")), Seq("v"))
+      .filter(col("a") < col("b"))
+    val tri = wedges
+      .join(e.select(col("id1").as("a"), col("id2").as("b")), Seq("a", "b"), "left_semi")
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(tri, col("id1") === col("v"), "left")
+      .select(col("id1").as("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(tri, 0)) div (deg * (deg - 1))"))
+          .otherwise(0L).as("lcc_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash-estimate calibration: for every LSH candidate pair, the
     * signature-agreement estimate Ĵ = |{i : sig1ᵢ = sig2ᵢ}| / k next to
     * the exact Jaccard — the sketch-quality report a dedup pipeline uses
@@ -860,6 +897,7 @@ object Dedup {
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
     "dedup_triangles" -> dedupTriangles,
+    "dedup_local_cc" -> dedupLocalCc,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_cluster_cohesion" -> dedupClusterCohesion,
     "dedup_keep_best" -> dedupKeepBest,
@@ -1152,6 +1190,23 @@ object Dedup {
         "SELECT id1, id2, round(jaro_winkler_similarity(d1.text, d2.text), 6) AS jw_sim " +
         "FROM cands JOIN documents d1 ON d1.doc_id = id1 JOIN documents d2 ON d2.doc_id = id2 " +
         "ORDER BY id1, id2"),
+    "dedup_local_cc" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION ALL SELECT id2, id1 FROM verified), " +
+        "deg AS (SELECT id, count(*) AS deg FROM edges GROUP BY id), " +
+        "wedge AS (SELECT x.id AS v, x.nbr AS a, y.nbr AS b FROM edges x " +
+        "JOIN edges y ON x.id = y.id AND x.nbr < y.nbr), " +
+        "tri AS (SELECT v, count(*) AS tri FROM wedge w " +
+        "JOIN verified e ON w.a = e.id1 AND w.b = e.id2 GROUP BY v) " +
+        "SELECT deg.id AS doc_id, CAST(deg AS BIGINT) AS deg, " +
+        "CAST(coalesce(tri, 0) AS BIGINT) AS n_tri, " +
+        "CAST(CASE WHEN deg >= 2 THEN (2000000 * coalesce(tri, 0)) // (deg * (deg - 1)) ELSE 0 END AS BIGINT) AS lcc_ppm " +
+        "FROM deg LEFT JOIN tri ON deg.id = tri.v ORDER BY doc_id"),
     "dedup_triangles" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

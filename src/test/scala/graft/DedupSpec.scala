@@ -136,4 +136,20 @@ class DedupSpec extends SparkSpec {
         s"cell ($s1,$s2) leak flag inconsistent")
     }
   }
+
+  test("dedupLocalCc: lcc in [0, 1e6], and triangle counts sum to 3x the triangle enumeration") {
+    val rows = Dedup.dedupLocalCc(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, deg, tri, ppm) =>
+      assert(deg >= 1, s"doc $id: degree $deg")
+      assert(tri >= 0 && ppm >= 0 && ppm <= 1000000L, s"doc $id: lcc $ppm out of range")
+      val expect = if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L
+      assert(ppm == expect, s"doc $id: ppm $ppm != $expect")
+    }
+    // every triangle contributes once to each of its three vertices
+    val nTriangles = Dedup.dedupTriangles(spark, sf).count()
+    assert(rows.map(_._3).sum == 3 * nTriangles,
+      s"sum(n_tri) ${rows.map(_._3).sum} != 3 * $nTriangles")
+  }
 }
