@@ -432,6 +432,36 @@ object StreamingBridge {
     spark.table(name).orderBy("user_id", "event_type", "hour")
   }
 
+  /** Streaming EWMA of hourly counts — the sequential-state twin of
+    * batch ewma_hourly: 4 chronological files replayed one per trigger,
+    * so the per-type hour fold and its 7-hour deque must roll across
+    * real micro-batch boundaries; the far-future sentinel advances the
+    * watermark past every open hour's end and the registered event-time
+    * timers flush the tails. The sentinel's own 'flush' key is dropped
+    * from the result. Same oracle as batch ewma_hourly. */
+  def streamEwmaEq(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_stream_ewma_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      import spark.implicits._
+      StreamingOps.ewmaHourlyTws(
+          Tables.normalizeTs(spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(staged)).as[Event])
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    }
+    try {
+      q.processAllAvailable()
+      val maxMs = Tables.events(spark, dir)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      writeSentinel(spark, staged, schema, maxMs + 24L * 3600 * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("event_type") =!= "flush")
+      .orderBy("event_type", "hour_ts")
+  }
+
   /** Streaming exact dedup driven to completion: one row survives per
     * (user, type) key. WHICH row survives a single unsorted batch is not
     * deterministic (first-seen per partition), so the equivalence is on
@@ -666,6 +696,7 @@ object StreamingBridge {
     "stream_enrich_eq" -> streamEnrichEq,
     "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
     "stream_dedup_wm_eq" -> streamDedupWatermarkEq,
+    "stream_ewma_eq" -> streamEwmaEq,
     "stream_join_eq" -> streamJoinEq,
     "stream_left_join_eq" -> streamLeftJoinEq,
     "stream_quarantine_eq" -> streamQuarantineEq,
@@ -725,6 +756,15 @@ object StreamingBridge {
         "JOIN nation n ON e.user_id % 25 = n.n_nationkey ORDER BY e.event_id"),
     "stream_dedup_incr_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // sequential-state EWMA: same SQL as batch ewma_hourly
+    "stream_ewma_eq" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt, " +
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events GROUP BY 1, 2) " +
+        "SELECT a.event_type, a.hour_ts, a.cnt, " +
+        "round(sum(b.cnt * pow(0.5, a.h - b.h)) / sum(pow(0.5, a.h - b.h)), 6) AS ewma " +
+        "FROM hourly a JOIN hourly b ON a.event_type = b.event_type " +
+        "AND b.h BETWEEN a.h - 6 AND a.h " +
+        "GROUP BY a.event_type, a.hour_ts, a.cnt ORDER BY a.event_type, a.hour_ts"),
     // bounded-state dedup: key includes the hour bucket, so
     // within-watermark suppression is exhaustive and the result is the
     // plain batch DISTINCT over the bucketed key

@@ -318,4 +318,90 @@ object StreamingOps {
       .transformWithState(new SessionizeStatefulProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class HourEntry(h: Long, cnt: Long)
+  case class EwmaHState(curH: Long, curCnt: Long, entries: Seq[HourEntry])
+  case class EwmaOut(event_type: String, hour_ts: java.sql.Timestamp,
+      cnt: Long, ewma: Double)
+
+  /** Streaming EWMA of hourly event counts (α = 1/2, 6-hour lookback) —
+    * the SEQUENTIAL-state shape none of the other stateful twins have:
+    * each emitted hour depends on the running 7-hour history, so state
+    * must both accumulate within a key and ROLL correctly across
+    * micro-batch boundaries. One transformWithState over the raw
+    * chronological event stream: per event_type the state is the open
+    * hour's partial count plus the bounded deque of the last ≤7 closed
+    * hours; an event in a NEW hour closes the previous one (emit), and
+    * an event-time timer at the open hour's end flushes the tail once
+    * the watermark (sentinel) passes it — with a staleness guard, since
+    * a superseded alarm may outlive its hour. Determinism matches the
+    * batch range-self-join EWMA exactly: dyadic weights 2^−k on integer
+    * counts make every term and both sums exact in binary (order-free),
+    * and rounding replicates Spark's round(_, 6). Requires
+    * chronological replay (stageTimeOrdered), which is also the
+    * production shape for a time-partitioned ingest directory. */
+  class EwmaStatefulProcessor extends StatefulProcessor[String, Event, EwmaOut] {
+    @transient private var st: ValueState[EwmaHState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaHState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaHState], TTLConfig.NONE)
+
+    private def hourEndMs(h: Long): Long = (h + 1) * 3600000L
+
+    /** Close hour (h, cnt) against the deque: evict beyond the 6-hour
+      * lookback, compute the dyadic-weighted EWMA over PRESENT hours. */
+    private def close(key: String, s: EwmaHState): (EwmaOut, Seq[HourEntry]) = {
+      val entries = (s.entries :+ HourEntry(s.curH, s.curCnt))
+        .filter(_.h >= s.curH - 6)
+      val num = entries.map(e => e.cnt * math.pow(0.5, (s.curH - e.h).toDouble)).sum
+      val den = entries.map(e => math.pow(0.5, (s.curH - e.h).toDouble)).sum
+      val ewma = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (EwmaOut(key, new java.sql.Timestamp(s.curH * 3600000L), s.curCnt, ewma),
+        entries)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[EwmaOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var s = if (st.exists()) st.get() else EwmaHState(-1L, 0L, Seq.empty)
+      if (s.curH >= 0) getHandle.deleteTimer(hourEndMs(s.curH))
+      var out = List.empty[EwmaOut]
+      sorted.foreach { e =>
+        val h = Math.floorDiv(micros(e.ts), 3600000000L)
+        if (s.curH < 0) s = EwmaHState(h, 1L, s.entries)
+        else if (h == s.curH) s = s.copy(curCnt = s.curCnt + 1)
+        else {
+          val (row, entries) = close(key, s)
+          out ::= row
+          s = EwmaHState(h, 1L, entries)
+        }
+      }
+      st.update(s)
+      getHandle.registerTimer(hourEndMs(s.curH))
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[EwmaOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (s.curH >= 0 && expiredTimerInfo.getExpiryTimeInMs >= hourEndMs(s.curH)) {
+        val (row, entries) = close(key, s)
+        st.update(EwmaHState(-1L, 0L, entries))
+        Iterator.single(row)
+      } else Iterator.empty
+    }
+  }
+
+  def ewmaHourlyTws(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .transformWithState(new EwmaStatefulProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -333,4 +333,13 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(providerKey)
     }
   }
+
+  test("streaming EWMA (tws sequential state) equals batch ewma_hourly row-for-row") {
+    val got = graft.streaming.StreamingBridge.streamEwmaEq(spark, sf)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
+    val want = graft.operators.EventAnalytics.ewmaHourly(spark, sf)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"streaming EWMA diverged: ${got.take(3)} vs ${want.take(3)}")
+  }
 }
