@@ -617,6 +617,63 @@ object StreamingBridge {
       .orderBy("user_id")
   }
 
+  /** Warm-started latest-per-key: the backfill→streaming migration
+    * pattern end to end. The chronologically-staged events are split in
+    * half; a BATCH aggregate computes per-user state over the first half
+    * (the backfill job), the streaming query starts FROM that state via
+    * StatefulProcessorWithInitialState and folds only the second half
+    * (the live feed), and the serving view is sink ∪ backfill with a
+    * per-key max_by — which must equal the batch answer over ALL events
+    * (same oracle as the other latest twins). Proves initial-state
+    * seeding composes with the fold: n_events accumulates from the
+    * backfilled count, tie-breaks respect the backfilled argmax. */
+  def streamLatestWarmStartEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val parts = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val liveDir = graft.sources.TempDirs.create("graft_warm_live_")
+    parts.drop(2).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(liveDir, f.getName),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val backfill = Tables.normalizeTs(
+        spark.read.parquet(parts.take(2).map(_.getPath): _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max_by(struct(col("us"), col("event_id"), col("event_type")),
+          struct(col("us"), col("event_id"))).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("m.us").as("last_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("n"))
+    val init = backfill.as[StreamingOps.LatestInit]
+    val schema = spark.read.parquet(liveDir).schema
+    val name = s"graft_warm_latest_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      StreamingOps.latestPerUserWarmStart(
+          Tables.normalizeTs(spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(liveDir))
+            .select(eventCols.map(col): _*).as[StreamingOps.Event],
+          init)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .unionByName(backfill.withColumnRenamed("n", "n_events"))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("last_us"), col("last_event_id"), col("last_type"), col("n_events")),
+        struct(col("n_events"), col("last_us"), col("last_event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_us").as("last_us"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.last_type").as("last_type"), col("m.n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Streaming CDC upsert — the maintenance loop of a materialized table:
     * the batch cdc_apply's change feed (diffSnapshots of the two demo
     * order snapshots) replays one key-disjoint file per micro-batch, and
@@ -684,6 +741,7 @@ object StreamingBridge {
     "stream_cdc_eq" -> streamCdcEq,
     "stream_latest_eq" -> streamLatestEq,
     "stream_latest_tws_eq" -> streamLatestTwsEq,
+    "stream_latest_warm_eq" -> streamLatestWarmStartEq,
     "stream_foreachbatch_eq" -> streamForeachBatchEq,
     "stream_incremental_eq" -> streamIncrementalEq,
     "stream_hourly_eq" -> streamHourlyEq,
@@ -718,6 +776,15 @@ object StreamingBridge {
         "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
         "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS sum_ids " +
         "FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST"),
+    // warm-start twin: backfill(first half) + stream(second half) must
+    // equal batch over everything - same oracle as the other latest twins
+    "stream_latest_warm_eq" ->
+      ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +
+        "(SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id, " +
+        "event_type AS last_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
     // transformWithState twin: same fold, same oracle as stream_latest_eq
     "stream_latest_tws_eq" ->
       ("SELECT user_id, last_us, last_event_id, last_type, n_events FROM " +

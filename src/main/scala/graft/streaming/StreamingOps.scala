@@ -319,6 +319,65 @@ object StreamingOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class LatestInit(user_id: Long, last_us: Long, last_event_id: Long,
+      last_type: String, n: Long)
+
+  /** latest-per-key with WARM-STARTED state — the backfill→streaming
+    * handoff every production migration needs: a batch job computes the
+    * historical per-key state once, the streaming query starts FROM that
+    * state (`StatefulProcessorWithInitialState.handleInitialState` seeds
+    * each key before its first input row), and live increments continue
+    * the fold — no replaying months of history through the stream, no
+    * cold-start window where served state is wrong. Keys with no live
+    * traffic never enter handleInputRows, so the serving layer reads
+    * sink ∪ backfill (the bridge's final max_by does exactly that).
+    * Same fold and LatestOut contract as the other two implementations;
+    * the equivalence gate is that backfill(first half) + stream(second
+    * half) must equal batch over EVERYTHING. */
+  class LatestInitStatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, LatestOut, LatestInit] {
+    @transient private var st: ValueState[LatestState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LatestState]("latest",
+        org.apache.spark.sql.Encoders.product[LatestState], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, initial: LatestInit,
+        timerValues: TimerValues): Unit =
+      st.update(LatestState(initial.last_us, initial.last_event_id,
+        initial.last_type, initial.n))
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[LatestOut] = {
+      var s =
+        if (st.exists()) st.get()
+        else LatestState(Long.MinValue, Long.MinValue, "", 0L)
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        val newer = us > s.last_us ||
+          (us == s.last_us && e.event_id > s.last_event_id)
+        s =
+          if (newer) LatestState(us, e.event_id, e.event_type, s.n + 1)
+          else s.copy(n = s.n + 1)
+      }
+      st.update(s)
+      Iterator.single(LatestOut(userId, s.last_us, s.last_event_id, s.last_type, s.n))
+    }
+  }
+
+  def latestPerUserWarmStart(events: Dataset[Event],
+      initial: Dataset[LatestInit]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    // emit the backfilled state up front so keys with no live traffic
+    // still surface; the streaming side then emits refreshed rows
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestInitStatefulProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        initial.groupByKey(_.user_id))
+  }
+
   case class HourEntry(h: Long, cnt: Long)
   case class EwmaHState(curH: Long, curCnt: Long, entries: Seq[HourEntry])
   case class EwmaOut(event_type: String, hour_ts: java.sql.Timestamp,
