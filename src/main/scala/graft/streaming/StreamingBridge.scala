@@ -674,6 +674,29 @@ object StreamingBridge {
       .orderBy("user_id")
   }
 
+  /** Per-user event-type histogram through MapState, replayed as 4
+    * micro-batches so map entries accumulate across batch boundaries;
+    * counts only grow, so the final histogram is the per-(user, type)
+    * max over the update stream. Oracle: plain batch GROUP BY. */
+  def streamTypeHistEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_type_hist_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      StreamingOps.typeHistPerUser(
+          Tables.normalizeTs(spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(staged))
+            .select(eventCols.map(col): _*).as[StreamingOps.Event])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .groupBy("user_id", "event_type").agg(max("n").as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Streaming CDC upsert — the maintenance loop of a materialized table:
     * the batch cdc_apply's change feed (diffSnapshots of the two demo
     * order snapshots) replays one key-disjoint file per micro-batch, and
@@ -755,6 +778,7 @@ object StreamingBridge {
     "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
     "stream_dedup_wm_eq" -> streamDedupWatermarkEq,
     "stream_ewma_eq" -> streamEwmaEq,
+    "stream_type_hist_eq" -> streamTypeHistEq,
     "stream_join_eq" -> streamJoinEq,
     "stream_left_join_eq" -> streamLeftJoinEq,
     "stream_quarantine_eq" -> streamQuarantineEq,
@@ -823,6 +847,10 @@ object StreamingBridge {
         "JOIN nation n ON e.user_id % 25 = n.n_nationkey ORDER BY e.event_id"),
     "stream_dedup_incr_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // MapState histogram: plain batch GROUP BY
+    "stream_type_hist_eq" ->
+      ("SELECT user_id, event_type, count(*) AS n FROM events " +
+        "GROUP BY 1, 2 ORDER BY user_id, event_type"),
     // sequential-state EWMA: same SQL as batch ewma_hourly
     "stream_ewma_eq" ->
       ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt, " +

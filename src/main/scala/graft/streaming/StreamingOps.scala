@@ -378,6 +378,45 @@ object StreamingOps {
         initial.groupByKey(_.user_id))
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type histogram on MapState — the state primitive the
+    * other tws twins don't touch: counts live as individual
+    * (stateKey=user, mapKey=type) entries, so one event updates ONE map
+    * entry instead of rewriting the user's whole histogram value — at
+    * scale (users × types) that's the difference between O(1) and
+    * O(types) state I/O per event, and RocksDB stores each entry as its
+    * own key. Emits the touched entries per batch (update semantics);
+    * the bridge takes the per-(user, type) max, which is the final count
+    * since counts only grow. */
+  class TypeHistStatefulProcessor extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("hist",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L
+        st.updateValue(e.event_type, cur + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(userId, t, st.getValue(t)))
+    }
+  }
+
+  def typeHistPerUser(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeHistStatefulProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class HourEntry(h: Long, cnt: Long)
   case class EwmaHState(curH: Long, curCnt: Long, entries: Seq[HourEntry])
   case class EwmaOut(event_type: String, hour_ts: java.sql.Timestamp,
