@@ -332,4 +332,12 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one element explode:\n$p")
     assert(p.contains("partial_sum"), s"means not partially aggregated:\n$p")
   }
+
+  test("bm25 model tables broadcast; the corpus-sized tf side never shuffles for them") {
+    val p = plan(graft.operators.TextAnalysis.bm25TopTerms(spark, sf))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"df/totals models not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in bm25:\n$p")
+  }
 }
