@@ -697,6 +697,32 @@ object StreamingBridge {
       .orderBy("user_id", "event_type")
   }
 
+  /** Per-user 3-most-recent events through ListState, replayed over 4
+    * micro-batches; the serving row per key is the emission with the
+    * highest n_seen (counts only grow). Oracle: batch top-3 window. */
+  def streamRecent3Eq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_recent3_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      StreamingOps.recent3PerUser(
+          Tables.normalizeTs(spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(staged))
+            .select(eventCols.map(col): _*).as[StreamingOps.Event])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+    }
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n_seen"), col("e1"), col("e2"), col("e3")),
+        col("n_seen")).as("m"))
+      .select(col("user_id"), col("m.n_seen").as("n_seen"),
+        col("m.e1").as("e1"), col("m.e2").as("e2"), col("m.e3").as("e3"))
+      .orderBy("user_id")
+  }
+
   /** Streaming CDC upsert — the maintenance loop of a materialized table:
     * the batch cdc_apply's change feed (diffSnapshots of the two demo
     * order snapshots) replays one key-disjoint file per micro-batch, and
@@ -779,6 +805,7 @@ object StreamingBridge {
     "stream_dedup_wm_eq" -> streamDedupWatermarkEq,
     "stream_ewma_eq" -> streamEwmaEq,
     "stream_type_hist_eq" -> streamTypeHistEq,
+    "stream_recent3_eq" -> streamRecent3Eq,
     "stream_join_eq" -> streamJoinEq,
     "stream_left_join_eq" -> streamLeftJoinEq,
     "stream_quarantine_eq" -> streamQuarantineEq,
@@ -847,6 +874,16 @@ object StreamingBridge {
         "JOIN nation n ON e.user_id % 25 = n.n_nationkey ORDER BY e.event_id"),
     "stream_dedup_incr_eq" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // ListState recency buffer: batch top-3 window, -1 pads young keys
+    "stream_recent3_eq" ->
+      ("WITH ranked AS (SELECT user_id, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_seen FROM events) " +
+        "SELECT user_id, n_seen, " +
+        "coalesce(max(CASE WHEN rn = 1 THEN event_id END), -1) AS e1, " +
+        "coalesce(max(CASE WHEN rn = 2 THEN event_id END), -1) AS e2, " +
+        "coalesce(max(CASE WHEN rn = 3 THEN event_id END), -1) AS e3 " +
+        "FROM ranked GROUP BY user_id, n_seen ORDER BY user_id"),
     // MapState histogram: plain batch GROUP BY
     "stream_type_hist_eq" ->
       ("SELECT user_id, event_type, count(*) AS n FROM events " +

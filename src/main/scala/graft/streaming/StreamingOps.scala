@@ -417,6 +417,50 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class RecentEvent(us: Long, event_id: Long)
+  case class RecentOut(user_id: Long, n_seen: Long, e1: Long, e2: Long, e3: Long)
+
+  /** Per-user 3 most-recent events on ListState (+ a ValueState counter —
+    * two independent named state variables in one processor, which the
+    * old APIs' single state slot could not express without widening the
+    * value). The recency buffer is a bounded merge: batch events merge
+    * with the stored ≤3, the global top-3 by (event time, id) survives —
+    * a SELECTION, so the final state is arrival-order independent even
+    * across arbitrary micro-batch splits. Missing slots are −1 (young
+    * keys), keeping the output schema flat and oracle-comparable. The
+    * serving row per key is the emission with the highest n_seen. */
+  class Recent3StatefulProcessor extends StatefulProcessor[Long, Event, RecentOut] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[RecentEvent] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[RecentEvent]("top",
+        org.apache.spark.sql.Encoders.product[RecentEvent], TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RecentOut] = {
+      val batch = rows.map(e => RecentEvent(micros(e.ts), e.event_id)).toSeq
+      val merged = (top.get().toSeq ++ batch)
+        .sortBy(r => (-r.us, -r.event_id)).take(3)
+      top.put(merged.toArray)
+      val n = (if (cnt.exists()) cnt.get() else 0L) + batch.size
+      cnt.update(n)
+      def at(i: Int): Long = if (merged.size > i) merged(i).event_id else -1L
+      Iterator.single(RecentOut(userId, n, at(0), at(1), at(2)))
+    }
+  }
+
+  def recent3PerUser(events: Dataset[Event]): Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new Recent3StatefulProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class HourEntry(h: Long, cnt: Long)
   case class EwmaHState(curH: Long, curCnt: Long, entries: Seq[HourEntry])
   case class EwmaOut(event_type: String, hour_ts: java.sql.Timestamp,
