@@ -63,6 +63,27 @@ class EventsTsCanarySpec extends SparkSpec {
     assertNormalized(fixture(lit(us * 1000L)), "long-nanos")
   }
 
+  test("normalizeTs is value-identical across all three encodings for random timestamps") {
+    // in-memory property check (no parquet round trip): the same epoch
+    // micros presented as LongType nanos, NTZ, and LTZ must normalize to
+    // identical TimestampType values — the invariant the oracle hashes
+    // depend on
+    val rnd = new scala.util.Random(11)
+    val samples = Seq.fill(50)(1500000000000000L + (rnd.nextLong() % 200000000000000L).abs)
+    import spark.implicits._
+    val base = samples.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+    def normalized(tsExpr: org.apache.spark.sql.Column): Seq[Long] =
+      Tables.normalizeTs(base.select(col("event_id"), tsExpr.as("ts")))
+        .orderBy("event_id")
+        .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    val fromNanos = normalized((col("us") * 1000L).cast("long"))
+    val fromNtz = normalized(timestamp_micros(col("us")).cast("timestamp_ntz"))
+    val fromLtz = normalized(timestamp_micros(col("us")))
+    assert(fromNanos == samples && fromNtz == samples && fromLtz == samples,
+      "normalizeTs drifted between encodings")
+  }
+
   test("streaming file-source read of an NTZ fixture yields a watermarkable column") {
     val dir = fixture(timestamp_micros(lit(us)).cast("timestamp_ntz"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
