@@ -111,9 +111,17 @@ object Graph {
   }
 
   /** BFS levels from a source node over an undirected edge list:
-    * frontier expansion, one join per level, state checkpointed per
-    * round (the CC lineage lesson). Unreached nodes are absent from the
-    * output. Returns (id, level). */
+    * frontier expansion, one join per level. Per-level cost is ONE
+    * materializing job (the frontier's eager localCheckpoint) plus a
+    * limit-1 `isEmpty` probe on the checkpointed leaf — the emptiness
+    * check never rescans the expansion. `visited` stays a LAZY union of
+    * the per-level checkpointed leaves (each already a LogicalRDD, so
+    * the plan is ≤ maxDepth leaf scans with no lineage growth — the CC
+    * lineage lesson), instead of re-copying the whole visited set every
+    * round, which turned O(V) state into O(V·depth) checkpoint I/O.
+    * Rounds are capped at maxDepth = 30, matching the oracle CTE's own
+    * depth bound. Unreached nodes are absent from the output. Returns
+    * (id, level). */
   def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int = 30): DataFrame = {
     val adj = edges.select(col("id1").as("id"), col("id2").as("nbr"))
       .union(edges.select(col("id2").as("id"), col("id1").as("nbr")))
@@ -129,11 +137,10 @@ object Graph {
         .select(col("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(level).as("level"))
-        .localCheckpoint(true) // leaf plan per level
-      val n = next.count()
-      grew = n > 0
+        .localCheckpoint(true) // the ONE materializing job this level
+      grew = !next.isEmpty // limit-1 probe on the checkpointed leaf
       if (grew) {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = visited.union(next) // lazy union of leaves
         frontier = next.select("id")
       }
     }

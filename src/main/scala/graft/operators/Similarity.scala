@@ -775,6 +775,10 @@ object Similarity {
           sum(when(ref, 1L).otherwise(0L))).as("mref"),
         (sum(when(!ref, col("x")).cast("decimal(28,12)")).cast("double") /
           sum(when(!ref, 1L).otherwise(0L))).as("mcur"))
+      // a label present in only ONE snapshot has null means (zero-count
+      // division); drop it here so the downstream inner join agrees with
+      // the oracle, whose ref⋈cur mean join drops such labels entirely
+      .filter(col("mref").isNotNull && col("mcur").isNotNull)
       .select(col("label"),
         round(col("mref") - col("mcur"), 6).cast("decimal(18,6)").as("d"))
       .groupBy("label")

@@ -390,8 +390,11 @@ object TextAnalysis {
     * + b·dl·N/TL)) equals 22·tf·TL / (10·tf·TL + 3·TL + 9·dl·N) exactly,
     * and the BM25 idf (N−df+0.5)/(df+0.5) equals (2N−2df+1)/(2df+1); both
     * are floor-scaled by 1e6 with integer `div` — no log, no float, no
-    * ulp drift (same trick as tfidf_top_terms; at corpus scales where
-    * 22e6·tf·TL nears 2⁶³, lift the numerators to DECIMAL). Shape: the
+    * ulp drift (same trick as tfidf_top_terms). The corpus-sized terms n
+    * and TL are lifted to DECIMAL(38,0) (HUGEINT in the oracle) so
+    * 22e6·tf·TL and the idf×tff product CANNOT wrap 2⁶³ at 100 TB —
+    * exceeding 38 digits fails loudly (null/error) rather than silently
+    * corrupting scores; the `div` results re-land in BIGINT. Shape: the
     * same two model aggregates as TF-IDF (df broadcast, 1-row totals
     * broadcast) plus a per-doc length join that reuses the window's
     * doc_id partitioning; the corpus-sized tf side shuffles once. */
@@ -401,14 +404,15 @@ object TextAnalysis {
     val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.filter(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
-    val tot = dl.agg(count(lit(1)).as("n"), sum("dl").as("tl"))
+    val tot = dl.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("dl").cast("decimal(38,0)").as("tl"))
     val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
     tf.join(broadcast(df), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("word"),
-        expr("((1000000 * (2*n - 2*df + 1)) div (2*df + 1)) * " +
-          "((1000000 * 22 * tf * tl) div (10*tf*tl + 3*tl + 9*dl*n)) div 1000000")
+        expr("(cast((1000000 * (2*n - 2*df + 1)) div (2*df + 1) as decimal(38,0)) * " +
+          "((1000000 * 22 * tf * tl) div (10*tf*tl + 3*tl + 9*dl*n))) div 1000000")
           .as("bm25"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -883,7 +887,7 @@ object TextAnalysis {
         "tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs GROUP BY 1, 2), " +
         "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
         "dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
-        "tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl), " +
+        "tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(dl) AS HUGEINT) AS tl FROM dl), " +
         "scored AS (SELECT t.doc_id, t.word, " +
         "CAST(((1000000 * (2*n - 2*df + 1)) // (2*df + 1)) * " +
         "((1000000 * 22 * tf * tl) // (10*tf*tl + 3*tl + 9*d.dl*n)) // 1000000 AS BIGINT) AS bm25 " +

@@ -143,7 +143,10 @@ object StreamingOps {
         val us = micros(e.ts)
         cur match {
           case Some(s) if us - s.last_us <= GapUs =>
-            cur = Some(s.copy(last_us = us, n = s.n + 1))
+            // max: a late-but-within-watermark event older than the tail
+            // joins the session without regressing last_us (which would
+            // shrink duration and re-arm an earlier close timer)
+            cur = Some(s.copy(last_us = math.max(s.last_us, us), n = s.n + 1))
           case Some(s) =>
             out ::= SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000)
             cur = Some(SessionState(us, us, 1))
@@ -284,7 +287,9 @@ object StreamingOps {
         val us = micros(e.ts)
         cur match {
           case Some(s) if us - s.last_us <= GapUs =>
-            cur = Some(s.copy(last_us = us, n = s.n + 1))
+            // max: keep the timer at the TRUE session tail even when a
+            // late-but-within-watermark event arrives out of order
+            cur = Some(s.copy(last_us = math.max(s.last_us, us), n = s.n + 1))
           case Some(s) =>
             out ::= SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000)
             cur = Some(SessionState(us, us, 1))
@@ -369,8 +374,10 @@ object StreamingOps {
   def latestPerUserWarmStart(events: Dataset[Event],
       initial: Dataset[LatestInit]): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
-    // emit the backfilled state up front so keys with no live traffic
-    // still surface; the streaming side then emits refreshed rows
+    // initial state only SEEDS the store (handleInitialState emits
+    // nothing — the API can't); keys with no live traffic never reach
+    // handleInputRows, so the serving layer must union the backfill
+    // itself, as streamLatestWarmStartEq does
     events
       .groupByKey(_.user_id)
       .transformWithState(new LatestInitStatefulProcessor,
