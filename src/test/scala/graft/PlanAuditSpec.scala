@@ -340,4 +340,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"no broadcast join in bm25:\n$p")
   }
+
+  // guards for the event-time batch rows restored in round 11: each is a
+  // single-pass window shape whose ONLY hash exchange is the user_id
+  // partition — a second hash exchange or a join operator means the
+  // events table is being shuffled twice (or candidate pairs
+  // materialized), which at 100 TB doubles the dominant cost
+
+  private def userIdWindowGuard(name: String, p: String): Unit = {
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq.distinct
+    assert(parts.size == 1 && parts.head.contains("user_id#"),
+      s"$name: expected exactly the user_id hash exchange, got $parts:\n$p")
+    assert(!p.contains("Join"), s"$name grew a join:\n$p")
+  }
+
+  test("sessionize shuffles events once on user_id — no join, no second exchange") {
+    userIdWindowGuard("sessionize", plan(Analytics.sessionize(spark, sf)))
+  }
+
+  test("asof_join is a running window, not a join: one user_id exchange, no pair materialization") {
+    userIdWindowGuard("asof_join", plan(Analytics.asofJoin(spark, sf)))
+  }
+
+  test("window_range_frame's 1h rolling sum shuffles once on user_id") {
+    userIdWindowGuard("window_range_frame", plan(Analytics.windowRangeFrame(spark, sf)))
+  }
 }

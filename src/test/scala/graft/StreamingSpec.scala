@@ -334,6 +334,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timer recovery: timers registered before a restart fire after it") {
+    // the TIMER-shaped counterpart of the ValueState recovery test: a
+    // sessionizeTws query is stopped with sessions still OPEN (state +
+    // a registered event-time close timer in the RocksDB checkpoint),
+    // then restarted with ONLY a watermark-advancing sentinel — no real
+    // events. A key the sentinel never touches cannot reach
+    // handleInputRows after the restart, so its remaining session can
+    // close ONLY through a timer that was registered BEFORE the stop,
+    // survived the checkpoint, and fired via handleExpiredTimer after
+    // it. The union of pre- and post-restart emissions must equal batch
+    // sessionization over exactly the phase-1 events.
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import org.apache.spark.sql.expressions.Window
+    val allStaged = graft.streaming.StreamingBridge.stageTimeOrdered(spark, sf, 4)
+    val parts = new java.io.File(allStaged).listFiles().sortBy(_.getName).toSeq.take(2)
+    val streamDir = graft.sources.TempDirs.create("graft_tws_timer_src_")
+    val ckDir = graft.sources.TempDirs.create("graft_tws_timer_ck_")
+    val outDir = graft.sources.TempDirs.create("graft_tws_timer_out_")
+    parts.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(streamDir, f.getName),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val schema = spark.read.parquet(allStaged).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def start(): StreamingQuery = StreamingOps.sessionizeTws(
+          Tables.normalizeTs(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(streamDir))
+            .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+            .as[Event])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.SessionOut], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+          ()
+        }.start()
+
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val beforeRestart = spark.read.parquet(outDir).count()
+
+      // restart: the ONLY new input is the far-future sentinel (key -1)
+      val maxMs = Tables.normalizeTs(spark.read.parquet(streamDir))
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      graft.streaming.StreamingBridge.writeSentinelNamed(spark, streamDir,
+        schema, maxMs + 24L * 3600 * 1000, "zz_sentinel.parquet")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(outDir).filter($"user_id" >= 0)
+        .select($"user_id", $"n_events", $"duration_s")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got.size > beforeRestart,
+        "no session closed after the restart — restored timers never fired")
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val want = Tables.normalizeTs(
+          spark.read.parquet(parts.map(_.getPath): _*))
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("is_new").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_events"),
+          floor((max("us") - min("us")) / lit(1000000L)).cast("long").as("duration_s"))
+        .select($"user_id", $"n_events", $"duration_s")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == want,
+        s"sessions diverged from batch over phase-1 events: got ${got.size} vs ${want.size} rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming EWMA (tws sequential state) equals batch ewma_hourly row-for-row") {
     val got = graft.streaming.StreamingBridge.streamEwmaEq(spark, sf)
       .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
