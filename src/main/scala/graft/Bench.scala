@@ -102,6 +102,8 @@ object Bench {
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
       ("chain_ivf_incr", Set("ivf_incremental"),
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
+      ("chain_stream_ivf", Set("stream_ivf_ingest_eq"),
+        () => { streaming.StreamingBridge.streamIvfIngestWarm(spark, sfDir); () }),
       ("chain_doc_scores", Set("quality_gate", "quality_score"),
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
       ("chain_pq_codes", Set("pq_encode", "pq_recon_error"),

@@ -25,7 +25,7 @@ object Similarity {
   private val Dim = 64
   private val Planes = 8
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
 
@@ -153,7 +153,7 @@ object Similarity {
   /** Nearest-centroid assignment: every vector scores only the broadcast
     * K-row centroid table and keeps its best cell — map-only + one
     * per-vector window, the 100 TB-friendly build shape. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
     e.join(broadcast(cents), col("vec_id") =!= lit(-1))
       .select(col("vec_id"), col("v"), col("cid"),
@@ -199,7 +199,7 @@ object Similarity {
 
   /** Same atomic build over a caller-supplied vector frame (the
     * incremental path builds from the resident corpus only). */
-  private def ivfBuildIndexFrom(e: DataFrame, spark: SparkSession,
+  private[graft] def ivfBuildIndexFrom(e: DataFrame, spark: SparkSession,
       root: String): String = {
     val marker = new java.io.File(s"$root/.complete")
     if (!marker.exists()) {

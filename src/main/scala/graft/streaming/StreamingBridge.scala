@@ -825,8 +825,86 @@ object StreamingBridge {
     spark.read.parquet(s"$stateRoot/v$last").orderBy("o_orderkey")
   }
 
+  /** Per-process streaming-ingested IVF roots (same lifecycle as the
+    * batch incremental index memo in Similarity): the build + 3-batch
+    * stream ingest runs once; re-entry (Verify, warm+measure bench runs)
+    * is a pure read-back, and a half-ingested index is never exposed
+    * because the memo inserts only after the stream drains cleanly. */
+  private val ivfIngestMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  private def ivfIngestRoot(spark: SparkSession, dir: String): String = {
+    ivfIngestMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(ivfIngestMemo.remove)
+    ivfIngestMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+      import graft.operators.Similarity
+      val root = graft.sources.TempDirs.create("graft_stream_ivf_")
+      val isNew = col("vec_id") % 10 === 0
+      Similarity.ivfBuildIndexFrom(
+        Similarity.emb(spark, dir).filter(!isNew), spark, root)
+      // stage the delta as 3 id-ranged files with ascending mtimes →
+      // 3 real micro-batches at maxFilesPerTrigger=1
+      val build = graft.sources.TempDirs.create("graft_stream_ivf_build_")
+      Similarity.emb(spark, dir).filter(isNew)
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(build)
+      val deltaDir = graft.sources.TempDirs.create("graft_stream_ivf_delta_")
+      val parts = new java.io.File(build).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val tsBase = System.currentTimeMillis() - 1000L * parts.length
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = java.nio.file.Paths.get(deltaDir, f"delta_$i%05d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+      }
+      val schema = spark.read.parquet(deltaDir).schema
+      val cents = spark.read.parquet(s"$root/centroids")
+      val ck = graft.sources.TempDirs.create("graft_stream_ivf_ck_")
+      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(deltaDir)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.assignCells(batch, cents)
+            .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      root
+    })
+  }
+
+  /** Public warm-up for Bench: force the one-time resident build + stream
+    * ingest so the chain is billed separately from the read-back cost. */
+  def streamIvfIngestWarm(spark: SparkSession, dir: String): String =
+    ivfIngestRoot(spark, dir)
+
+  /** Streaming ANN ingest — the streaming twin of batch ivf_incremental,
+    * closing the last batch/streaming pairing gap in the similarity
+    * family: the resident corpus (vec_id ≢ 0 mod 10) builds a PRIVATE
+    * copy of the IVF index once, then the SAME delta (vec_id ≡ 0 mod 10)
+    * arrives as a 3-file stream and each micro-batch is assigned against
+    * the STORED centroids (map-only over the batch, broadcast K-row
+    * centroid table) and parquet-APPENDED to the cell-partitioned
+    * inverted lists inside a checkpointed foreachBatch — O(|batch|) per
+    * trigger, existing list files never read or rewritten: the
+    * steady-state ingest loop of a production vector store. Read-back
+    * and oracle are ivf_incremental's: append-time assignment under the
+    * stored centroids must equal a from-scratch assignment of the full
+    * corpus, REGARDLESS of how the delta was micro-batched. */
+  def streamIvfIngestEq(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIngestRoot(spark, dir)
+    spark.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (col("vec_id") % 10 === 0).cast("int").as("is_new"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cdc_eq" -> streamCdcEq,
+    "stream_ivf_ingest_eq" -> streamIvfIngestEq,
     "stream_latest_eq" -> streamLatestEq,
     "stream_latest_tws_eq" -> streamLatestTwsEq,
     "stream_latest_warm_eq" -> streamLatestWarmStartEq,
@@ -853,6 +931,10 @@ object StreamingBridge {
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
   // and batch must produce the same answer over the same finite input.
   val oracle: Map[String, String] = Map(
+    // streaming ingest twin: IDENTICAL oracle to batch ivf_incremental —
+    // micro-batched appends must land exactly where a rebuild under the
+    // same centroids would put every vector
+    "stream_ivf_ingest_eq" -> graft.operators.Similarity.oracle("ivf_incremental"),
     // identical to batch cdc_apply: the target snapshot recomputed
     // independently — streaming MERGE must land on the same table
     "stream_cdc_eq" ->

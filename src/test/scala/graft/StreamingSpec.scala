@@ -416,6 +416,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF ingest == batch incremental index row-for-row") {
+    // the micro-batched foreachBatch appends and the one-shot batch
+    // append must produce the SAME merged inverted lists — assignment
+    // against stored centroids is deterministic and batching-invariant
+    val got = graft.streaming.StreamingBridge.streamIvfIngestEq(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    val want = graft.operators.Similarity.ivfIncremental(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"streaming ingest diverged from batch: ${got.size} vs ${want.size} rows")
+  }
+
   test("streaming EWMA (tws sequential state) equals batch ewma_hourly row-for-row") {
     val got = graft.streaming.StreamingBridge.streamEwmaEq(spark, sf)
       .as[(String, java.sql.Timestamp, Long, Double)].collect().toSeq
