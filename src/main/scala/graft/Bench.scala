@@ -38,7 +38,17 @@ object Bench {
   private def fmt(v: Double): String =
     if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  final case class Timing(name: String, wallS: Double, cpuS: Double, gcS: Double)
+  /** Cumulative JIT compilation milliseconds (all compiler threads). A
+    * query whose wall inflates while jit_s spikes is not a plan problem:
+    * it ran interpreted/C1 behind a C2 backlog of generated classes from
+    * the preceding ~200 queries (one JVM runs the whole suite). */
+  private def jitMillis: Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported) b.getTotalCompilationTime else -1L
+  }
+
+  final case class Timing(name: String, wallS: Double, cpuS: Double, gcS: Double,
+      jitS: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,6 +73,7 @@ object Bench {
 
     def timed(label: String)(body: => Unit): Timing = {
       val t0 = System.nanoTime(); val c0 = cpuNanos; val g0 = gcMillis
+      val j0 = jitMillis
       val ok =
         try { body; true }
         catch { case e: Throwable =>
@@ -73,7 +84,8 @@ object Bench {
       // not silently billed a normal-looking duration
       val wall = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Timing(label, wall,
-        if (c0 >= 0) (cpuNanos - c0) / 1e9 else -1.0, (gcMillis - g0) / 1e3)
+        if (c0 >= 0) (cpuNanos - c0) / 1e9 else -1.0, (gcMillis - g0) / 1e3,
+        if (j0 >= 0) (jitMillis - j0) / 1e3 else -1.0)
     }
 
     val gc0 = gcMillis
@@ -138,12 +150,13 @@ object Bench {
     // Full detail (wall + cpu + gc per query) → file; judge-readable even
     // when the stdout tail is truncated.
     val detail = all.map(t =>
-      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}}""")
+      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}, "jit_s": ${fmt(t.jitS)}}""")
       .mkString("{\n", ",\n", "\n  }")
+    val jitTotal = all.map(_.jitS).filter(_ >= 0).sum
     val detailJson =
       s"""{
   "metric": "total", "value": ${fmt(total)}, "unit": "sec",
-  "gc_s": ${fmt(gcS)}, "cpu_s": ${fmt(cpuS)}, "load_avg": ${fmt(load)},
+  "gc_s": ${fmt(gcS)}, "cpu_s": ${fmt(cpuS)}, "jit_s": ${fmt(jitTotal)}, "load_avg": ${fmt(load)},
   "sf": "$sfDir", "n_queries": ${results.size}, "n_chains": ${chainResults.size},
   "queries": $detail
 }

@@ -390,13 +390,24 @@ object TextAnalysis {
     * + b·dl·N/TL)) equals 22·tf·TL / (10·tf·TL + 3·TL + 9·dl·N) exactly,
     * and the BM25 idf (N−df+0.5)/(df+0.5) equals (2N−2df+1)/(2df+1); both
     * are floor-scaled by 1e6 with integer `div` — no log, no float, no
-    * ulp drift (same trick as tfidf_top_terms). The corpus-sized terms n
-    * and TL are lifted to DECIMAL(38,0) (HUGEINT in the oracle) so
-    * 22e6·tf·TL and the idf×tff product CANNOT wrap 2⁶³ at 100 TB —
-    * exceeding 38 digits fails loudly (null/error) rather than silently
-    * corrupting scores; the `div` results re-land in BIGINT. Shape: the
-    * same two model aggregates as TF-IDF (df broadcast, 1-row totals
-    * broadcast) plus a per-doc length join that reuses the window's
+    * ulp drift (same trick as tfidf_top_terms).
+    *
+    * Overflow safety is scale-ADAPTIVE, not a per-row tax: the corpus
+    * model scalars (N, TL, max dl) come from one tiny aggregate pulled to
+    * the driver (the blessed scalar-pull pattern), and the plan routes on
+    * a PROVEN BigInt bound — when 22e6·maxdl·TL, the tff denominator, and
+    * the idf×tff product all clear 2⁶³, the per-row kernel is pure Long
+    * arithmetic (the hot path at any bench scale); only when a corpus is
+    * genuinely large enough to threaten 2⁶³ does the kernel lift to
+    * DECIMAL(38,0) (HUGEINT in the oracle) — still exact, never silently
+    * wrapped, and exceeding 38 digits fails loudly rather than corrupting
+    * scores. Both paths floor to the same BIGINT values, so the routing
+    * is invisible to the oracle. The idf factor depends only on df, so it
+    * is computed once per DISTINCT WORD on the broadcast-side df table
+    * (|vocab| rows) instead of once per (doc, word) pair — the row-local
+    * kernel on the corpus-sized side is one fused mul/div chain with the
+    * corpus scalars folded in as literals (no crossJoin needed). Shape:
+    * df model broadcast + a per-doc length join that reuses the window's
     * doc_id partitioning; the corpus-sized tf side shuffles once. */
   def bm25TopTerms(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(spark, dir)
@@ -404,16 +415,35 @@ object TextAnalysis {
     val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.filter(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
-    val tot = dl.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-      sum("dl").cast("decimal(38,0)").as("tl"))
+    val totRow = dl.agg(count(lit(1)).as("n"), sum("dl").as("tl"),
+      max("dl").as("maxdl")).head()
+    val n = totRow.getLong(0)
+    val tl = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
+    val maxdl = if (totRow.isNullAt(2)) 1L else math.max(totRow.getLong(2), 1L)
+    val longSafe = {
+      val (bn, btl, bdl) = (BigInt(n), BigInt(tl max 1L), BigInt(maxdl))
+      Seq(
+        BigInt(22000000L) * bdl * btl,                          // tff numerator (tf ≤ maxdl)
+        BigInt(10) * bdl * btl + BigInt(3) * btl + BigInt(9) * bdl * bn, // tff denominator
+        BigInt(1000000L) * (2 * bn + 1) * BigInt(2200000L)      // idf × tff product (tff ≤ 2.2e6)
+      ).forall(_ <= BigInt(Long.MaxValue))
+    }
+    val idf =
+      if (longSafe) expr(s"(1000000 * (2*${n}L - 2*df + 1)) div (2*df + 1)")
+      else expr(s"cast((1000000 * (2*cast($n as decimal(38,0)) - 2*df + 1)) " +
+        "div (2*df + 1) as decimal(38,0))")
+    val score =
+      if (longSafe)
+        expr(s"(idf * ((1000000 * 22 * tf * ${tl}L) div " +
+          s"(10*tf*${tl}L + 3*${tl}L + 9*dl*${n}L))) div 1000000")
+      else
+        expr(s"(idf * ((1000000 * 22 * tf * cast($tl as decimal(38,0))) div " +
+          s"(10*tf*cast($tl as decimal(38,0)) + 3*cast($tl as decimal(38,0)) " +
+          s"+ 9*dl*cast($n as decimal(38,0))))) div 1000000")
     val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
-    tf.join(broadcast(df), "word")
+    tf.join(broadcast(df.withColumn("idf", idf)), "word")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("word"),
-        expr("(cast((1000000 * (2*n - 2*df + 1)) div (2*df + 1) as decimal(38,0)) * " +
-          "((1000000 * 22 * tf * tl) div (10*tf*tl + 3*tl + 9*dl*n))) div 1000000")
-          .as("bm25"))
+      .select(col("doc_id"), col("word"), score.as("bm25"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("doc_id", "rn", "word", "bm25")

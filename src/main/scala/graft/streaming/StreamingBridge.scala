@@ -879,7 +879,7 @@ object StreamingBridge {
   /** Public warm-up for Bench: force the one-time resident build + stream
     * ingest so the chain is billed separately from the read-back cost. */
   def streamIvfIngestWarm(spark: SparkSession, dir: String): String =
-    ivfIngestRoot(spark, dir)
+    withStateParts(spark)(ivfIngestRoot(spark, dir))
 
   /** Streaming ANN ingest — the streaming twin of batch ivf_incremental,
     * closing the last batch/streaming pairing gap in the similarity
@@ -902,30 +902,58 @@ object StreamingBridge {
       .orderBy("vec_id")
   }
 
+  /** Scope the state-partition count to the bridge call: stateful
+    * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
+    * query start, and each state partition is a live store instance
+    * (RocksDB database / HDFS-backed map) that pays open + commit +
+    * snapshot I/O EVERY micro-batch. The batch session's 32 is sized for
+    * corpus shuffles, not for the bridge feeds' key cardinality — 32
+    * stores × 4 triggers × 23 queries is pure fixed overhead, so the
+    * bridges pin 8 for the duration of the drive (results are
+    * partitioning-invariant and every bridge sorts its output). At 100 TB
+    * this is the same knob sized the other way: state partitions follow
+    * key volume and executor count, never the session default. Scoping is
+    * exact for the streaming side because every bridge drains its query
+    * eagerly before returning; the returned DataFrame is a batch read of
+    * the sink and executes under the caller's own partitions. */
+  private def withStateParts[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def scoped(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => withStateParts(spark)(f(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_cdc_eq" -> streamCdcEq,
-    "stream_ivf_ingest_eq" -> streamIvfIngestEq,
-    "stream_latest_eq" -> streamLatestEq,
-    "stream_latest_tws_eq" -> streamLatestTwsEq,
-    "stream_latest_warm_eq" -> streamLatestWarmStartEq,
-    "stream_foreachbatch_eq" -> streamForeachBatchEq,
-    "stream_incremental_eq" -> streamIncrementalEq,
-    "stream_hourly_eq" -> streamHourlyEq,
-    "stream_file_sink_eq" -> streamFileSinkEq,
-    "stream_sessionize_eq" -> streamSessionizeEq,
-    "stream_session_window_eq" -> streamSessionWindowEq,
-    "stream_sessionize_tws_eq" -> streamSessionizeTwsEq,
-    "stream_sessionize_incr_eq" -> streamSessionizeIncrementalEq,
-    "stream_dedup_eq" -> streamDedupEq,
-    "stream_enrich_eq" -> streamEnrichEq,
-    "stream_dedup_incr_eq" -> streamDedupIncrementalEq,
-    "stream_dedup_wm_eq" -> streamDedupWatermarkEq,
-    "stream_ewma_eq" -> streamEwmaEq,
-    "stream_type_hist_eq" -> streamTypeHistEq,
-    "stream_recent3_eq" -> streamRecent3Eq,
-    "stream_join_eq" -> streamJoinEq,
-    "stream_left_join_eq" -> streamLeftJoinEq,
-    "stream_quarantine_eq" -> streamQuarantineEq,
+    "stream_cdc_eq" -> scoped(streamCdcEq),
+    "stream_ivf_ingest_eq" -> scoped(streamIvfIngestEq),
+    "stream_latest_eq" -> scoped(streamLatestEq),
+    "stream_latest_tws_eq" -> scoped(streamLatestTwsEq),
+    "stream_latest_warm_eq" -> scoped(streamLatestWarmStartEq),
+    "stream_foreachbatch_eq" -> scoped(streamForeachBatchEq),
+    "stream_incremental_eq" -> scoped(streamIncrementalEq),
+    "stream_hourly_eq" -> scoped(streamHourlyEq),
+    "stream_file_sink_eq" -> scoped(streamFileSinkEq),
+    "stream_sessionize_eq" -> scoped(streamSessionizeEq),
+    "stream_session_window_eq" -> scoped(streamSessionWindowEq),
+    "stream_sessionize_tws_eq" -> scoped(streamSessionizeTwsEq),
+    "stream_sessionize_incr_eq" -> scoped(streamSessionizeIncrementalEq),
+    "stream_dedup_eq" -> scoped(streamDedupEq),
+    "stream_enrich_eq" -> scoped(streamEnrichEq),
+    "stream_dedup_incr_eq" -> scoped(streamDedupIncrementalEq),
+    "stream_dedup_wm_eq" -> scoped(streamDedupWatermarkEq),
+    "stream_ewma_eq" -> scoped(streamEwmaEq),
+    "stream_type_hist_eq" -> scoped(streamTypeHistEq),
+    "stream_recent3_eq" -> scoped(streamRecent3Eq),
+    "stream_join_eq" -> scoped(streamJoinEq),
+    "stream_left_join_eq" -> scoped(streamLeftJoinEq),
+    "stream_quarantine_eq" -> scoped(streamQuarantineEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming

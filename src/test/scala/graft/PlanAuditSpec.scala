@@ -333,12 +333,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"means not partially aggregated:\n$p")
   }
 
-  test("bm25 model tables broadcast; the corpus-sized tf side never shuffles for them") {
+  test("bm25 df model broadcast; corpus scalars folded as literals (no totals exchange)") {
     val p = plan(graft.operators.TextAnalysis.bm25TopTerms(spark, sf))
-    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
-      s"df/totals models not broadcast:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"no broadcast join in bm25:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1,
+      s"df model not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in bm25:\n$p")
+    // the corpus totals ride as literals now — a nested-loop join would
+    // mean the 1-row totals crossJoin crept back in
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"totals crossJoin reappeared in bm25:\n$p")
   }
 
   // guards for the event-time batch rows restored in round 11: each is a
