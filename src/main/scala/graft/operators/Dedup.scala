@@ -237,6 +237,29 @@ object Dedup {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
 
+  /** Duplicate-aware sample weighting — the loss-REWEIGHTING alternative
+    * to dropping near-duplicates: every document keeps a training weight
+    * of 1/cluster_size (ppm-scaled integer, floor), so a family of k
+    * near-identical documents contributes one document's worth of
+    * gradient in expectation instead of k× (the over-representation that
+    * makes models memorize boilerplate), while unique phrasing inside
+    * each variant still gets seen. Singletons weigh 1.0 exactly. Shape:
+    * the memoized cluster roster (only docs WITH a verified near-dup —
+    * a small fraction of any real corpus) aggregates to per-cluster
+    * sizes, joins back to the roster, and the result broadcasts against
+    * the corpus id list as a left join — the corpus pass is map-side,
+    * payload never moves, same drop-list discipline as dedup_apply. */
+  def dedupSampleWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(broadcast(labels.join(sizes, "cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-cohesion QA over the dup graph: per component, node count,
     * verified-edge count, and edge density in ppm of the complete graph
     * (2·10⁶·E / n(n−1)). Low-density mega-clusters are the classic LSH
@@ -899,6 +922,7 @@ object Dedup {
     "dedup_triangles" -> dedupTriangles,
     "dedup_local_cc" -> dedupLocalCc,
     "dedup_cluster_sizes" -> dedupClusterSizes,
+    "dedup_sample_weights" -> dedupSampleWeights,
     "dedup_cluster_cohesion" -> dedupClusterCohesion,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_incremental" -> dedupIncremental,
@@ -1167,6 +1191,22 @@ object Dedup {
         "sizes AS (SELECT cl, count(*) AS cluster_size FROM labels GROUP BY cl) " +
         "SELECT cluster_size, count(*) AS n_clusters FROM sizes " +
         "GROUP BY cluster_size ORDER BY cluster_size"),
+    "dedup_sample_weights" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "labels AS (SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id), " +
+        "csize AS (SELECT cl, count(*) AS n FROM labels GROUP BY cl), " +
+        "docw AS (SELECT l.id AS doc_id, c.n AS cluster_size FROM labels l JOIN csize c ON l.cl = c.cl) " +
+        "SELECT d.doc_id, CAST(COALESCE(w.cluster_size, 1) AS BIGINT) AS cluster_size, " +
+        "1000000 // CAST(COALESCE(w.cluster_size, 1) AS BIGINT) AS weight_ppm " +
+        "FROM documents d LEFT JOIN docw w USING (doc_id) ORDER BY d.doc_id"),
     "dedup_editdist" ->
       (s"WITH $lshCtesSql " +
         "SELECT id1, id2, levenshtein(d1.text, d2.text) AS editdist, " +

@@ -649,14 +649,39 @@ object Similarity {
     * bucket occupancy, never O(N), and the candidate stage is shared
     * with ann_lsh_pairs/dedup_embedding via the pairs memo (built once
     * per session+dataset). */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed k=3 nearest-neighbour edges (unsorted) — shared stage of
+    * knn_graph and mutual_knn. */
+  private def knnEdges(spark: SparkSession, dir: String): DataFrame = {
     val p = scoredLshPairs(spark, dir)
     val sym = p.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     sym.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .orderBy("src", "rn")
+  }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnEdges(spark, dir).orderBy("src", "rn")
+
+  /** Mutual-kNN graph — keep only edges present in BOTH directions of
+    * the directed kNN graph (u ∈ knn(v) AND v ∈ knn(u)). This is the
+    * standard densification filter before graph clustering / dedup on an
+    * ANN graph: one-sided edges are mostly hubness artifacts (a popular
+    * vector appears in everyone's top-k without reciprocating), and
+    * dropping them is what makes the subsequent connected components
+    * meaningful. Shape: the directed edge list is k·N rows; reciprocity
+    * is ONE self-equi-join on the reversed key pair (left_semi, so no
+    * column duplication and the join can stay shuffle-local on the same
+    * (src, dst) hash), then src<dst canonicalizes each surviving pair to
+    * a single undirected row. No O(N²) anywhere — candidate generation
+    * is the memoized LSH stage shared with knn_graph/ann_lsh_pairs. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnEdges(spark, dir).select("src", "dst", "cos")
+    val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+    knn.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id1"), col("dst").as("id2"), col("cos"))
+      .orderBy("id1", "id2")
   }
 
   /** Semantic clusters: connected components over the cosine near-dup
@@ -801,6 +826,7 @@ object Similarity {
     "ann_recall_report" -> annRecallReport,
     "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
+    "mutual_knn" -> mutualKnn,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
     "pq_encode" -> pqEncode,
@@ -1063,6 +1089,16 @@ object Similarity {
         "ranked AS (SELECT src, dst, cos, row_number() OVER " +
         "(PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym) " +
         "SELECT src, dst, cos, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3 ORDER BY src, rn"),
+    "mutual_knn" ->
+      (s"WITH $bandedPairsCtesSql, " +
+        "sym AS (SELECT id1 AS src, id2 AS dst, cos FROM scored " +
+        "UNION ALL SELECT id2 AS src, id1 AS dst, cos FROM scored), " +
+        "ranked AS (SELECT src, dst, cos, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym), " +
+        "knn AS (SELECT src, dst, cos FROM ranked WHERE rn <= 3) " +
+        "SELECT a.src AS id1, a.dst AS id2, a.cos FROM knn a " +
+        "JOIN knn b ON a.src = b.dst AND a.dst = b.src " +
+        "WHERE a.src < a.dst ORDER BY id1, id2"),
     "dedup_embedding" ->
       (s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored " +
         "WHERE cos >= 0.5 ORDER BY id1, id2"),

@@ -164,6 +164,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Curriculum scheduling — the training-ORDER op that follows scoring
+    * and splitting: docs are bucketed into ten quality phases (phase 0 =
+    * top decile, fed first) and SHUFFLED within each phase by a salted
+    * keyed hash, producing the easy-to-hard schedule curriculum training
+    * consumes without any global sort bottleneck. Phase is row-local
+    * arithmetic on the 6-decimal quality score (clamped floor of q·10,
+    * identical IEEE doubles in both engines); intra-phase order is the
+    * splitAssign md5 idiom — rerun- and append-stable, so a resumed run
+    * or a grown corpus schedules existing docs identically. At 100 TB
+    * the (phase, order_key) pair IS the sort key of a range-partitioned
+    * write; nothing here needs a single-partition window or a driver
+    * pass. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir)
+      .select(col("doc_id"),
+        (lit(9) - greatest(lit(0), least(lit(9),
+          floor(col("quality") * 10).cast("int")))).as("phase"),
+        conv(substring(md5(concat(lit("graft-curriculum:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("order_key"))
+      .orderBy("phase", "order_key", "doc_id")
+
+  /** First BPE merge-step statistics — the tokenizer-TRAINING primitive
+    * (quality/packing ops above consume a tokenizer; this is the op that
+    * builds one): count every adjacent symbol pair across all word
+    * OCCURRENCES (frequency-weighted, as BPE requires — a pair in a
+    * common word counts once per appearance) and report the top-20
+    * merge candidates. Shape: the canonical map-side-combine aggregate —
+    * pairs explode row-locally, partial counts collapse per partition
+    * before the shuffle, and the reduced key space is at most
+    * alphabet², so the exchange is tiny no matter the corpus; the final
+    * top-20 is a TakeOrdered, not a global sort. Ties break on the pair
+    * string so the cut at rank 20 is deterministic cross-engine. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("pair"))
+      .limit(20)
+
   /** Per-language quality gate: keep the better half of each language's
     * documents by quality score — the curation step between scoring and
     * training. Rank-based selection (2·rank ≤ count, ties broken by
@@ -827,6 +870,8 @@ object TextAnalysis {
     "lang_confusion" -> langConfusion,
     "quality_score" -> qualityScore,
     "quality_gate" -> qualityGate,
+    "curriculum_order" -> curriculumOrder,
+    "bpe_pair_counts" -> bpePairCounts,
     "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
     "token_pack" -> tokenPack,
@@ -862,6 +907,18 @@ object TextAnalysis {
       "FROM qd)"
 
   val oracle: Map[String, String] = Map(
+    "curriculum_order" ->
+      (s"WITH $qualityCteSql " +
+        "SELECT doc_id, CAST(9 - greatest(0, least(9, CAST(floor(quality * 10) AS INT))) AS INT) AS phase, " +
+        "CAST('0x' || substr(md5('graft-curriculum:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS order_key " +
+        "FROM q ORDER BY phase, order_key, doc_id"),
+    "bpe_pair_counts" ->
+      (s"WITH toksrc AS (SELECT $toksSql AS tk FROM documents), " +
+        "words AS (SELECT unnest(tk) AS w FROM toksrc), " +
+        "pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair " +
+        "FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2) " +
+        "SELECT pair, count(*) AS n_pairs FROM pairs " +
+        "GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 20"),
     "vocab_coverage" ->
       (s"WITH t AS (SELECT lang, unnest($toksSql) AS w FROM documents), " +
         "blw AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2), " +

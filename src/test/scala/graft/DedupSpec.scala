@@ -152,4 +152,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._3).sum == 3 * nTriangles,
       s"sum(n_tri) ${rows.map(_._3).sum} != 3 * $nTriangles")
   }
+
+  test("dedup_sample_weights: covers corpus; singleton weight 1e6; clusters telescope") {
+    val rows = Dedup.dedupSampleWeights(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (id, size, ppm) =>
+      assert(size >= 1, s"doc $id: size $size")
+      assert(ppm == 1000000L / size, s"doc $id: ppm $ppm != 1e6/$size")
+    }
+    // docs in the cluster roster carry that cluster's size; all others 1
+    val labels = Dedup.clusterLabels(spark, sf)
+      .as[(Long, Long)].collect()
+    val bySize = labels.groupBy(_._2).values.flatMap { g =>
+      g.map(m => m._1 -> g.length.toLong)
+    }.toMap
+    rows.foreach { case (id, size, _) =>
+      assert(size == bySize.getOrElse(id, 1L), s"doc $id: size $size")
+    }
+    // a k-cluster's total weight is k * floor(1e6/k) <= 1e6 — the family
+    // contributes at most one document's worth of sampling mass
+    bySize.values.toSeq.distinct.foreach { k =>
+      assert(k * (1000000L / k) <= 1000000L)
+    }
+  }
 }

@@ -245,4 +245,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Double)].collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("mutual_knn: canonical pairs, reciprocal by construction, subset of knn_graph") {
+    val knn = Similarity.knnGraph(spark, sf)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val mutual = Similarity.mutualKnn(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(mutual.nonEmpty, "no reciprocal edges on the test corpus")
+    mutual.foreach { case (a, b, cos) =>
+      assert(a < b, s"pair ($a,$b) not canonicalized")
+      assert(knn.contains((a, b)) && knn.contains((b, a)),
+        s"pair ($a,$b) not reciprocal in the directed kNN edges")
+      assert(cos >= -1.0 && cos <= 1.0, s"cos $cos out of range")
+    }
+    // completeness: every reciprocal directed pair survives the filter
+    val expected = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(mutual.map(m => (m._1, m._2)).toSet == expected,
+      "mutual_knn must keep exactly the reciprocal pairs")
+  }
 }

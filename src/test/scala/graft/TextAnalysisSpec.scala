@@ -162,4 +162,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cxyRef == cxy)
     assert(score == 1000000L * (cxy - 5) * n / (c1 * c2))
   }
+
+  test("curriculum_order: phases bucket quality deciles; order is keyed-hash stable") {
+    val rows = TextAnalysis.curriculumOrder(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    val quality = TextAnalysis.qualityScore(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, phase, key) =>
+      assert(phase >= 0 && phase <= 9, s"doc $id: phase $phase")
+      val expect = 9 - math.max(0, math.min(9, math.floor(quality(id) * 10).toInt))
+      assert(phase == expect, s"doc $id: phase $phase != $expect for q=${quality(id)}")
+      assert(key >= 0, s"doc $id: negative order key")
+    }
+    // rerun-stability: a second run schedules identically (keyed hash,
+    // not rand()/row_number)
+    val again = TextAnalysis.curriculumOrder(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("bpe_pair_counts: top-20 adjacent pairs, frequency-weighted, verified by recompute") {
+    val rows = TextAnalysis.bpePairCounts(spark, sf)
+      .as[(String, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_._1.length == 2), "pairs must be exactly 2 symbols")
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing")
+    // recompute the top pair's count from raw tokens on the driver
+    val (topPair, topN) = rows.head
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .as[Seq[String]].collect()
+    val ref = toks.iterator.flatMap(_.iterator)
+      .map(w => w.sliding(2).count(_ == topPair)).sum
+    assert(topN == ref, s"pair '$topPair': $topN != driver recompute $ref")
+  }
 }
