@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // One JVM runs the 230+-query bench and generates thousands of
+  // whole-stage-codegen classes; the JDK default 240m code cache forces
+  // sweeping + C2 re-queues late in the run, and a hot generated method
+  // stuck behind that queue executes interpreted at 5-10x CPU billed to
+  // whichever query is running (see jit_s in BENCH_DETAIL.json).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -333,6 +333,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"means not partially aggregated:\n$p")
   }
 
+  test("dedup_sample_weights broadcasts the cluster roster; corpus side never shuffles") {
+    val p = plan(graft.operators.Dedup.dedupSampleWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"roster not broadcast-left-joined:\n$p")
+    // the only allowed exchanges prepare the tiny roster/size aggregate
+    // and the final output sort — the documents scan must not be hashed
+    val docHash = "hashpartitioning\\(doc_id#\\d+L?, ".r.findAllIn(
+      p.split("BroadcastHashJoin").head).toSeq
+    assert(docHash.isEmpty, s"corpus side shuffled before the broadcast join:\n$p")
+  }
+
+  test("curriculum_order is map-only up to the schedule sort (no joins, no aggregates)") {
+    val p = plan(graft.operators.TextAnalysis.curriculumOrder(spark, sf))
+    assert(!p.contains("Join"), s"curriculum gained a join:\n$p")
+    // one range exchange for the (phase, order_key) sort is the contract;
+    // any hash exchange means phase/order stopped being row-local
+    assert(!p.contains("hashpartitioning"),
+      s"row-local schedule acquired a hash shuffle:\n$p")
+  }
+
+  test("bpe_pair_counts combines map-side and ends in TakeOrdered, not a global sort") {
+    val p = plan(graft.operators.TextAnalysis.bpePairCounts(spark, sf))
+    assert(p.contains("partial_count"), s"pair counts not partially aggregated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 became a global sort:\n$p")
+  }
+
   test("bm25 df model broadcast; corpus scalars folded as literals (no totals exchange)") {
     val p = plan(graft.operators.TextAnalysis.bm25TopTerms(spark, sf))
     assert("BroadcastExchange".r.findAllIn(p).size >= 1,
