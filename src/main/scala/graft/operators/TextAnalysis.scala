@@ -207,6 +207,58 @@ object TextAnalysis {
       .orderBy(desc("n_pairs"), asc("pair"))
       .limit(20)
 
+  /** Iterative BPE training — five full merge rounds, not just the
+    * first-step statistics of bpe_pair_counts: each round counts every
+    * adjacent symbol pair over the frequency-weighted word table, elects
+    * the most frequent pair (count desc, then lexicographic — the
+    * deterministic tiebreak), and APPLIES it corpus-wide with a greedy
+    * left-to-right fold before the next round recounts. This is the
+    * tokenizer-training dataflow itself: the output (step, pair, count)
+    * table IS the merge table a BPE tokenizer ships.
+    *
+    * Shape, and why it scales: the unit of work is the DISTINCT-WORD
+    * table (vocab-sized, frequency-weighted — never the corpus), the
+    * merge application is a row-local `aggregate` higher-order fold
+    * (whole-stage codegen, no UDF), and each round is one map-side-
+    * combined pair count over an alphabet²-bounded key space plus one
+    * 1-row argmax pulled to the driver — the trainer's inherent
+    * synchronization point (the next round's MAP depends on it, exactly
+    * like the frontier test in BFS). Rounds checkpoint eagerly so the
+    * plan stays O(1) across iterations instead of nesting five folds.
+    * The DuckDB oracle replays the identical five rounds as chained
+    * CTEs whose `list_reduce` fold mirrors the Spark `aggregate` fold
+    * element for element. */
+  def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
+        col("freq"))
+    var cur = words.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to 5) {
+      val win = cur.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .head()
+      val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+      merges += ((step, a, b, cnt))
+      cur = cur.select(
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))).as("syms"),
+        col("freq")).localCheckpoint(true)
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy("step")
+  }
+
   /** Per-language quality gate: keep the better half of each language's
     * documents by quality score — the curation step between scoring and
     * training. Rank-based selection (2·rank ≤ count, ties broken by
@@ -872,6 +924,7 @@ object TextAnalysis {
     "quality_gate" -> qualityGate,
     "curriculum_order" -> curriculumOrder,
     "bpe_pair_counts" -> bpePairCounts,
+    "bpe_learn_merges" -> bpeLearnMerges,
     "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
     "token_pack" -> tokenPack,
@@ -906,7 +959,34 @@ object TextAnalysis {
       "(1.0 - CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END) * 0.1, 6) AS quality " +
       "FROM qd)"
 
+  /** Five chained BPE rounds as CTEs; the `list_reduce` fold mirrors the
+    * Spark-side `aggregate` fold exactly (same init — the fold starts
+    * from the first singleton — same greedy merge-or-append lambda). */
+  private def bpeLearnSql: String = {
+    val stages = new StringBuilder(
+      s"w AS (SELECT w, CAST(count(*) AS BIGINT) AS freq " +
+        s"FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w), " +
+        "s1 AS (SELECT string_split(w, '') AS syms, freq FROM w)")
+    for (i <- 1 to 5) {
+      stages ++= s", p$i AS (SELECT syms[CAST(j AS INT)] AS a, " +
+        s"syms[CAST(j AS INT)+1] AS b, freq FROM s$i, " +
+        "UNNEST(range(1, len(syms))) AS t(j) WHERE len(syms) >= 2), " +
+        s"win$i AS (SELECT $i AS step, a, b, cnt FROM " +
+        s"(SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i " +
+        "GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)), " +
+        s"s${i + 1} AS (SELECT list_reduce(list_transform(syms, s -> [s]), " +
+        s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = win$i.a AND x[1] = win$i.b " +
+        s"THEN list_append(acc[1:len(acc)-1], win$i.a || win$i.b) " +
+        s"ELSE list_concat(acc, x) END) AS syms, freq FROM s$i CROSS JOIN win$i)"
+    }
+    s"WITH ${stages.result()} " +
+      "SELECT step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM (" +
+      (1 to 5).map(i => s"SELECT * FROM win$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+  }
+
   val oracle: Map[String, String] = Map(
+    "bpe_learn_merges" -> bpeLearnSql,
     "curriculum_order" ->
       (s"WITH $qualityCteSql " +
         "SELECT doc_id, CAST(9 - greatest(0, least(9, CAST(floor(quality * 10) AS INT))) AS INT) AS phase, " +

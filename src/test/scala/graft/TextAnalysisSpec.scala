@@ -199,4 +199,25 @@ class TextAnalysisSpec extends SparkSpec {
       .map(w => w.sliding(2).count(_ == topPair)).sum
     assert(topN == ref, s"pair '$topPair': $topN != driver recompute $ref")
   }
+
+  test("bpe_learn_merges: 5 rounds, step-1 equals the static top pair, max count non-increasing") {
+    val rows = TextAnalysis.bpeLearnMerges(spark, sf)
+      .as[(Int, String, String, Long)].collect()
+    assert(rows.map(_._1).toSeq == (1 to 5), "steps must be 1..5 in order")
+    // round 1 must elect exactly bpe_pair_counts' top entry (same counts,
+    // and for single-char symbols the (a, b) tiebreak equals the
+    // concatenated-pair tiebreak)
+    val (topPair, topN) = TextAnalysis.bpePairCounts(spark, sf)
+      .as[(String, Long)].head()
+    val r1 = rows.head
+    assert(r1._2 + r1._3 == topPair && r1._4 == topN,
+      s"step 1 ${r1._2}+${r1._3}@${r1._4} != static top $topPair@$topN")
+    // applying the winner can only shrink or preserve other pairs'
+    // counts, so the elected maxima are non-increasing round over round
+    val counts = rows.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"merge counts increased: ${counts.toSeq}")
+    // the five merges are distinct rules
+    assert(rows.map(r => (r._2, r._3)).distinct.length == 5)
+  }
 }
