@@ -118,6 +118,8 @@ object Bench {
         () => { streaming.StreamingBridge.streamIvfIngestWarm(spark, sfDir); () }),
       ("chain_doc_scores", Set("quality_gate", "quality_score"),
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
+      ("chain_bpe_merges", Set("bpe_learn_merges", "bpe_encode"),
+        () => { operators.TextAnalysis.bpeMergeTable(spark, sfDir); () }),
       ("chain_pq_codes", Set("pq_encode", "pq_recon_error"),
         () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
     )

@@ -228,35 +228,91 @@ object TextAnalysis {
     * The DuckDB oracle replays the identical five rounds as chained
     * CTEs whose `list_reduce` fold mirrors the Spark `aggregate` fold
     * element for element. */
-  def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  /** The greedy left-to-right merge fold shared by training and encode:
+    * replace every non-overlapping (a, b) adjacency in `syms` with the
+    * merged symbol. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Frequency-weighted distinct-word table with initial char symbols —
+    * the unit of work for the BPE trainer and encoder. */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
+      .select(col("w"),
+        filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
         col("freq"))
-    var cur = words.localCheckpoint(true)
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to 5) {
-      val win = cur.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
-        .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
-        .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .head()
-      val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
-      merges += ((step, a, b, cnt))
-      cur = cur.select(
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))).as("syms"),
-        col("freq")).localCheckpoint(true)
-    }
+
+  /** Memoized merge table per (session, dataset): training runs once;
+    * bpe_learn_merges and bpe_encode both read it. */
+  private val bpeMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), Seq[(Int, String, String, Long)]]
+
+  private[graft] def bpeMergeTable(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    bpeMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeMemo.remove)
+    bpeMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+      var cur = bpeWords(spark, dir).select("syms", "freq").localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to 5) {
+        val win = cur.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
+          .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .head()
+        val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+        merges += ((step, a, b, cnt))
+        cur = cur.select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint(true)
+      }
+      merges.result()
+    })
+  }
+
+  def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    merges.result().toDF("step", "left_sym", "right_sym", "pair_count")
+    bpeMergeTable(spark, dir)
+      .toDF("step", "left_sym", "right_sym", "pair_count")
       .orderBy("step")
+  }
+
+  /** BPE ENCODE — the inference half that closes the tokenizer loop:
+    * apply the five learned merges, in training order, to every distinct
+    * word, then attribute the resulting token counts back to documents.
+    * Per doc: word count, char-symbol count (pre-merge), BPE token count
+    * (post-merge), and the compression ratio in ppm — the fertility
+    * metric (tokens per unit of text) that decides whether a tokenizer
+    * is economical for a corpus. Shape: the merge table is a 5-row
+    * DRIVER constant (the trained artifact, folded into the plan as
+    * literals — the same way a production encoder ships the merge file),
+    * the five folds compose row-locally over the vocab-sized word table
+    * with no intermediate materialization, and the corpus pass is one
+    * explode + equi-join on word + per-doc sum — at 100 TB the word
+    * table is Zipf-small relative to the corpus and broadcast-eligible;
+    * here the join shuffles both sides on `w` once. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeTable(spark, dir)
+    val encoded = merges.foldLeft(bpeWords(spark, dir)) { case (df, (_, a, b, _)) =>
+      df.select(col("w"), applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+    }
+    val perWord = encoded.select(col("w"), size(col("syms")).as("n_bpe"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .join(perWord, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_char_syms"),
+        sum("n_bpe").as("n_bpe_tokens"))
+      .withColumn("compression_ppm",
+        expr("1000000 * n_bpe_tokens div n_char_syms"))
+      .orderBy("doc_id")
   }
 
   /** Per-language quality gate: keep the better half of each language's
@@ -925,6 +981,7 @@ object TextAnalysis {
     "curriculum_order" -> curriculumOrder,
     "bpe_pair_counts" -> bpePairCounts,
     "bpe_learn_merges" -> bpeLearnMerges,
+    "bpe_encode" -> bpeEncode,
     "split_assign" -> splitAssign,
     "token_count" -> tokenCount,
     "token_pack" -> tokenPack,
@@ -962,11 +1019,13 @@ object TextAnalysis {
   /** Five chained BPE rounds as CTEs; the `list_reduce` fold mirrors the
     * Spark-side `aggregate` fold exactly (same init — the fold starts
     * from the first singleton — same greedy merge-or-append lambda). */
-  private def bpeLearnSql: String = {
+  /** The shared 5-round CTE chain (carries the word string so the encode
+    * oracle can join token counts back to documents). */
+  private def bpeChainSql: String = {
     val stages = new StringBuilder(
-      s"w AS (SELECT w, CAST(count(*) AS BIGINT) AS freq " +
+      s"bw AS (SELECT w, CAST(count(*) AS BIGINT) AS freq " +
         s"FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w), " +
-        "s1 AS (SELECT string_split(w, '') AS syms, freq FROM w)")
+        "s1 AS (SELECT w, string_split(w, '') AS syms, freq FROM bw)")
     for (i <- 1 to 5) {
       stages ++= s", p$i AS (SELECT syms[CAST(j AS INT)] AS a, " +
         s"syms[CAST(j AS INT)+1] AS b, freq FROM s$i, " +
@@ -974,19 +1033,33 @@ object TextAnalysis {
         s"win$i AS (SELECT $i AS step, a, b, cnt FROM " +
         s"(SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i " +
         "GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)), " +
-        s"s${i + 1} AS (SELECT list_reduce(list_transform(syms, s -> [s]), " +
+        s"s${i + 1} AS (SELECT w, list_reduce(list_transform(syms, s -> [s]), " +
         s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = win$i.a AND x[1] = win$i.b " +
         s"THEN list_append(acc[1:len(acc)-1], win$i.a || win$i.b) " +
         s"ELSE list_concat(acc, x) END) AS syms, freq FROM s$i CROSS JOIN win$i)"
     }
-    s"WITH ${stages.result()} " +
+    stages.result()
+  }
+
+  private def bpeLearnSql: String =
+    s"WITH $bpeChainSql " +
       "SELECT step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM (" +
       (1 to 5).map(i => s"SELECT * FROM win$i").mkString(" UNION ALL ") +
       ") ORDER BY step"
-  }
+
+  private def bpeEncodeSql: String =
+    s"WITH $bpeChainSql, " +
+      "enc AS (SELECT w, len(syms) AS n_bpe FROM s6), " +
+      s"dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(len(w)) AS BIGINT) AS n_char_syms, " +
+      "CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens, " +
+      "1000000 * CAST(sum(n_bpe) AS BIGINT) // CAST(sum(len(w)) AS BIGINT) AS compression_ppm " +
+      "FROM dw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id"
 
   val oracle: Map[String, String] = Map(
     "bpe_learn_merges" -> bpeLearnSql,
+    "bpe_encode" -> bpeEncodeSql,
     "curriculum_order" ->
       (s"WITH $qualityCteSql " +
         "SELECT doc_id, CAST(9 - greatest(0, least(9, CAST(floor(quality * 10) AS INT))) AS INT) AS phase, " +

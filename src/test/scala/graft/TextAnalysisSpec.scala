@@ -220,4 +220,19 @@ class TextAnalysisSpec extends SparkSpec {
     // the five merges are distinct rules
     assert(rows.map(r => (r._2, r._3)).distinct.length == 5)
   }
+
+  test("bpe_encode: token counts bounded by words below and chars above; merges strictly compress") {
+    val rows = TextAnalysis.bpeEncode(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nWords, nChars, nBpe, ppm) =>
+      assert(nBpe >= nWords, s"doc $id: fewer tokens than words")
+      assert(nBpe <= nChars, s"doc $id: merges grew the symbol count")
+      assert(ppm == 1000000L * nBpe / nChars, s"doc $id: compression ppm mismatch")
+    }
+    // the elected merges all have positive corpus counts, so corpus-wide
+    // the encoding is STRICTLY smaller than the char baseline
+    assert(rows.map(_._4).sum < rows.map(_._3).sum,
+      "5 learned merges failed to compress the corpus at all")
+  }
 }
