@@ -275,6 +275,67 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF-PQ search — the composition a production vector store actually
+    * runs (the FAISS `IVFPQ` shape): the coarse IVF quantizer prunes the
+    * corpus to the query's top-`IvfProbes` cells, and the surviving
+    * candidates are ranked by PQ asymmetric distance — the query's EXACT
+    * sub-vectors against each candidate's stored byte codes via a
+    * 4×16-entry lookup table — so the float vectors of the corpus are
+    * never touched at query time. Both halves are individually
+    * oracle-gated (ivf_search, pq_adc_recall); this row gates their
+    * COMPOSITION: cell pruning must commute with ADC ranking exactly.
+    * Shape at 100 TB: probes (queries × IvfProbes rows) and the per-query
+    * LUT broadcast; the corpus side touches only (cell, code) integers —
+    * the partitioned list scan is pruned to probed cells, the ADC join is
+    * map-side against the broadcast LUT, and the only per-query sort is
+    * a bounded top-3 window over candidates from ≤2 cells. */
+  /** The query panel's top-`IvfProbes` cells under the stored centroids
+    * — shared by ivf_pq_search and its spec. */
+  private[graft] def ivfProbeCells(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val q = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("csim"), asc("cid"))
+    q.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("cid"),
+        round(vec_cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("qid"), col("cid").as("cell"))
+  }
+
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val cellOf = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val e = emb(spark, dir)
+    val probes = ivfProbeCells(spark, dir)
+    val qsubs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), pqSubv(col("v"), m).as("qsv"))): _*)).as("s"))
+      .select(col("qid"), col("s.m").as("m"), col("s.qsv").as("qsv"))
+    val lut = qsubs.join(broadcast(pqBooks(spark, dir)), Seq("m"))
+      .select(col("qid"), col("m"), col("cid").as("code"),
+        round(pqD2(col("qsv"), col("cv")), 6).as("qdist"))
+    val dAt = (j: Int) => max(when(col("m") === j, col("qdist"))).as(s"qd$j")
+    val wRank = Window.partitionBy("qid").orderBy(asc("dist"), asc("cand_id"))
+    pqCodes(spark, dir)
+      .join(cellOf, "vec_id")
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(dAt(0), dAt(1), dAt(2), dAt(3))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        (col("qd0") + col("qd1") + col("qd2") + col("qd3")).as("dist"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select("qid", "cand_id", "dist", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** Per-process incremental-index roots (same lifecycle as indexMemo). */
   private val incrMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
@@ -838,6 +899,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding,
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
+    "ivf_pq_search" -> ivfPqSearch,
     "ivf_incremental" -> ivfIncremental,
     "dedup_semantic" -> dedupSemantic,
     "ivf_purity" -> ivfPurity,
@@ -890,13 +952,15 @@ object Similarity {
     * the refined centroid table every downstream CTE assigns against. */
   private val refinedCentroidCtesSql: String =
     s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
-      s"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK), " +
-      s"a0s AS (SELECT e.vec_id, e.v, c0.cid, round(${cosSql("e.v", "c0.cv")}, 6) AS sim FROM e CROSS JOIN c0), " +
-      "a0 AS (SELECT vec_id, v, cid AS cell FROM (SELECT vec_id, v, cid, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM a0s) WHERE rn = 1), " +
-      "mean AS (SELECT cell, p.pos, CAST(sum(CAST(v[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
-      s"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
-      "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM mean GROUP BY cell)"
+      // internal names carry an i-prefix so this chain composes with the
+      // PQ chain (whose codebooks are c0..c3) in one WITH clause
+      s"ic0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK), " +
+      s"ia0s AS (SELECT e.vec_id, e.v, ic0.cid, round(${cosSql("e.v", "ic0.cv")}, 6) AS sim FROM e CROSS JOIN ic0), " +
+      "ia0 AS (SELECT vec_id, v, cid AS cell FROM (SELECT vec_id, v, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ia0s) WHERE rn = 1), " +
+      "imean AS (SELECT cell, p.pos, CAST(sum(CAST(v[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+      s"FROM ia0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
+      "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM imean GROUP BY cell)"
 
   /** Resident-corpus twin of refinedCentroidCtesSql: seeds and the Lloyd
     * step use only vec_id ≢ 0 mod 10 (the corpus that built the
@@ -921,8 +985,8 @@ object Similarity {
     * slice, first-PqK seed assign, exact-decimal per-position mean
     * (codebook), final assign against the refined codebook. CTE names:
     * a1{m} carries subspace m's final (vec_id, cid, d2). */
-  private val pqCtesSql: String = {
-    val per = (0 until PqM).map { m =>
+  private val pqPerSubspaceCtesSql: String =
+    (0 until PqM).map { m =>
       val lo = m * PqSub + 1
       s"s$m AS (SELECT vec_id, list_transform(generate_series($lo, ${lo + PqSub - 1}), i -> v[i]) AS sv FROM e), " +
         s"c0$m AS (SELECT vec_id AS cid, sv AS cv FROM s$m WHERE vec_id < $PqK), " +
@@ -936,8 +1000,18 @@ object Similarity {
         s"a1$m AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a1${m}s) WHERE rn = 1)"
     }.mkString(", ")
-    s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), $per"
-  }
+
+  private val pqCtesSql: String =
+    s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), $pqPerSubspaceCtesSql"
+
+  /** Per-query ADC lookup tables lut0..lut3 (query sub-vectors × refined
+    * codebooks), shared by pq_adc_recall and ivf_pq_search. */
+  private val pqLutsSql: String = (0 until PqM).map { m =>
+    val lo = m * PqSub + 1
+    s"lut$m AS (SELECT q.qid, c.cid, round(${pqD2Sql("q.qs", "c.cv")}, 6) AS qd2 " +
+      s"FROM (SELECT vec_id AS qid, list_transform(generate_series($lo, ${lo + PqSub - 1}), i -> v[i]) AS qs " +
+      s"FROM e WHERE vec_id < 10) q CROSS JOIN c$m c)"
+  }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "embed_drift" ->
@@ -972,12 +1046,7 @@ object Similarity {
         "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
         "ORDER BY vec_id"),
     "pq_adc_recall" -> {
-      val luts = (0 until PqM).map { m =>
-        val lo = m * PqSub + 1
-        s"lut$m AS (SELECT q.qid, c.cid, round(${pqD2Sql("q.qs", "c.cv")}, 6) AS qd2 " +
-          s"FROM (SELECT vec_id AS qid, list_transform(generate_series($lo, ${lo + PqSub - 1}), i -> v[i]) AS qs " +
-          s"FROM e WHERE vec_id < 10) q CROSS JOIN c$m c)"
-      }.mkString(", ")
+      val luts = pqLutsSql
       val fullD2 =
         s"list_reduce(list_transform(generate_series(1, $Dim), " +
           "i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])), (x, y) -> x + y)"
@@ -1120,6 +1189,27 @@ object Similarity {
         s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
         "ranked AS (SELECT qid, cand_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rn FROM cscored) " +
         "SELECT qid, cand_id, cos, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn"),
+    "ivf_pq_search" ->
+      (s"WITH $refinedCentroidCtesSql, $pqPerSubspaceCtesSql, $pqLutsSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"pscored AS (SELECT q.qid, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
+        "probes AS (SELECT qid, cid AS cell FROM " +
+        s"(SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
+        "adc AS (SELECT p.qid, a10.vec_id, l0.qd2 + l1.qd2 + l2.qd2 + l3.qd2 AS dist " +
+        "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
+        "JOIN assign ON assign.vec_id = a10.vec_id " +
+        "JOIN probes p ON p.cell = assign.cell " +
+        "JOIN lut0 l0 ON l0.cid = a10.cid AND l0.qid = p.qid " +
+        "JOIN lut1 l1 ON l1.cid = a11.cid AND l1.qid = p.qid " +
+        "JOIN lut2 l2 ON l2.cid = a12.cid AND l2.qid = p.qid " +
+        "JOIN lut3 l3 ON l3.cid = a13.cid AND l3.qid = p.qid " +
+        "WHERE a10.vec_id <> p.qid) " +
+        "SELECT qid, vec_id AS cand_id, dist, CAST(rn AS INT) AS rn FROM " +
+        "(SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM adc) " +
+        "WHERE rn <= 3 ORDER BY qid, rn"),
     "dedup_semantic" ->
       (s"WITH $refinedCentroidCtesSql, " +
         s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +

@@ -263,4 +263,32 @@ class SimilaritySpec extends SparkSpec {
     assert(mutual.map(m => (m._1, m._2)).toSet == expected,
       "mutual_knn must keep exactly the reciprocal pairs")
   }
+
+  test("ivf_pq_search: ranked top-3 per query, candidates drawn only from probed cells") {
+    val rows = Similarity.ivfPqSearch(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"query $qid ranks broken")
+      val dists = rs.sortBy(_._4).map(_._3)
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"query $qid ADC distances not non-decreasing: ${dists.toSeq}")
+      assert(rs.forall(_._2 != qid), s"query $qid returned itself")
+    }
+    // cell-pruning containment: every candidate's stored cell is one of
+    // its query's probed cells — the IVF half actually pruned
+    val probes = Similarity.ivfProbeCells(spark, sf)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cellOf = Similarity.ivfAssign(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (qid, cand, _, _) =>
+      assert(probes(qid).contains(cellOf(cand)),
+        s"query $qid candidate $cand from unprobed cell ${cellOf(cand)}")
+    }
+    // determinism across reruns (memoized codes + persisted index)
+    val again = Similarity.ivfPqSearch(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
