@@ -110,7 +110,7 @@ object Bench {
         () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),
       ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
-      ("chain_ivf_index", Set("ivf_assign", "ivf_search"),
+      ("chain_ivf_index", Set("ivf_assign", "ivf_search", "ivf_pq_search", "ivf_pq_recall"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
       ("chain_ivf_incr", Set("ivf_incremental"),
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
@@ -120,7 +120,7 @@ object Bench {
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
       ("chain_bpe_merges", Set("bpe_learn_merges", "bpe_encode"),
         () => { operators.TextAnalysis.bpeMergeTable(spark, sfDir); () }),
-      ("chain_pq_codes", Set("pq_encode", "pq_recon_error"),
+      ("chain_pq_codes", Set("pq_encode", "pq_recon_error", "ivf_pq_search", "ivf_pq_recall"),
         () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
     )
     val chainResults = chainDefs.collect {

@@ -336,6 +336,34 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Recall of the COMPOSED IVF-PQ path vs exact cosine — the eval that
+    * sizes nprobe/M/K in production: pq_adc_recall isolates quantization
+    * loss, ivf_pq_recall adds the cell-pruning loss on top (a true
+    * neighbor in an unprobed cell is unreachable no matter how good the
+    * codes are), so the gap between the two reports is exactly the
+    * recall cost of pruning. Top-3 overlap per panel query, recall in
+    * third-fractions ×100 — integer-exact, no float recall. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val approx = ivfPqSearch(spark, dir).select("qid", "cand_id")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val exact = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vec_cosine(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select("qid", "cand_id")
+    val overlap = approx.join(exact, Seq("qid", "cand_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n"))
+    qv.select(col("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_pct", expr("n_overlap * 100 div 3"))
+      .orderBy("qid")
+  }
+
   /** Per-process incremental-index roots (same lifecycle as indexMemo). */
   private val incrMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
@@ -900,6 +928,7 @@ object Similarity {
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
     "ivf_pq_search" -> ivfPqSearch,
+    "ivf_pq_recall" -> ivfPqRecall,
     "ivf_incremental" -> ivfIncremental,
     "dedup_semantic" -> dedupSemantic,
     "ivf_purity" -> ivfPurity,
@@ -1210,6 +1239,34 @@ object Similarity {
         "SELECT qid, vec_id AS cand_id, dist, CAST(rn AS INT) AS rn FROM " +
         "(SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM adc) " +
         "WHERE rn <= 3 ORDER BY qid, rn"),
+    "ivf_pq_recall" ->
+      (s"WITH $refinedCentroidCtesSql, $pqPerSubspaceCtesSql, $pqLutsSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"pscored AS (SELECT q.qid, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
+        "probes AS (SELECT qid, cid AS cell FROM " +
+        s"(SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
+        "adc AS (SELECT p.qid, a10.vec_id, l0.qd2 + l1.qd2 + l2.qd2 + l3.qd2 AS dist " +
+        "FROM a10 JOIN a11 USING (vec_id) JOIN a12 USING (vec_id) JOIN a13 USING (vec_id) " +
+        "JOIN assign ON assign.vec_id = a10.vec_id " +
+        "JOIN probes p ON p.cell = assign.cell " +
+        "JOIN lut0 l0 ON l0.cid = a10.cid AND l0.qid = p.qid " +
+        "JOIN lut1 l1 ON l1.cid = a11.cid AND l1.qid = p.qid " +
+        "JOIN lut2 l2 ON l2.cid = a12.cid AND l2.qid = p.qid " +
+        "JOIN lut3 l3 ON l3.cid = a13.cid AND l3.qid = p.qid " +
+        "WHERE a10.vec_id <> p.qid), " +
+        "apq AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM adc) WHERE rn <= 3), " +
+        s"exs AS (SELECT q.qid, e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS cos " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+        "ext AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM exs) WHERE rn <= 3), " +
+        "ov AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n FROM apq a " +
+        "JOIN ext x ON a.qid = x.qid AND a.vec_id = x.vec_id GROUP BY a.qid) " +
+        "SELECT q.qid, coalesce(ov.n, 0) AS n_overlap, coalesce(ov.n, 0) * 100 // 3 AS recall_pct " +
+        "FROM q LEFT JOIN ov USING (qid) ORDER BY qid"),
     "dedup_semantic" ->
       (s"WITH $refinedCentroidCtesSql, " +
         s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +

@@ -291,4 +291,16 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("ivf_pq_recall: one row per panel query, overlap bounded, integer recall") {
+    val rows = Similarity.ivfPqRecall(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    rows.foreach { case (qid, n, pct) =>
+      assert(n >= 0 && n <= 3, s"query $qid overlap $n out of [0,3]")
+      assert(pct == n * 100 / 3, s"query $qid recall $pct != ${n * 100 / 3}")
+    }
+    // the pruned path can never find MORE true neighbors than exist
+    assert(rows.map(_._2).sum <= 30)
+  }
 }
