@@ -231,7 +231,7 @@ object TextAnalysis {
   /** The greedy left-to-right merge fold shared by training and encode:
     * replace every non-overlapping (a, b) adjacency in `syms` with the
     * merged symbol. */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 &&
           element_at(acc, -1) === lit(a) && x === lit(b),

@@ -317,4 +317,36 @@ class PropertySpec extends SparkSpec {
       .selectExpr("bk").head().getInt(0)
     assert(bk >= 0 && bk < 16)
   }
+
+  test("property: BPE merge fold == Scala reference fold on 400 adversarial words") {
+    // greedy left-to-right reference: merge non-overlapping (a, b)
+    // adjacencies, where a merged symbol can itself match a later rule
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val charGen = Gen.oneOf("a", "b", "c")
+    val wGen = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val words = (0 until 400).flatMap(i => wGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    // rule chain exercises overlap runs (a,a), a MERGED left symbol
+    // (aa,a), and an ordinary pair (b,c)
+    val rules = Seq(("a", "a"), ("aa", "a"), ("b", "c"))
+    var df = words.toDF("w")
+      .select(col("w"), split(col("w"), "").as("syms"))
+      .select(col("w"), filter(col("syms"), x => length(x) > 0).as("syms"))
+    var expect: Seq[Seq[String]] = words.map(_.map(_.toString).toSeq)
+    for ((a, b) <- rules) {
+      df = df.select(col("w"),
+        graft.operators.TextAnalysis.applyMerge(col("syms"), a, b).as("syms"))
+      expect = expect.map(s => ref(s, a, b).toSeq)
+      val got = df.select("syms").as[Seq[String]].collect()
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"rule ($a,$b) word '${words(i)}': $g != $e")
+      }
+    }
+  }
 }
