@@ -678,7 +678,7 @@ object StreamingBridge {
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     }
     val backfill = Tables.normalizeTs(
-        spark.read.parquet(parts.take(2).map(_.getPath): _*))
+        spark.read.parquet(parts.take(2).map(_.getPath).toIndexedSeq: _*))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
       .groupBy("user_id")

@@ -308,7 +308,7 @@ object StreamingOps {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
       if (!st.exists()) return Iterator.empty
       val s = st.get()
-      if (expiredTimerInfo.getExpiryTimeInMs >= expiryMs(s)) {
+      if (expiredTimerInfo.getExpiryTimeInMs() >= expiryMs(s)) {
         st.clear()
         Iterator.single(SessionOut(userId, s.n, (s.last_us - s.start_us) / 1000000))
       } else Iterator.empty
@@ -537,7 +537,7 @@ object StreamingOps {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[EwmaOut] = {
       if (!st.exists()) return Iterator.empty
       val s = st.get()
-      if (s.curH >= 0 && expiredTimerInfo.getExpiryTimeInMs >= hourEndMs(s.curH)) {
+      if (s.curH >= 0 && expiredTimerInfo.getExpiryTimeInMs() >= hourEndMs(s.curH)) {
         val (row, entries) = close(key, s)
         st.update(EwmaHState(-1L, 0L, entries))
         Iterator.single(row)
