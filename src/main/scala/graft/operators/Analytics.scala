@@ -464,6 +464,45 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session attribution — first/last-touch credit per purchase, the
+    * standard marketing-analytics consumer of sessionization: each
+    * purchase is attributed to the FIRST event of its 30-min-gap session
+    * (first-touch: what acquired the user) and to the event immediately
+    * BEFORE it in the session (last-touch: what converted; NULL when the
+    * purchase itself opens the session — a direct conversion). Shape:
+    * every window here is the SAME user_id partition the sessionizer
+    * uses — session ids, first-touch (a running `last(..ignoreNulls)`
+    * over the conditionally-set session-start columns, so id and type
+    * come from the same row by construction), and last-touch (a lag
+    * masked to same-session rows) all ride one exchange; no join, no
+    * second shuffle, the sessionize plan-guard family. */
+  def sessionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("is_new").over(run))
+      .withColumn("first_touch_id",
+        last(when(col("is_new") === 1, col("event_id")), ignoreNulls = true).over(run))
+      .withColumn("first_touch_type",
+        last(when(col("is_new") === 1, col("event_type")), ignoreNulls = true).over(run))
+      .withColumn("last_touch_id",
+        when(col("is_new") === 0, lag("event_id", 1).over(byUser)))
+      .withColumn("last_touch_type",
+        when(col("is_new") === 0, lag("event_type", 1).over(byUser)))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("purchase_id"),
+        col("first_touch_id"), col("first_touch_type"),
+        col("last_touch_id"), col("last_touch_type"))
+      .orderBy("user_id", "session_id", "purchase_id")
+  }
+
   /** Sessionization via Spark's NATIVE session_window aggregation — the
     * declarative twin of the window-lag `sessionize` above (and of the
     * streaming flatMapGroupsWithState sessionizer): merging gap-bounded
@@ -937,6 +976,7 @@ object Analytics {
     "monthly_revenue" -> monthlyRevenue,
     "sessionize" -> sessionize,
     "session_window_agg" -> sessionWindowAgg,
+    "session_attribution" -> sessionAttribution,
   )
 
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
@@ -1231,6 +1271,24 @@ object Analytics {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
     "sessionize" -> sessionizeSql,
+    "session_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "flagged AS (SELECT user_id, event_id, event_type, us, " +
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS is_new, " +
+        "lag(event_id) OVER w AS prev_id, lag(event_type) OVER w AS prev_type " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), " +
+        "attributed AS (SELECT user_id, event_id, event_type, is_new, prev_id, prev_type, " +
+        "CAST(sum(is_new) OVER wr AS BIGINT) AS session_id, " +
+        "last_value(CASE WHEN is_new = 1 THEN event_id END IGNORE NULLS) OVER wr AS first_touch_id, " +
+        "last_value(CASE WHEN is_new = 1 THEN event_type END IGNORE NULLS) OVER wr AS first_touch_type " +
+        "FROM flagged WINDOW wr AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, session_id, event_id AS purchase_id, " +
+        "first_touch_id, first_touch_type, " +
+        "CASE WHEN is_new = 0 THEN prev_id END AS last_touch_id, " +
+        "CASE WHEN is_new = 0 THEN prev_type END AS last_touch_type " +
+        "FROM attributed WHERE event_type = 'purchase' " +
+        "ORDER BY user_id, session_id, purchase_id"),
     // session_window_agg computes the same sessions a third way (native
     // session_window aggregate); one oracle, three implementations
     "session_window_agg" -> sessionizeSql,

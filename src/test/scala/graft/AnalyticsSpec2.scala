@@ -43,4 +43,36 @@ class AnalyticsSpec2 extends SparkSpec {
       .count()
     assert(bad === 0L)
   }
+
+  test("session_attribution: one row per purchase; touches verified by driver replay") {
+    val rows = graft.operators.Analytics.sessionAttribution(spark, sf)
+      .as[(Long, Long, Long, Long, String, Option[Long], Option[String])].collect()
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.length == purchases, "every purchase must be attributed exactly once")
+    rows.foreach { case (u, s, p, ftId, ftType, ltId, ltType) =>
+      assert(ftType.nonEmpty, s"purchase $p: missing first touch")
+      assert(ltId.isDefined == ltType.isDefined, s"purchase $p: torn last touch")
+      // a session-opening purchase is its own first touch and has no last touch
+      if (ltId.isEmpty) assert(ftId == p, s"purchase $p: direct conversion but first touch $ftId")
+    }
+    // replay one user's event stream on the driver and re-derive attribution
+    val u = rows.head._1
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id" === u)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect().sortBy(e => (e._3, e._1))
+    var lastUs = Long.MinValue; var sess = 0L
+    var firstId = 0L; var firstType = ""
+    var prevId: Option[Long] = None; var prevType: Option[String] = None
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, String, Option[Long], Option[String])]()
+    evs.foreach { case (id, tpe, us) =>
+      val isNew = lastUs == Long.MinValue || us - lastUs > 30L * 60 * 1000000
+      if (isNew) { sess += 1; firstId = id; firstType = tpe }
+      val (lt, ltt) = if (isNew) (None, None) else (prevId, prevType)
+      if (tpe == "purchase") expect += ((u, sess, id, firstId, firstType, lt, ltt))
+      prevId = Some(id); prevType = Some(tpe); lastUs = us
+    }
+    assert(rows.filter(_._1 == u).toSeq == expect.toSeq, s"user $u attribution replay mismatch")
+  }
 }

@@ -388,6 +388,11 @@ class PlanAuditSpec extends SparkSpec {
     userIdWindowGuard("sessionize", plan(Analytics.sessionize(spark, sf)))
   }
 
+  test("session_attribution rides the sessionizer's single user_id exchange") {
+    userIdWindowGuard("session_attribution",
+      plan(Analytics.sessionAttribution(spark, sf)))
+  }
+
   test("asof_join is a running window, not a join: one user_id exchange, no pair materialization") {
     userIdWindowGuard("asof_join", plan(Analytics.asofJoin(spark, sf)))
   }
