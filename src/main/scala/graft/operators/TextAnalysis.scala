@@ -560,7 +560,14 @@ object TextAnalysis {
     * corpus scalars folded in as literals (no crossJoin needed). Shape:
     * df model broadcast + a per-doc length join that reuses the window's
     * doc_id partitioning; the corpus-sized tf side shuffles once. */
-  def bm25TopTerms(spark: SparkSession, dir: String): DataFrame = {
+  def bm25TopTerms(spark: SparkSession, dir: String): DataFrame =
+    bm25TopTermsImpl(spark, dir, forceDecimal = false)
+
+  /** `forceDecimal` lets the spec exercise the huge-corpus DECIMAL kernel
+    * at test scale and prove it value-identical to the Long fast path —
+    * the branch real data can't reach below ~2e6 documents. */
+  private[graft] def bm25TopTermsImpl(spark: SparkSession, dir: String,
+      forceDecimal: Boolean): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("word"))
     val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -571,7 +578,7 @@ object TextAnalysis {
     val n = totRow.getLong(0)
     val tl = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
     val maxdl = if (totRow.isNullAt(2)) 1L else math.max(totRow.getLong(2), 1L)
-    val longSafe = {
+    val longSafe = !forceDecimal && {
       val (bn, btl, bdl) = (BigInt(n), BigInt(tl max 1L), BigInt(maxdl))
       Seq(
         BigInt(22000000L) * bdl * btl,                          // tff numerator (tf ≤ maxdl)

@@ -221,6 +221,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).distinct.length == 5)
   }
 
+  test("bm25 DECIMAL kernel (huge-corpus path) is value-identical to the Long fast path") {
+    val fast = TextAnalysis.bm25TopTermsImpl(spark, sf, forceDecimal = false)
+      .as[(Long, Int, String, Long)].collect().toSeq
+    val wide = TextAnalysis.bm25TopTermsImpl(spark, sf, forceDecimal = true)
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(fast == wide, "the two overflow-safety kernels diverged")
+  }
+
   test("bpe_encode: token counts bounded by words below and chars above; merges strictly compress") {
     val rows = TextAnalysis.bpeEncode(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
