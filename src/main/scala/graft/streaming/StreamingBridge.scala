@@ -443,6 +443,32 @@ object StreamingBridge {
       .orderBy("user_id", "n_events", "duration_s")
   }
 
+  /** Streaming first/last-touch attribution across REAL micro-batch
+    * boundaries: the same chronological 4-file staging as the
+    * incremental sessionizer, because an open session (and its pending
+    * last-touch candidate) must survive state handoff between batches —
+    * a purchase in file 3 can be attributed to a first touch from file
+    * 1. No sentinel and no watermark: attribution emits at arrival (the
+    * decision needs only state already in hand), so the drain is
+    * complete when the files are. Output must equal the batch
+    * session_attribution window query row for row — same oracle. */
+  def streamAttributionEq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageTimeOrdered(spark, dir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val name = s"graft_attrib_${runId.incrementAndGet()}"
+    val q = withRocksDb(spark) {
+      StreamingOps.attributionTws(
+        fixTs(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(staged), schema).select(eventCols.map(col): _*).as[Event])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .orderBy("user_id", "session_id", "purchase_id")
+  }
+
   /** BOUNDED-STATE streaming dedup via dropDuplicatesWithinWatermark —
     * the 100 TB answer to dedupStream's unbounded dropDuplicates state
     * (which grows with the key universe forever): state is evicted once
@@ -944,6 +970,7 @@ object StreamingBridge {
     "stream_session_window_eq" -> scoped(streamSessionWindowEq),
     "stream_sessionize_tws_eq" -> scoped(streamSessionizeTwsEq),
     "stream_sessionize_incr_eq" -> scoped(streamSessionizeIncrementalEq),
+    "stream_attribution_eq" -> scoped(streamAttributionEq),
     "stream_dedup_eq" -> scoped(streamDedupEq),
     "stream_enrich_eq" -> scoped(streamEnrichEq),
     "stream_dedup_incr_eq" -> scoped(streamDedupIncrementalEq),
@@ -963,6 +990,9 @@ object StreamingBridge {
     // micro-batched appends must land exactly where a rebuild under the
     // same centroids would put every vector
     "stream_ivf_ingest_eq" -> graft.operators.Similarity.oracle("ivf_incremental"),
+    // identical to batch session_attribution: per-purchase first/last
+    // touch decided by streaming state must equal the window derivation
+    "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),
     // identical to batch cdc_apply: the target snapshot recomputed
     // independently — streaming MERGE must land on the same table
     "stream_cdc_eq" ->

@@ -324,6 +324,68 @@ object StreamingOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class AttribState(sess: Long, first_id: Long, first_type: String,
+      prev_id: Long, prev_type: String, last_us: Long)
+  case class AttribOut(user_id: Long, session_id: Long, purchase_id: Long,
+      first_touch_id: Long, first_touch_type: String,
+      last_touch_id: Option[Long], last_touch_type: Option[String])
+
+  /** Streaming first/last-touch attribution — the per-EVENT consumer of
+    * session state, where sessionizeTws is the per-SESSION one: each
+    * purchase is attributed the moment it arrives (first event of its
+    * 30-min-gap session + the event immediately before it; None when the
+    * purchase opens its session). No timers and no watermark: the
+    * decision needs only the running session head and the previous
+    * event, so state is one O(1) record per user and every output row is
+    * final at emission (Update mode appends it exactly once — purchase
+    * ids never repeat). Within-batch rows sort by (ts, event_id); across
+    * batches the bridge's chronological staging upholds the same order
+    * the batch twin's window assumes. */
+  class AttributionStatefulProcessor extends StatefulProcessor[Long, Event, AttribOut] {
+    @transient private var st: ValueState[AttribState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AttribState]("attrib",
+        org.apache.spark.sql.Encoders.product[AttribState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[AttribOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var out = List.empty[AttribOut]
+      var cur: Option[AttribState] = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val next = cur match {
+          case Some(s) if us - s.last_us <= GapUs =>
+            s.copy(prev_id = e.event_id, prev_type = e.event_type,
+              last_us = math.max(s.last_us, us))
+          case other =>
+            AttribState(other.map(_.sess + 1).getOrElse(1L),
+              e.event_id, e.event_type, e.event_id, e.event_type, us)
+        }
+        if (e.event_type == "purchase") {
+          val opened = cur.forall(s => us - s.last_us > GapUs)
+          val (lt, ltt) =
+            if (opened) (None, None)
+            else (Some(cur.get.prev_id), Some(cur.get.prev_type))
+          out ::= AttribOut(userId, next.sess, e.event_id,
+            next.first_id, next.first_type, lt, ltt)
+        }
+        cur = Some(next)
+      }
+      cur.foreach(st.update)
+      out.reverse.iterator
+    }
+  }
+
+  def attributionTws(events: Dataset[Event]): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionStatefulProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class LatestInit(user_id: Long, last_us: Long, last_event_id: Long,
       last_type: String, n: Long)
 

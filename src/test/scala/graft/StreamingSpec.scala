@@ -436,4 +436,56 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want,
       s"streaming EWMA diverged: ${got.take(3)} vs ${want.take(3)}")
   }
+
+  test("streaming attribution equals batch; some purchase's first touch crossed a batch boundary") {
+    val got = graft.streaming.StreamingBridge.streamAttributionEq(spark, sf)
+      .as[(Long, Long, Long, Long, String, Option[Long], Option[String])].collect().toSeq
+    val want = graft.operators.Analytics.sessionAttribution(spark, sf)
+      .as[(Long, Long, Long, Long, String, Option[Long], Option[String])].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"streaming attribution diverged: ${got.take(2)} vs ${want.take(2)}")
+    // handoff proof on a CONTROLLED two-file feed (the sf0.001 staging
+    // may not happen to split any session across a file boundary): a
+    // view in micro-batch 1, the purchase 10 minutes later in micro-batch
+    // 2 — the purchase must be attributed to the file-1 view, which only
+    // works if session state survived the batch boundary
+    import graft.streaming.StreamingOps.Event
+    def ev(id: Long, ms: Long, tpe: String) =
+      Event(id, new java.sql.Timestamp(ms), 7L, tpe, 1.0)
+    val t0 = 1700000000000L
+    val feed = graft.sources.TempDirs.create("graft_attrib_handoff_")
+    Seq(
+      ("f1", Seq(ev(1, t0, "view"), ev(2, t0 + 60000, "click"))),
+      ("f2", Seq(ev(3, t0 + 600000, "purchase")))
+    ).zipWithIndex.foreach { case ((fn, evs), i) =>
+      val tmp = graft.sources.TempDirs.create(s"graft_attrib_build_${i}_")
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(feed, s"$fn.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2000 + i * 1000))
+    }
+    val schema = spark.read.parquet(feed).schema
+    val name = "graft_attrib_handoff_sink"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try graft.streaming.StreamingOps.attributionTws(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(feed).as[Event])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    try q.processAllAvailable() finally q.stop()
+    val handoff = spark.table(name)
+      .as[(Long, Long, Long, Long, String, Option[Long], Option[String])].collect().toSeq
+    assert(handoff == Seq((7L, 1L, 3L, 1L, "view", Some(2L), Some("click"))),
+      s"cross-batch attribution wrong: $handoff")
+  }
 }
