@@ -260,6 +260,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality↔duplication calibration — the diagnostic that VALIDATES a
+    * quality score against dedup behavior: per quality decile, how many
+    * docs have a verified near-duplicate. Boilerplate families are both
+    * low-quality and heavily duplicated, so a well-calibrated score
+    * shows dup_rate falling as the decile rises; a flat curve means the
+    * quality signal is not capturing the templated mass and gating on it
+    * won't help dedup (and vice versa). Composition shape: the row-local
+    * decile bucket (same clamped floor(q·10) as curriculum_order) joins
+    * the broadcast cluster roster as a left membership flag, then one
+    * 10-key aggregate — a corpus map-side pass over two already-gated
+    * stages. */
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val roster = clusterLabels(spark, dir).select(col("doc_id"), lit(1).as("is_dup"))
+    TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"),
+        greatest(lit(0), least(lit(9), floor(col("quality") * 10).cast("int"))).as("qbucket"))
+      .join(broadcast(roster), Seq("doc_id"), "left")
+      .groupBy("qbucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup"))
+      .withColumn("dup_rate_ppm", expr("1000000 * n_dup div n_docs"))
+      .orderBy("qbucket")
+  }
+
   /** Cluster-cohesion QA over the dup graph: per component, node count,
     * verified-edge count, and edge density in ppm of the complete graph
     * (2·10⁶·E / n(n−1)). Low-density mega-clusters are the classic LSH
@@ -923,6 +947,7 @@ object Dedup {
     "dedup_local_cc" -> dedupLocalCc,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_sample_weights" -> dedupSampleWeights,
+    "quality_dup_calibration" -> qualityDupCalibration,
     "dedup_cluster_cohesion" -> dedupClusterCohesion,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_incremental" -> dedupIncremental,
@@ -1097,6 +1122,24 @@ object Dedup {
         "FROM clus c JOIN q USING (doc_id)) " +
         "SELECT cl AS cluster_id, doc_id AS kept_doc_id, quality AS kept_quality, " +
         "CAST(n_members AS BIGINT) AS n_members FROM m WHERE rn = 1 ORDER BY cluster_id"),
+    "quality_dup_calibration" ->
+      (s"WITH RECURSIVE $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "edges AS (SELECT id1 AS id, id2 AS nbr FROM verified UNION SELECT id2, id1 FROM verified), " +
+        "reach AS (SELECT id, nbr AS r FROM edges " +
+        "UNION SELECT e.id, r.r FROM edges e JOIN reach r ON e.nbr = r.id), " +
+        "clus AS (SELECT id AS doc_id FROM reach GROUP BY id), " +
+        s"${TextAnalysis.qualityCteSql}, " +
+        "b AS (SELECT q.doc_id, greatest(0, least(9, CAST(floor(q.quality * 10) AS INT))) AS qbucket, " +
+        "CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup " +
+        "FROM q LEFT JOIN clus c USING (doc_id)) " +
+        "SELECT qbucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dup, " +
+        "(1000000 * CAST(sum(is_dup) AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_rate_ppm " +
+        "FROM b GROUP BY qbucket ORDER BY qbucket"),
     "dedup_apply" ->
       (s"WITH RECURSIVE $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

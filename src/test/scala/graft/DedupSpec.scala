@@ -176,4 +176,19 @@ class DedupSpec extends SparkSpec {
       assert(k * (1000000L / k) <= 1000000L)
     }
   }
+
+  test("quality_dup_calibration: deciles partition the corpus; dup counts reconcile with the roster") {
+    val rows = Dedup.qualityDupCalibration(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, nd, ppm) =>
+      assert(b >= 0 && b <= 9, s"bucket $b out of range")
+      assert(nd >= 0 && nd <= n, s"bucket $b: $nd dups of $n docs")
+      assert(ppm == 1000000L * nd / n, s"bucket $b: ppm mismatch")
+    }
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count(),
+      "buckets must partition the corpus")
+    assert(rows.map(_._3).sum == Dedup.clusterLabels(spark, sf).count(),
+      "per-bucket dup counts must sum to the cluster roster")
+  }
 }
