@@ -186,6 +186,50 @@ object TextAnalysis {
           .cast("long").as("order_key"))
       .orderBy("phase", "order_key", "doc_id")
 
+  /** Token-budget selection — fill a training-token budget (⅓ of the
+    * corpus here, derived in-plan so the op is scale-free) in CURRICULUM
+    * order: walk docs phase-by-phase, best quality first, and keep each
+    * until the running token total crosses the budget — the data-
+    * selection step between scoring and training when compute, not data,
+    * is the binding constraint. Every doc gets an auditable verdict
+    * (selected + its cumulative position), not just the survivors.
+    *
+    * The running total uses token_pack's two-level prefix sum so no
+    * window ever sees a corpus-sized partition: docs group into
+    * (phase, order_key-range bucket) cells — lexicographic cell order IS
+    * the global curriculum order — per-cell totals (≤640 rows) get
+    * running offsets in one bounded window, and each doc adds its
+    * in-cell prefix to its cell's offset. The 1-row budget aggregate
+    * broadcasts; everything else is the row-local curriculum arithmetic
+    * already gated by curriculum_order. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val o = scoredDocs(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (lit(9) - greatest(lit(0), least(lit(9),
+          floor(col("quality") * 10).cast("int")))).as("phase"),
+        conv(substring(md5(concat(lit("graft-curriculum:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("order_key"))
+      .withColumn("bucket", shiftright(col("order_key"), 26).cast("int"))
+    val grpTot = o.groupBy("phase", "bucket").agg(sum("n_tokens").as("gt"))
+    val wOff = Window.orderBy("phase", "bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = grpTot
+      .withColumn("offset", coalesce(sum("gt").over(wOff), lit(0L)))
+      .select("phase", "bucket", "offset")
+    val byCell = Window.partitionBy("phase", "bucket")
+      .orderBy("order_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = o.agg(expr("sum(n_tokens) div 3").as("budget"))
+    o.join(broadcast(off), Seq("phase", "bucket"))
+      .withColumn("cum_tokens", col("offset") + sum("n_tokens").over(byCell))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("phase"), col("order_key"),
+        col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= col("budget")).cast("int").as("selected"))
+      .orderBy("phase", "order_key", "doc_id")
+  }
+
   /** First BPE merge-step statistics — the tokenizer-TRAINING primitive
     * (quality/packing ops above consume a tokenizer; this is the op that
     * builds one): count every adjacent symbol pair across all word
@@ -986,6 +1030,7 @@ object TextAnalysis {
     "quality_score" -> qualityScore,
     "quality_gate" -> qualityGate,
     "curriculum_order" -> curriculumOrder,
+    "token_budget_select" -> tokenBudgetSelect,
     "bpe_pair_counts" -> bpePairCounts,
     "bpe_learn_merges" -> bpeLearnMerges,
     "bpe_encode" -> bpeEncode,
@@ -1072,6 +1117,19 @@ object TextAnalysis {
         "SELECT doc_id, CAST(9 - greatest(0, least(9, CAST(floor(quality * 10) AS INT))) AS INT) AS phase, " +
         "CAST('0x' || substr(md5('graft-curriculum:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS order_key " +
         "FROM q ORDER BY phase, order_key, doc_id"),
+    "token_budget_select" ->
+      (s"WITH $qualityCteSql, " +
+        "o AS (SELECT qd.doc_id, CAST(qd.n_tokens AS BIGINT) AS n_tokens, " +
+        "9 - greatest(0, least(9, CAST(floor(q.quality * 10) AS INT))) AS phase, " +
+        "CAST('0x' || substr(md5('graft-curriculum:' || CAST(qd.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS order_key " +
+        "FROM qd JOIN q USING (doc_id)), " +
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 3 AS budget FROM o), " +
+        "c AS (SELECT doc_id, phase, order_key, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (ORDER BY phase, order_key, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM o) " +
+        "SELECT doc_id, phase, order_key, n_tokens, cum_tokens, " +
+        "CAST(cum_tokens <= budget AS INT) AS selected " +
+        "FROM c CROSS JOIN tot ORDER BY phase, order_key, doc_id"),
     "bpe_pair_counts" ->
       (s"WITH toksrc AS (SELECT $toksSql AS tk FROM documents), " +
         "words AS (SELECT unnest(tk) AS w FROM toksrc), " +

@@ -67,6 +67,20 @@ class PlanAuditSpec extends SparkSpec {
         s"doc-level prefix sum windows over the whole shard: $spec"))
   }
 
+  test("token_budget_select's doc-level prefix sum is cell-partitioned (two-level)") {
+    // the per-doc running total must be partitioned by (phase, bucket) —
+    // a phase-only (or global) window sorts a tenth of a 100 TB corpus
+    // in one task; only the ≤640-row cell-TOTALS offset window may be
+    // globally ordered
+    val p = plan(graft.operators.TextAnalysis.tokenBudgetSelect(spark, sf))
+    val docWindows = "windowspecdefinition\\(([^)]*doc_id#[^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(docWindows.nonEmpty, s"no doc-level window found:\n$p")
+    docWindows.foreach(spec =>
+      assert(spec.contains("bucket#"),
+        s"doc-level prefix sum windows a whole phase: $spec"))
+  }
+
   test("mode_agg contains no window operator over raw events") {
     val p = plan(Analytics.modeAgg(spark, sf))
     assert(!p.contains("Window"), s"mode_agg regressed to a window plan:\n$p")

@@ -182,6 +182,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("token_budget_select: cumulative totals are a true prefix sum; selection is a clean cut") {
+    val rows = TextAnalysis.tokenBudgetSelect(spark, sf)
+      .as[(Long, Int, Long, Long, Long, Int)].collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    // cum_tokens must equal the running sum of n_tokens in output order
+    var run = 0L
+    rows.foreach { case (id, _, _, n, cum, _) =>
+      run += n
+      assert(cum == run, s"doc $id: cum $cum != running $run")
+    }
+    val budget = rows.map(_._4).sum / 3
+    // selection is exactly the prefix cut at the budget: selected iff
+    // cum <= budget, and once unselected never selected again
+    rows.foreach { case (id, _, _, _, cum, sel) =>
+      assert((sel == 1) == (cum <= budget), s"doc $id: cut violated at cum=$cum")
+    }
+    val flags = rows.map(_._6)
+    assert(flags.zip(flags.tail).forall { case (a, b) => a >= b },
+      "selection flag rose again after the cut")
+    val picked = rows.filter(_._6 == 1)
+    assert(picked.map(_._4).sum <= budget, "selected tokens exceed the budget")
+    assert(picked.nonEmpty && picked.length < rows.length,
+      "cut should be strictly inside the corpus at budget = total/3")
+  }
+
   test("bpe_pair_counts: top-20 adjacent pairs, frequency-weighted, verified by recompute") {
     val rows = TextAnalysis.bpePairCounts(spark, sf)
       .as[(String, Long)].collect()
