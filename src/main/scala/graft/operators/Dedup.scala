@@ -260,6 +260,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Degree histogram of the verified dup graph — the one-line health
+    * check read BEFORE clustering: a fat tail (nodes with degree ≫
+    * cluster sizes) is the hub/template signature that warns the CC step
+    * will chain unrelated families together (the same smell
+    * dedup_cluster_cohesion measures after the fact, caught earlier and
+    * cheaper). Two bounded aggregates over the memoized verified pairs —
+    * per-node degree, then degree→count — output is O(max degree). */
+  def dedupDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
+      .select(col("id1").as("id")).unionAll(
+        verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
+          .select(col("id2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
   /** Quality↔duplication calibration — the diagnostic that VALIDATES a
     * quality score against dedup behavior: per quality decile, how many
     * docs have a verified near-duplicate. Boilerplate families are both
@@ -948,6 +964,7 @@ object Dedup {
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_sample_weights" -> dedupSampleWeights,
     "quality_dup_calibration" -> qualityDupCalibration,
+    "dedup_degree_hist" -> dedupDegreeHist,
     "dedup_cluster_cohesion" -> dedupClusterCohesion,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_incremental" -> dedupIncremental,
@@ -1122,6 +1139,17 @@ object Dedup {
         "FROM clus c JOIN q USING (doc_id)) " +
         "SELECT cl AS cluster_id, doc_id AS kept_doc_id, quality AS kept_quality, " +
         "CAST(n_members AS BIGINT) AS n_members FROM m WHERE rn = 1 ORDER BY cluster_id"),
+    "dedup_degree_hist" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "verified AS (SELECT id1, id2 FROM " +
+        "(SELECT id1, id2, len(list_intersect(g1.g, g2.g)) AS inter, len(g1.g) + len(g2.g) AS tot " +
+        "FROM cands JOIN grams g1 ON g1.doc_id = id1 JOIN grams g2 ON g2.doc_id = id2) " +
+        "WHERE inter * 6 >= tot), " +
+        "deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT id1 AS id FROM verified UNION ALL SELECT id2 FROM verified) GROUP BY id) " +
+        "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg " +
+        "GROUP BY degree ORDER BY degree"),
     "quality_dup_calibration" ->
       (s"WITH RECURSIVE $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

@@ -177,6 +177,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_degree_hist: node and edge totals reconcile with the verified pair set") {
+    val rows = Dedup.dedupDegreeHist(spark, sf).as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 >= 1))
+    val nEdges = Dedup.dedupVerifyCandidates(spark, sf)
+      .filter($"is_dup" === 1).count()
+    // handshake lemma: sum(degree * n_nodes) == 2 * |edges|
+    assert(rows.map(r => r._1 * r._2).sum == 2 * nEdges,
+      "degree mass must equal twice the verified edge count")
+    // every node in the histogram is a roster member and vice versa
+    assert(rows.map(_._2).sum == Dedup.clusterLabels(spark, sf).count(),
+      "histogram nodes must equal the cluster roster")
+  }
+
   test("quality_dup_calibration: deciles partition the corpus; dup counts reconcile with the roster") {
     val rows = Dedup.qualityDupCalibration(spark, sf)
       .as[(Int, Long, Long, Long)].collect()
