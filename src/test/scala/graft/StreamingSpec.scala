@@ -488,4 +488,63 @@ class StreamingSpec extends SparkSpec {
     assert(handoff == Seq((7L, 1L, 3L, 1L, "view", Some(2L), Some("click"))),
       s"cross-batch attribution wrong: $handoff")
   }
+
+  test("attribution state survives a query RESTART: purchase after restart credits pre-restart touches") {
+    // restart-shaped counterpart of the cross-batch handoff test: the
+    // session head and pending last-touch live only in AttribState, the
+    // query is STOPPED between the touches and the purchase, and the
+    // restarted query (same RocksDB checkpoint) must still attribute the
+    // purchase to the pre-restart view/click — a restarted-from-zero
+    // state would call it a direct conversion instead
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import graft.streaming.StreamingOps.Event
+    def ev(id: Long, ms: Long, tpe: String) =
+      Event(id, new java.sql.Timestamp(ms), 11L, tpe, 1.0)
+    val t0 = 1710000000000L
+    val feed = graft.sources.TempDirs.create("graft_attrib_restart_src_")
+    val ckDir = graft.sources.TempDirs.create("graft_attrib_restart_ck_")
+    val outDir = graft.sources.TempDirs.create("graft_attrib_restart_out_")
+    def writeFile(fn: String, evs: Seq[Event], mtime: Long): Unit = {
+      val tmp = graft.sources.TempDirs.create(s"graft_attrib_restart_b_")
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(feed, fn)
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    writeFile("f1.parquet", Seq(ev(1, t0, "view"), ev(2, t0 + 60000, "click")),
+      System.currentTimeMillis() - 2000)
+    val schema = spark.read.parquet(feed).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def start(): StreamingQuery = graft.streaming.StreamingOps.attributionTws(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(feed).as[Event])
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.AttribOut], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      writeFile("f2.parquet", Seq(ev(3, t0 + 600000, "purchase")),
+        System.currentTimeMillis())
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long, String, Option[Long], Option[String])]
+        .collect().toSeq
+      assert(got == Seq((11L, 1L, 3L, 1L, "view", Some(2L), Some("click"))),
+        s"attribution state lost across restart: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
