@@ -115,6 +115,15 @@ object TextAnalysis {
     scoredMemo.clear()
   }
 
+  /** Drop every TextAnalysis memo (scored docs + BPE merge table) so the
+    * stages genuinely re-execute — used by ConfigInvarianceSpec to keep
+    * altered-config variants from replaying checkpoints built under the
+    * baseline config. */
+  def clearMemo(): Unit = {
+    clearScoredMemo()
+    bpeRootMemo.clear()
+  }
+
   /** Quality score: stopword ratio + length saturation, rounded. The exact
     * formula matters less than it being deterministic and monotone in
     * signals a curation pipeline would use. */
@@ -292,32 +301,83 @@ object TextAnalysis {
         filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
         col("freq"))
 
-  /** Memoized merge table per (session, dataset): training runs once;
-    * bpe_learn_merges and bpe_encode both read it. */
-  private val bpeMemo = new scala.collection.concurrent.TrieMap[
-    (SparkSession, String), Seq[(Int, String, String, Long)]]
+  /** Per-process persisted merge-table roots, one training run per
+    * (session, dataset) — the IVF index pattern (`Similarity.indexMemo`):
+    * the trained tokenizer is a durable pipeline ARTIFACT, written to a
+    * parquet file and reloaded by every consumer, exactly how a
+    * production encoder ships its merge file. The root is process-private
+    * (fresh temp dir, no state outlives the JVM) and the build is atomic
+    * (staged write, ATOMIC_MOVE, then a completion marker), so a killed
+    * build can never be half-read. */
+  private val bpeRootMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]
 
+  private[graft] def bpeIndexRoot(spark: SparkSession, dir: String): String = {
+    bpeRootMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeRootMemo.remove)
+    bpeRootMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+      val root = graft.sources.TempDirs.create("graft_bpe_")
+      val marker = new java.io.File(s"$root/.complete")
+      if (!marker.exists()) {
+        import spark.implicits._
+        val stage = java.nio.file.Paths.get(root, ".build")
+        trainBpeMerges(spark, dir)
+          .toDF("step", "left_sym", "right_sym", "pair_count")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/merges")
+        java.nio.file.Files.move(stage.resolve("merges"),
+          java.nio.file.Paths.get(root, "merges"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.delete(stage)
+        marker.createNewFile()
+      }
+      root
+    })
+  }
+
+  /** The merge table as driver literals, RELOADED from the persisted
+    * artifact — both bpe_learn_merges and bpe_encode (and the streaming
+    * encode twin) consume the parquet file, never the trainer directly,
+    * so the artifact is the contract between training and inference. */
   private[graft] def bpeMergeTable(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    spark.read.parquet(s"${bpeIndexRoot(spark, dir)}/merges")
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** The iterative trainer itself: 5 rounds of (count adjacent pairs →
+    * take argmax → fold the merge), each round one Spark job over the
+    * frequency-weighted distinct-word table with a per-round
+    * localCheckpoint; the 1-row argmax is the inherent sync point of
+    * sequential BPE. */
+  private def trainBpeMerges(
       spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
-    bpeMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeMemo.remove)
-    bpeMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
       var cur = bpeWords(spark, dir).select("syms", "freq").localCheckpoint(true)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (step <- 1 to 5) {
+      var step = 1
+      var exhausted = false
+      // a degenerate corpus (all words reduced to one symbol) runs out of
+      // adjacent pairs before round 5: emit the rounds learned so far, the
+      // same truncation the oracle's bounded recursion produces
+      while (step <= 5 && !exhausted) {
         val win = cur.filter(size(col("syms")) >= 2)
           .select(col("freq"), explode(expr(
             "transform(sequence(1, size(syms) - 1), " +
               "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
           .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
           .orderBy(desc("cnt"), asc("a"), asc("b"))
-          .head()
-        val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
-        merges += ((step, a, b, cnt))
-        cur = cur.select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
-          .localCheckpoint(true)
+          .take(1).headOption
+        win match {
+          case Some(row) =>
+            val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((step, a, b, cnt))
+            cur = cur.select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+              .localCheckpoint(true)
+          case None => exhausted = true
+        }
+        step += 1
       }
       merges.result()
-    })
   }
 
   def bpeLearnMerges(spark: SparkSession, dir: String): DataFrame = {
@@ -333,21 +393,37 @@ object TextAnalysis {
     * Per doc: word count, char-symbol count (pre-merge), BPE token count
     * (post-merge), and the compression ratio in ppm — the fertility
     * metric (tokens per unit of text) that decides whether a tokenizer
-    * is economical for a corpus. Shape: the merge table is a 5-row
-    * DRIVER constant (the trained artifact, folded into the plan as
-    * literals — the same way a production encoder ships the merge file),
+    * is economical for a corpus. Shape: the merge table is RELOADED from
+    * the persisted parquet artifact (bpeIndexRoot) and folded into the
+    * plan as a 5-row driver constant — the same way a production encoder
+    * ships and loads the merge file its trainer wrote —
     * the five folds compose row-locally over the vocab-sized word table
     * with no intermediate materialization, and the corpus pass is one
     * explode + equi-join on word + per-doc sum — at 100 TB the word
     * table is Zipf-small relative to the corpus and broadcast-eligible;
     * here the join shuffles both sides on `w` once. */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMergeTable(spark, dir)
-    val encoded = merges.foldLeft(bpeWords(spark, dir)) { case (df, (_, a, b, _)) =>
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeDocs(Tables.documents(spark, dir), bpeMergeTable(spark, dir))
+
+  /** The encode pass over ANY (doc_id, text) frame — shared by batch
+    * bpe_encode (full corpus) and the streaming twin (per micro-batch;
+    * per-doc rows are independent given the merge table, so encoding
+    * batches separately and appending is value-identical to one corpus
+    * pass). The merge table argument is the persisted artifact's rows as
+    * driver literals. */
+  private[graft] def bpeEncodeDocs(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val words = docs
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
+        col("freq"))
+    val encoded = merges.foldLeft(words) { case (df, (_, a, b, _)) =>
       df.select(col("w"), applyMerge(col("syms"), a, b).as("syms"), col("freq"))
     }
     val perWord = encoded.select(col("w"), size(col("syms")).as("n_bpe"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), explode(toks).as("w"))
       .join(perWord, "w")
       .groupBy("doc_id")
@@ -655,23 +731,37 @@ object TextAnalysis {
   /** Corpus bigram language-model scoring — the model is trained on the
     * corpus and applied back to each document (the self-referential shape
     * of a data-quality pipeline). P(w2|w1) is integer-scaled like TF-IDF.
-    * Output: per-doc average scaled bigram probability (fluency proxy). */
+    * Output: per-doc average scaled bigram probability (fluency proxy).
+    *
+    * Scale shape (was the one superlinear kernel in the r12 scaling
+    * table — 6.1× at 9× data, from joining the raw occurrence stream
+    * against both count tables): P(w2|w1) is CONSTANT per distinct
+    * bigram, so the model is built once at vocabulary size and applied
+    * to per-doc DISTINCT bigram counts. The corpus occurrence stream is
+    * shuffled exactly once — the (doc_id, bg) groupBy with map-side
+    * partial aggregation; c_bg is a re-aggregation of that stage (never
+    * touches raw occurrences), c_w1 is derived from c_bg (vocab-sized),
+    * and the model join's probe side is per-doc-distinct counts while
+    * the build side is the Zipf-small vocabulary table. avg over
+    * occurrences = Σ(k·p)/Σk with k the per-doc multiplicity —
+    * value-identical to the per-occurrence oracle. */
   def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables.documents(spark, dir)
+    val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(TextFunctions.wordShinglesFromTokens(col("toks"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val cBg = occ.groupBy("bg").agg(sum("k").as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val cBg = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val cW1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    bigrams
-      .join(cBg, "bg").join(cW1, "w1")
-      .select(col("doc_id"),
+    val cW1 = cBg.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+    val model = cBg.join(cW1, "w1")
+      .select(col("bg"),
         floor(lit(1000000.0) * col("c_bg") / col("c_w1")).cast("long").as("p"))
+    occ.join(model, "bg")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        floor(sum("p") / count(lit(1))).cast("long").as("avg_p_scaled"))
+      .agg(sum("k").as("n_bigrams"),
+        floor(sum(col("k") * col("p")) / sum("k")).cast("long").as("avg_p_scaled"))
       .orderBy("doc_id")
   }
 

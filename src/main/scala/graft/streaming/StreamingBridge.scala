@@ -387,6 +387,12 @@ object StreamingBridge {
     * ascending mtimes, so the file source (ordered by timestamp, then
     * path) replays them chronologically — shared by the incremental
     * dedup/sessionize bridges and the whole transformWithState family.
+    * The range keys are (ts, event_id) — the same total order the batch
+    * twins and the per-batch sorts inside the stateful processors use —
+    * so equal-timestamp events can never straddle a file (= micro-batch)
+    * boundary in an order that differs from the batch (ts, event_id)
+    * replay; without the tie-break, last-touch/prev state in the
+    * tie-sensitive attribution twin could flip on a boundary split.
     * The ranged write (a Spark job over the full events table) runs ONCE
     * per (dir, n) per process; every query gets a private hard-link view
     * so its sentinels stay its own. */
@@ -395,7 +401,7 @@ object StreamingBridge {
       val tmp = graft.sources.TempDirs.create("graft_incr_build_")
       Tables.events(spark, dir)
         .select(eventCols.map(col): _*)
-        .repartitionByRange(n, col("ts"))
+        .repartitionByRange(n, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(tmp)
       val staged = graft.sources.TempDirs.create("graft_incr_")
       val parts = new java.io.File(tmp).listFiles()
@@ -928,6 +934,53 @@ object StreamingBridge {
       .orderBy("vec_id")
   }
 
+  /** Streaming BPE encode — the tokenizer's inference half run as a
+    * stream, closing the last batch/streaming pairing gap in the text
+    * family: the PERSISTED merge table (the parquet artifact
+    * `TextAnalysis.bpeIndexRoot` writes; trained once on the full corpus)
+    * is loaded as driver literals, then the document corpus arrives as 3
+    * doc_id-ranged files (one per micro-batch at maxFilesPerTrigger=1)
+    * and each batch is encoded independently — per-doc fertility rows
+    * depend only on the doc's own words and the shipped merge file, so
+    * batch-wise encode + parquet append is value-identical to the batch
+    * corpus pass, and the SAME oracle as bpe_encode gates the result.
+    * This is the production shape: a tokenizer service holds the merge
+    * artifact and encodes arriving documents with no corpus-wide state. */
+  def streamBpeEncodeEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val merges = TextAnalysis.bpeMergeTable(spark, dir)
+    val build = graft.sources.TempDirs.create("graft_stream_bpe_build_")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(build)
+    val docsDir = graft.sources.TempDirs.create("graft_stream_bpe_docs_")
+    val parts = new java.io.File(build).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val tsBase = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val outDir = graft.sources.TempDirs.create("graft_stream_bpe_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_bpe_ck_")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextAnalysis.bpeEncodeDocs(batch, merges)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -942,16 +995,22 @@ object StreamingBridge {
     * exact for the streaming side because every bridge drains its query
     * eagerly before returning; the returned DataFrame is a batch read of
     * the sink and executes under the caller's own partitions. */
-  private def withStateParts[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private def withStateParts[T](spark: SparkSession)(body: => T): T =
+    // the save/set/restore mutates session-global conf, so serialize all
+    // bridge drives on the session: concurrent callers from different
+    // threads would otherwise race the save/restore and could reinstate a
+    // stale value. The monitor is reentrant, so a nested scoped call on
+    // the same thread is safe (its restore writes back the outer "8").
+    spark.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "8")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   private def scoped(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (spark, dir) => withStateParts(spark)(f(spark, dir))
@@ -981,6 +1040,7 @@ object StreamingBridge {
     "stream_join_eq" -> scoped(streamJoinEq),
     "stream_left_join_eq" -> scoped(streamLeftJoinEq),
     "stream_quarantine_eq" -> scoped(streamQuarantineEq),
+    "stream_bpe_encode_eq" -> scoped(streamBpeEncodeEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -990,6 +1050,10 @@ object StreamingBridge {
     // micro-batched appends must land exactly where a rebuild under the
     // same centroids would put every vector
     "stream_ivf_ingest_eq" -> graft.operators.Similarity.oracle("ivf_incremental"),
+    // identical to batch bpe_encode: per-doc fertility under the SAME
+    // persisted merge artifact, encoded per micro-batch instead of in
+    // one corpus pass
+    "stream_bpe_encode_eq" -> graft.operators.TextAnalysis.oracle("bpe_encode"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),

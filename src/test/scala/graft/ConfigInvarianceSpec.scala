@@ -41,7 +41,18 @@ class ConfigInvarianceSpec extends SparkSpec {
     "quantiles" -> operators.Analytics.quantiles _,
   )
 
+  // drop every operator memo/localCheckpoint so each variant genuinely
+  // re-executes the shared stages (scoredLshPairs, the LSH pairs memo, the
+  // BPE merge table) under ITS config — otherwise variants replay caches
+  // materialized under the baseline config and prove nothing
+  private def clearAllMemos(): Unit = {
+    operators.Dedup.clearMemo()
+    operators.Similarity.clearMemo()
+    operators.TextAnalysis.clearMemo()
+  }
+
   test("results identical under AQE on/off and shuffle partitions 4 vs 13") {
+    clearAllMemos()
     val baseline = queries.map { case (n, f) => n -> rows(f(spark, sf)) }.toMap
     val variants = Seq(
       Seq("spark.sql.adaptive.enabled" -> "false"),
@@ -50,6 +61,7 @@ class ConfigInvarianceSpec extends SparkSpec {
         "spark.sql.shuffle.partitions" -> "13"))
     variants.foreach { confs =>
       withConfs(confs: _*) {
+        clearAllMemos()
         queries.foreach { case (n, f) =>
           val got = rows(f(spark, sf))
           assert(got == baseline(n),

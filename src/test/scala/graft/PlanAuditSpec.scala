@@ -414,4 +414,34 @@ class PlanAuditSpec extends SparkSpec {
   test("window_range_frame's 1h rolling sum shuffles once on user_id") {
     userIdWindowGuard("window_range_frame", plan(Analytics.windowRangeFrame(spark, sf)))
   }
+
+  test("every intentional single-partition window runs over an aggregate, never raw rows") {
+    // the five sites that legitimately trigger WindowExec's
+    // single-partition warning (indexed in PLANS.md §Round-13): each
+    // window's input must be an AGGREGATE whose key bounds the row count
+    // (calendar days/months, score-grid cells, histogram bins) — if a
+    // refactor ever feeds one of these windows raw corpus rows, the
+    // "cardinality-bounded by construction" argument is void and this
+    // guard goes red before the bench tail does
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val sites: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "rolling_median" -> Analytics.rollingMedian(spark, sf),
+      "monthly_growth" -> Analytics.monthlyGrowth(spark, sf),
+      "open_orders_timeline" -> Analytics.openOrdersTimeline(spark, sf),
+      "token_budget_select" -> graft.operators.TextAnalysis.tokenBudgetSelect(spark, sf),
+      "snapshot_drift" -> graft.operators.DataOps.snapshotDrift(spark, sf))
+    sites.foreach { case (name, df) =>
+      val unpartitioned = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.nonEmpty,
+        s"$name: expected an unpartitioned window (site list is stale — update PLANS.md)")
+      unpartitioned.foreach { w =>
+        val fedByAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(fedByAggregate,
+          s"$name: single-partition window is fed by raw rows, not an aggregate:\n" +
+            w.treeString)
+      }
+    }
+  }
 }
