@@ -82,13 +82,29 @@ write("embeddings", f"""
   FROM '{SRC}/embeddings.parquet', {rep}""")
 
 # documents: regenerate text from the empirical vocabulary at the source
-# row's token count; (lang, source, n-ish) marginals carried per replica
+# row's token count; (lang, source, n-ish) marginals carried per replica.
+# With --heaps, the vocabulary is EXTENDED to |V|·R^0.5 synthetic tokens
+# (Heaps-law growth a real crawl corpus has) so shingle-collision density
+# stays realistic instead of growing quadratically with corpus size --
+# the variant that separates "operator superlinear" from "fixture
+# vocabulary saturated".
 con.sql(f"""
-  CREATE TEMP TABLE vocab AS
+  CREATE TEMP TABLE vocab0 AS
   SELECT row_number() OVER (ORDER BY w) - 1 AS wid, w
   FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
         FROM '{SRC}/documents.parquet')""")
-NV = con.sql("SELECT count(*) FROM vocab").fetchone()[0]
+NV0 = con.sql("SELECT count(*) FROM vocab0").fetchone()[0]
+if "--heaps" in sys.argv:
+    NV = int(NV0 * R ** 0.5)
+    con.sql(f"""
+      CREATE TEMP TABLE vocab AS
+      SELECT wid, w FROM vocab0
+      UNION ALL
+      SELECT {NV0} + x AS wid, 'hx' || x AS w
+      FROM (SELECT unnest(range({NV - NV0})) AS x)""")
+else:
+    NV = NV0
+    con.sql("CREATE TEMP TABLE vocab AS SELECT * FROM vocab0")
 write("documents", f"""
   WITH base AS (
     SELECT doc_id + r*5000 AS doc_id, lang, source,
