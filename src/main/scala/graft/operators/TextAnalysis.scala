@@ -85,26 +85,33 @@ object TextAnalysis {
           try { if (!spark.sparkContext.isStopped) old.unpersist() }
           catch { case scala.util.control.NonFatal(_) => () }
         }
-        val d = Tables.documents(spark, dir)
-          .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
-          .select(col("doc_id"), col("lang"), col("text"), col("toks"),
-            size(col("toks")).as("n_tokens"))
-        val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
-        val stopRatio = when(col("n_tokens") > 0,
-          stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
-        val punct = (length(col("text")) -
-          length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
-        val punctRatio = when(length(col("text")) > 0,
-          punct / length(col("text"))).otherwise(0.0)
-        val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
-        val df = d.select(col("doc_id"), col("lang"), col("n_tokens"),
-          round(stopRatio, 6).as("stopword_ratio"),
-          round(punctRatio, 6).as("punct_ratio"),
-          round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
-          .persist()
+        val df = scoreDocsFrame(Tables.documents(spark, dir)).persist()
         scoredMemo.put(k, (fp, df))
         df
     }
+  }
+
+  /** The row-local scoring pass over ANY (doc_id, lang, text) frame —
+    * shared by the memoized corpus stage above and the streaming
+    * quality-gate twin (which scores each arriving micro-batch with the
+    * identical arithmetic before applying the persisted gate spec). */
+  private[graft] def scoreDocsFrame(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+        size(col("toks")).as("n_tokens"))
+    val stopHits = size(filter(col("toks"), t => t.isin(stopwords("en"): _*)))
+    val stopRatio = when(col("n_tokens") > 0,
+      stopHits.cast("double") / col("n_tokens")).otherwise(0.0)
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "(?U)[^\\w\\s]+", ""))).cast("double")
+    val punctRatio = when(length(col("text")) > 0,
+      punct / length(col("text"))).otherwise(0.0)
+    val lenSat = least(col("n_tokens").cast("double") / 500.0, lit(1.0))
+    d.select(col("doc_id"), col("lang"), col("n_tokens"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio * 0.4 + lenSat * 0.5 + (lit(1.0) - punctRatio) * 0.1, 6).as("quality"))
   }
 
   /** Drop and unpersist the memoized scoring stage (test hook). */
@@ -457,6 +464,23 @@ object TextAnalysis {
 
   /** The selection itself, over any (doc_id, lang, quality) frame. */
   def gateTopHalf(scored: DataFrame): DataFrame = {
+    val (thresholds, ties) = gateSpec(scored)
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality") > col("qt"))
+      .select("doc_id", "lang", "quality")
+      .unionAll(ties)
+      .orderBy("doc_id")
+  }
+
+  /** The gate SPEC as two tiny frames — (lang, qt, adm) thresholds and
+    * the explicit roster of threshold-TIED docs admitted by doc_id rank.
+    * Together they make admission a row-local predicate
+    * (quality > qt OR doc_id ∈ roster), which is what lets the streaming
+    * twin apply a corpus-trained gate to arriving micro-batches exactly:
+    * tie resolution is global by construction (baked into the shipped
+    * roster), so no batch split can flip it. Both frames are bounded by
+    * #langs and per-lang tie-group size, not corpus size. */
+  private[graft] def gateSpec(scored: DataFrame): (DataFrame, DataFrame) = {
     // keep k = floor(cnt/2) docs per lang, best-first (quality desc, doc_id
     // asc); cnt comes from the histogram itself, not a second corpus scan
     val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
@@ -470,16 +494,14 @@ object TextAnalysis {
     val thresholds = cum
       .filter(col("prev") < col("k") && col("k") <= col("cum"))
       .select(col("lang"), col("quality").as("qt"), (col("k") - col("prev")).as("adm"))
-    val gated = scored.join(broadcast(thresholds), Seq("lang"))
-    val above = gated.filter(col("quality") > col("qt"))
     val tieW = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
-    val atThreshold = gated.filter(col("quality") === col("qt"))
+    val ties = scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality") === col("qt"))
       .withColumn("trn", row_number().over(tieW))
       .filter(col("trn") <= col("adm"))
-    above.select("doc_id", "lang", "quality")
-      .unionAll(atThreshold.select("doc_id", "lang", "quality"))
-      .orderBy("doc_id")
+      .select("doc_id", "lang", "quality")
+    (thresholds, ties)
   }
 
   /** Intra-document repetition: the fraction of word-3-gram occurrences

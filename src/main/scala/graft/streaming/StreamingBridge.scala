@@ -981,6 +981,68 @@ object StreamingBridge {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Streaming quality gate — the curation gate run as a stream under a
+    * corpus-trained SPEC, the third artifact-reuse pairing (after the IVF
+    * index and the BPE merge table): the batch side trains the gate spec
+    * on the full corpus — per-lang threshold scores plus the EXPLICIT
+    * roster of threshold-tied admitted docs — and the stream scores each
+    * arriving micro-batch with the identical row-local arithmetic and
+    * applies the spec as a pure predicate (quality > qt OR doc_id ∈
+    * roster). Tie resolution is global by construction (baked into the
+    * shipped roster), so no batch boundary can flip an admission — which
+    * is exactly why a rank-within-batch formulation would be WRONG here
+    * and the spec artifact is the production shape. Output must equal
+    * batch quality_gate row for row; same oracle. */
+  def streamQualityGateEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val (thresholds, ties) = TextAnalysis.gateSpec(
+      TextAnalysis.scoredDocs(spark, dir).select("doc_id", "lang", "quality"))
+    // the shipped spec: a per-lang threshold table (≤ #langs rows) and the
+    // tie roster (≤ Σ per-lang tie-group), both driver-held literals
+    val qtRows = thresholds.select("lang", "qt").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val roster = ties.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val build = graft.sources.TempDirs.create("graft_stream_qg_build_")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(build)
+    val docsDir = graft.sources.TempDirs.create("graft_stream_qg_docs_")
+    val parts = new java.io.File(build).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val tsBase = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val outDir = graft.sources.TempDirs.create("graft_stream_qg_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_qg_ck_")
+    // gate predicate as a pure codegen'd Column over spec literals: the
+    // per-lang threshold folds into a CASE chain, the roster into an IN
+    // list — no join, no lambda, map-only per batch
+    val qtExpr = qtRows.foldLeft(lit(Double.MaxValue)) { case (acc, (l, t)) =>
+      when(col("lang") === lit(l), lit(t)).otherwise(acc)
+    }
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextAnalysis.scoreDocsFrame(batch)
+          .select("doc_id", "lang", "quality")
+          .filter(col("quality") > qtExpr ||
+            col("doc_id").isInCollection(roster))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -1041,6 +1103,7 @@ object StreamingBridge {
     "stream_left_join_eq" -> scoped(streamLeftJoinEq),
     "stream_quarantine_eq" -> scoped(streamQuarantineEq),
     "stream_bpe_encode_eq" -> scoped(streamBpeEncodeEq),
+    "stream_quality_gate_eq" -> scoped(streamQualityGateEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1054,6 +1117,9 @@ object StreamingBridge {
     // persisted merge artifact, encoded per micro-batch instead of in
     // one corpus pass
     "stream_bpe_encode_eq" -> graft.operators.TextAnalysis.oracle("bpe_encode"),
+    // identical to batch quality_gate: corpus-trained spec (thresholds +
+    // tie roster) applied per micro-batch must admit the same doc set
+    "stream_quality_gate_eq" -> graft.operators.TextAnalysis.oracle("quality_gate"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),

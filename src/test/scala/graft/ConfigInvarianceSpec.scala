@@ -39,6 +39,10 @@ class ConfigInvarianceSpec extends SparkSpec {
     "mutual_knn" -> operators.Similarity.mutualKnn _,
     "bpe_pair_counts" -> operators.TextAnalysis.bpePairCounts _,
     "quantiles" -> operators.Analytics.quantiles _,
+    // the round-13 vocabulary-model rewrite and the persisted-artifact
+    // encode path: both must hold values under partitioning changes
+    "lm_bigram_score" -> operators.TextAnalysis.lmBigramScore _,
+    "bpe_encode" -> operators.TextAnalysis.bpeEncode _,
   )
 
   // drop every operator memo/localCheckpoint so each variant genuinely

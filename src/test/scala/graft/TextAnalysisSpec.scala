@@ -268,4 +268,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_._4).sum < rows.map(_._3).sum,
       "5 learned merges failed to compress the corpus at all")
   }
+
+  test("bpe artifact: persisted merge table reloads stably and the build is idempotent") {
+    // the contract the streaming twin and bpe_encode both stand on: the
+    // trainer writes ONE parquet artifact per (session, dataset), marked
+    // complete, and every reload returns the identical 5-row table
+    val root = TextAnalysis.bpeIndexRoot(spark, sf)
+    assert(new java.io.File(s"$root/.complete").exists(), "completion marker missing")
+    assert(new java.io.File(s"$root/merges").exists(), "merges parquet missing")
+    val first = TextAnalysis.bpeMergeTable(spark, sf)
+    assert(first.size == 5 && first.map(_._1) == Seq(1, 2, 3, 4, 5))
+    // second root request must be the memoized artifact, not a retrain
+    assert(TextAnalysis.bpeIndexRoot(spark, sf) == root)
+    assert(TextAnalysis.bpeMergeTable(spark, sf) == first)
+  }
+
+  test("bpe encode distributes over any corpus split (the streaming-twin equivalence)") {
+    // encode(docs) == union over batches of encode(batch): per-doc rows
+    // depend only on the doc's own words and the shipped merge table —
+    // this is the property that makes foreachBatch append exact
+    val merges = TextAnalysis.bpeMergeTable(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    val whole = TextAnalysis.bpeEncodeDocs(docs, merges)
+      .collect().map(_.toString).sorted.toSeq
+    val splits = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    val parts = splits.flatMap(b =>
+      TextAnalysis.bpeEncodeDocs(b, merges).collect().map(_.toString)).sorted
+    assert(parts == whole, "batch-split encode diverged from the corpus pass")
+  }
 }
