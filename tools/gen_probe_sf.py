@@ -31,7 +31,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/probedata/sf0.5"
-R = 5  # replicas
+R = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--r=")), 5))
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
