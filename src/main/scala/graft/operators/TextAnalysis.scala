@@ -129,6 +129,7 @@ object TextAnalysis {
   def clearMemo(): Unit = {
     clearScoredMemo()
     bpeRootMemo.clear()
+    gateSpecMemo.clear()
   }
 
   /** Quality score: stopword ratio + length saturation, rounded. The exact
@@ -470,6 +471,37 @@ object TextAnalysis {
       .select("doc_id", "lang", "quality")
       .unionAll(ties)
       .orderBy("doc_id")
+  }
+
+  /** Per-process persisted gate-spec roots — the same durable-artifact
+    * protocol as the BPE merge table and the IVF index (process-private
+    * root, staged write, ATOMIC_MOVE, completion marker): the trained
+    * gate ships as two parquet files (thresholds + tie roster) and every
+    * consumer — batch audit or the streaming twin — reloads the files,
+    * never the trainer. */
+  private val gateSpecMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]
+
+  private[graft] def gateSpecRoot(spark: SparkSession, dir: String): String = {
+    gateSpecMemo.keys.filter(_._1.sparkContext.isStopped).foreach(gateSpecMemo.remove)
+    gateSpecMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+      val root = graft.sources.TempDirs.create("graft_gatespec_")
+      val marker = new java.io.File(s"$root/.complete")
+      if (!marker.exists()) {
+        val (thresholds, ties) = gateSpec(
+          scoredDocs(spark, dir).select("doc_id", "lang", "quality"))
+        val stage = java.nio.file.Paths.get(root, ".build")
+        thresholds.coalesce(1).write.mode("overwrite").parquet(s"$stage/thresholds")
+        ties.coalesce(1).write.mode("overwrite").parquet(s"$stage/roster")
+        for (part <- Seq("thresholds", "roster"))
+          java.nio.file.Files.move(stage.resolve(part),
+            java.nio.file.Paths.get(root, part),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.delete(stage)
+        marker.createNewFile()
+      }
+      root
+    })
   }
 
   /** The gate SPEC as two tiny frames — (lang, qt, adm) thresholds and

@@ -934,6 +934,34 @@ object StreamingBridge {
       .orderBy("vec_id")
   }
 
+  /** Stage a projection of the documents table as `n` doc_id-ranged
+    * parquet files with ascending mtimes (one file per micro-batch at
+    * maxFilesPerTrigger=1) — the document-corpus counterpart of
+    * stageTimeOrdered, shared by the artifact-serving twins (BPE encode,
+    * quality gate). Per-doc outputs are order-independent, so unlike the
+    * event staging no tie-break discipline is needed; the range split
+    * just guarantees real multi-batch replay. */
+  private def stageDocsRanged(spark: SparkSession, dir: String, n: Int,
+      cols: Seq[String]): String = {
+    val build = graft.sources.TempDirs.create("graft_stream_docs_build_")
+    Tables.documents(spark, dir)
+      .select(cols.map(col): _*)
+      .repartitionByRange(n, col("doc_id"))
+      .write.mode("overwrite").parquet(build)
+    val docsDir = graft.sources.TempDirs.create("graft_stream_docs_")
+    val parts = new java.io.File(build).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val tsBase = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+    }
+    docsDir
+  }
+
   /** Streaming BPE encode — the tokenizer's inference half run as a
     * stream, closing the last batch/streaming pairing gap in the text
     * family: the PERSISTED merge table (the parquet artifact
@@ -949,22 +977,7 @@ object StreamingBridge {
   def streamBpeEncodeEq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
     val merges = TextAnalysis.bpeMergeTable(spark, dir)
-    val build = graft.sources.TempDirs.create("graft_stream_bpe_build_")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartitionByRange(3, col("doc_id"))
-      .write.mode("overwrite").parquet(build)
-    val docsDir = graft.sources.TempDirs.create("graft_stream_bpe_docs_")
-    val parts = new java.io.File(build).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val tsBase = System.currentTimeMillis() - 1000L * parts.length
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
-    }
+    val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "text"))
     val schema = spark.read.parquet(docsDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_bpe_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_bpe_ck_")
@@ -991,33 +1004,22 @@ object StreamingBridge {
     * roster). Tie resolution is global by construction (baked into the
     * shipped roster), so no batch boundary can flip an admission — which
     * is exactly why a rank-within-batch formulation would be WRONG here
-    * and the spec artifact is the production shape. Output must equal
-    * batch quality_gate row for row; same oracle. */
+    * and the spec artifact is the production shape. The spec is RELOADED
+    * from the persisted parquet artifact (`TextAnalysis.gateSpecRoot`,
+    * same atomic-build protocol as the BPE/IVF artifacts) — training and
+    * serving communicate only through the shipped files. Output must
+    * equal batch quality_gate row for row; same oracle. */
   def streamQualityGateEq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
-    val (thresholds, ties) = TextAnalysis.gateSpec(
-      TextAnalysis.scoredDocs(spark, dir).select("doc_id", "lang", "quality"))
+    val specRoot = TextAnalysis.gateSpecRoot(spark, dir)
     // the shipped spec: a per-lang threshold table (≤ #langs rows) and the
-    // tie roster (≤ Σ per-lang tie-group), both driver-held literals
-    val qtRows = thresholds.select("lang", "qt").collect()
+    // tie roster (≤ Σ per-lang tie-group), reloaded as driver literals
+    val qtRows = spark.read.parquet(s"$specRoot/thresholds")
+      .select("lang", "qt").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
-    val roster = ties.select("doc_id").collect().map(_.getLong(0)).toSeq
-    val build = graft.sources.TempDirs.create("graft_stream_qg_build_")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .repartitionByRange(3, col("doc_id"))
-      .write.mode("overwrite").parquet(build)
-    val docsDir = graft.sources.TempDirs.create("graft_stream_qg_docs_")
-    val parts = new java.io.File(build).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val tsBase = System.currentTimeMillis() - 1000L * parts.length
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
-    }
+    val roster = spark.read.parquet(s"$specRoot/roster")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "lang", "text"))
     val schema = spark.read.parquet(docsDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_qg_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_qg_ck_")

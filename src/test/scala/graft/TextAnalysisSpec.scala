@@ -283,6 +283,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeMergeTable(spark, sf) == first)
   }
 
+  test("gate-spec artifact: persisted thresholds + roster reproduce the batch gate exactly") {
+    // the contract the streaming twin stands on: admission via the
+    // SHIPPED files (quality > qt(lang) OR doc_id ∈ roster) equals
+    // gateTopHalf's admitted set
+    val root = TextAnalysis.gateSpecRoot(spark, sf)
+    assert(new java.io.File(s"$root/.complete").exists(), "completion marker missing")
+    val thresholds = spark.read.parquet(s"$root/thresholds").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val roster = spark.read.parquet(s"$root/roster").collect()
+      .map(_.getLong(0)).toSet
+    assert(thresholds.nonEmpty, "no thresholds in the artifact")
+    val scored = TextAnalysis.scoredDocs(spark, sf)
+      .select("doc_id", "lang", "quality").collect()
+    val viaSpec = scored.filter { r =>
+      val (id, lang, q) = (r.getLong(0), r.getString(1), r.getDouble(2))
+      thresholds.get(lang).exists(q > _) || roster.contains(id)
+    }.map(_.getLong(0)).toSet
+    val viaBatch = TextAnalysis.qualityGate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSpec == viaBatch,
+      s"spec-file admission diverged from the batch gate: " +
+        s"${(viaSpec -- viaBatch).take(3)} vs ${(viaBatch -- viaSpec).take(3)}")
+    // idempotent: a second root request reuses the memoized artifact
+    assert(TextAnalysis.gateSpecRoot(spark, sf) == root)
+  }
+
   test("bpe encode distributes over any corpus split (the streaming-twin equivalence)") {
     // encode(docs) == union over batches of encode(batch): per-doc rows
     // depend only on the doc's own words and the shipped merge table —
