@@ -513,19 +513,8 @@ object TextAnalysis {
     * roster), so no batch split can flip it. Both frames are bounded by
     * #langs and per-lang tie-group size, not corpus size. */
   private[graft] def gateSpec(scored: DataFrame): (DataFrame, DataFrame) = {
-    // keep k = floor(cnt/2) docs per lang, best-first (quality desc, doc_id
-    // asc); cnt comes from the histogram itself, not a second corpus scan
-    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    val byLangDesc = byLang.orderBy(desc("quality"))
-    val cum = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(byLangDesc))
-      .withColumn("prev", col("cum") - col("c"))
-      .withColumn("k", floor(sum("c").over(byLang) / 2))
-    // per lang: the threshold score (rank k falls inside its tie group)
-    // and how many docs AT that score are admitted
-    val thresholds = cum
-      .filter(col("prev") < col("k") && col("k") <= col("cum"))
-      .select(col("lang"), col("quality").as("qt"), (col("k") - col("prev")).as("adm"))
+    val thresholds = thresholdsFromHist(
+      scored.groupBy("lang", "quality").agg(count(lit(1)).as("c")))
     val tieW = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
     val ties = scored.join(broadcast(thresholds), Seq("lang"))
@@ -534,6 +523,45 @@ object TextAnalysis {
       .filter(col("trn") <= col("adm"))
       .select("doc_id", "lang", "quality")
     (thresholds, ties)
+  }
+
+  /** Threshold derivation from a per-(lang, quality) HISTOGRAM — the
+    * factored core of gateSpec, exposed separately because the histogram
+    * is MERGEABLE: hist(base) ⊎ hist(delta) = hist(base ∪ delta), so the
+    * spec refreshes in O(delta) without rescoring the resident corpus
+    * (the agg_incremental discipline applied to curation). keep
+    * k = floor(cnt/2) docs per lang, best-first; cnt comes from the
+    * histogram itself, never a second corpus scan. Output per lang: the
+    * threshold score (rank k falls inside its tie group) and how many
+    * docs AT that score are admitted. */
+  private[graft] def thresholdsFromHist(hist: DataFrame): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val byLangDesc = byLang.orderBy(desc("quality"))
+    hist
+      .withColumn("cum", sum("c").over(byLangDesc))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("k", floor(sum("c").over(byLang) / 2))
+      .filter(col("prev") < col("k") && col("k") <= col("cum"))
+      .select(col("lang"), col("quality").as("qt"), (col("k") - col("prev")).as("adm"))
+  }
+
+  /** Incremental gate-spec maintenance — the refresh a production
+    * curation pipeline runs when a delta lands: the resident corpus's
+    * per-(lang, quality) histogram is a maintained artifact; the delta is
+    * scored and histogrammed alone (O(delta)); the two histograms MERGE
+    * by addition (the mergeable-aggregate property the sketch family
+    * already gates); and the new thresholds derive from the merged
+    * histogram, which is score-grid-bounded, not corpus-bounded. Output
+    * must equal the spec a full retrain would produce — that equality
+    * (merge-refresh == retrain) is exactly what the oracle checks, the
+    * same contract as agg_incremental. Delta here: doc_id ≡ 0 (mod 7). */
+  def gateSpecRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(spark, dir).select("doc_id", "lang", "quality")
+    val hist = (s: DataFrame) => s.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+    val merged = hist(scored.filter(col("doc_id") % 7 =!= 0))
+      .unionAll(hist(scored.filter(col("doc_id") % 7 === 0)))
+      .groupBy("lang", "quality").agg(sum("c").as("c"))
+    thresholdsFromHist(merged).orderBy("lang")
   }
 
   /** Intra-document repetition: the fraction of word-3-gram occurrences
@@ -1173,6 +1201,7 @@ object TextAnalysis {
     "lang_confusion" -> langConfusion,
     "quality_score" -> qualityScore,
     "quality_gate" -> qualityGate,
+    "gate_spec_refresh" -> gateSpecRefresh,
     "curriculum_order" -> curriculumOrder,
     "token_budget_select" -> tokenBudgetSelect,
     "bpe_pair_counts" -> bpePairCounts,
@@ -1459,6 +1488,27 @@ object TextAnalysis {
         "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn, " +
         "count(*) OVER (PARTITION BY lang) AS cnt FROM q) " +
         "SELECT doc_id, lang, quality FROM r WHERE rn * 2 <= cnt ORDER BY doc_id"),
+    // the refresh oracle retrains from scratch on the FULL corpus: the
+    // Spark side's histogram merge (base ⊎ delta) must land on the same
+    // per-lang (threshold, tie-admission) spec — merge-refresh == retrain
+    "gate_spec_refresh" ->
+      (s"WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents), " +
+        "d AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens, " +
+        s"${markersSql("en")} AS stop_hits, " +
+        "len(text) - len(regexp_replace(text, '[^\\w\\s]+', '', 'g')) AS punct FROM t), " +
+        "q AS (SELECT doc_id, lang, " +
+        "round(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 0.4 + " +
+        "least(CAST(n_tokens AS DOUBLE) / 500.0, 1.0) * 0.5 + " +
+        "(1.0 - CASE WHEN len(text) > 0 THEN CAST(punct AS DOUBLE) / len(text) ELSE 0.0 END) * 0.1, 6) AS quality " +
+        "FROM d), " +
+        "r AS (SELECT lang, quality, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM q), " +
+        "kth AS (SELECT lang, quality AS qt, cnt // 2 AS k FROM r WHERE rn = cnt // 2), " +
+        "above AS (SELECT r.lang, count(*) AS na FROM r JOIN kth USING (lang) " +
+        "WHERE r.quality > kth.qt GROUP BY r.lang) " +
+        "SELECT kth.lang, qt, CAST(k - coalesce(na, 0) AS BIGINT) AS adm " +
+        "FROM kth LEFT JOIN above USING (lang) ORDER BY lang"),
     "mixture_resample" ->
       ("WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang), " +
         "m AS (SELECT min(n_l) AS n_min FROM c) " +
