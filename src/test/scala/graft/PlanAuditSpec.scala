@@ -415,6 +415,24 @@ class PlanAuditSpec extends SparkSpec {
     userIdWindowGuard("window_range_frame", plan(Analytics.windowRangeFrame(spark, sf)))
   }
 
+  test("gate_spec_refresh windows only the merged histogram, never corpus rows") {
+    // the O(delta) claim: both windows in the threshold derivation must
+    // sit above an Aggregate (the mergeable histogram), and the merge
+    // itself must be aggregate-shaped — a corpus-row window here would
+    // mean the refresh silently rescans what it promised not to
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = graft.operators.TextAnalysis.gateSpecRefresh(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "threshold derivation lost its windows")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"refresh window runs over raw rows, not the histogram:\n${w.treeString}")
+    }
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"histogram not built with partial+final aggregation:\n$p")
+  }
+
   test("every intentional single-partition window runs over an aggregate, never raw rows") {
     // the five sites that legitimately trigger WindowExec's
     // single-partition warning (indexed in PLANS.md §Round-13): each
