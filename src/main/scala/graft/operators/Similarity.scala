@@ -830,6 +830,41 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Matryoshka-style prefix-dimension recall — the measurement behind
+    * truncatable-embedding serving (MRL): retrieve top-5 by cosine over
+    * only the FIRST p dims (p ∈ {8, 16, 32}) and report, per query and
+    * prefix, how much of the full-64-dim exact top-5 survives. This is
+    * the dial a production store reads before shipping truncated vectors
+    * (smaller index, cheaper dot products) — recall_ppm vs p IS the
+    * cost/quality curve. Shape: queries broadcast (10 rows), the corpus
+    * side is one scan per prefix over the SAME cached frame with a
+    * row-local `slice` — no shuffle beyond the bounded per-query top-5
+    * windows; at 100 TB the prefix scans share the scan via the
+    * column-pruned vector column, and truth comes from the already-gated
+    * exact top-k stage. */
+  def embedPrefixRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val truth = cosineTopk(spark, dir).select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(desc("pcos"), asc("vec_id"))
+    val prefixTops = Seq(8, 16, 32).map { p =>
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), lit(p).as("prefix_dim"),
+          round(vec_cosine(slice(col("qv"), 1, p), slice(col("v"), 1, p)), 6).as("pcos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("qid", "vec_id", "prefix_dim")
+    }.reduce(_.unionAll(_))
+    truth.crossJoin(spark.range(1).select(explode(array(lit(8), lit(16), lit(32))).as("prefix_dim")))
+      .join(prefixTops.withColumn("hit", lit(1L)), Seq("qid", "vec_id", "prefix_dim"), "left")
+      .groupBy("qid", "prefix_dim")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("(1000000L * n_hit) div n_true"))
+      .orderBy("qid", "prefix_dim")
+  }
+
   /** Embedding-store hygiene audit: per label, the integer facts a vector
     * pipeline must gate ingest on — row count, dimension bounds (a single
     * mis-dimensioned batch breaks every downstream dot product), zero-norm
@@ -913,6 +948,7 @@ object Similarity {
     "embed_qa" -> embedQa,
     "embed_drift" -> embedDrift,
     "ann_recall_report" -> annRecallReport,
+    "embed_prefix_recall" -> embedPrefixRecall,
     "embed_clusters" -> embedClusters,
     "knn_graph" -> knnGraph,
     "mutual_knn" -> mutualKnn,
@@ -944,6 +980,14 @@ object Similarity {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** Prefix-dim cosine: dot and norms over the first p dims only — the
+    * SQL twin of vec_cosine(slice(v, 1, p), slice(w, 1, p)). */
+  private def cosSqlP(a: String, b: String, p: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, $p), i -> $x[i] * $y[i]), (x, y) -> x + y)"
+    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
+  }
 
   private val toDoubleSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
@@ -1155,6 +1199,33 @@ object Similarity {
         s"FROM (SELECT vec_id, $toDoubleSql AS v FROM embeddings) ORDER BY vec_id"),
     "ann_lsh_pairs" ->
       s"WITH $bandedPairsCtesSql SELECT id1, id2, cos FROM scored ORDER BY id1, id2",
+    "embed_prefix_recall" -> {
+      val prefixBlocks = Seq(8, 16, 32).map { p =>
+        s"sp$p AS (SELECT qid, e.vec_id, round(${cosSqlP("qv", "e.v", p)}, 6) AS pcos " +
+          "FROM e CROSS JOIN q WHERE e.vec_id <> qid), " +
+          s"rp$p AS (SELECT qid, vec_id, row_number() OVER " +
+          s"(PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rn FROM sp$p), " +
+          s"tp$p AS (SELECT qid, vec_id, $p AS prefix_dim FROM rp$p WHERE rn <= 5)"
+      }.mkString(", ")
+      s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"fs AS (SELECT qid, e.vec_id, round(${cosSql("qv", "e.v")}, 6) AS cos " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> qid), " +
+        "fr AS (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM fs), " +
+        "truth AS (SELECT qid, vec_id FROM fr WHERE rn <= 5), " +
+        prefixBlocks + ", " +
+        "cand AS (SELECT qid, vec_id, prefix_dim, 1 AS hit FROM " +
+        "(SELECT * FROM tp8 UNION ALL SELECT * FROM tp16 UNION ALL SELECT * FROM tp32)), " +
+        "grid AS (SELECT t.qid, t.vec_id, p.prefix_dim FROM truth t " +
+        "CROSS JOIN (SELECT unnest([8, 16, 32]) AS prefix_dim) p) " +
+        "SELECT g.qid AS qid, CAST(g.prefix_dim AS INT) AS prefix_dim, count(*) AS n_true, " +
+        "CAST(sum(coalesce(c.hit, 0)) AS BIGINT) AS n_hit, " +
+        "CAST((1000000 * sum(coalesce(c.hit, 0))) // count(*) AS BIGINT) AS recall_ppm " +
+        "FROM grid g LEFT JOIN cand c ON g.qid = c.qid AND g.vec_id = c.vec_id " +
+        "AND g.prefix_dim = c.prefix_dim " +
+        "GROUP BY g.qid, g.prefix_dim ORDER BY g.qid, g.prefix_dim"
+    },
     "ann_recall_report" ->
       (s"WITH $bandedPairsCtesSql, " +
         "tq AS (SELECT vec_id AS qid, v AS qv FROM b WHERE vec_id < 10), " +

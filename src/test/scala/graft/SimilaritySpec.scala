@@ -303,4 +303,27 @@ class SimilaritySpec extends SparkSpec {
     // the pruned path can never find MORE true neighbors than exist
     assert(rows.map(_._2).sum <= 30)
   }
+
+  test("embed_prefix_recall: 3 prefixes x 10 queries, recall bounded, improves with dims on aggregate") {
+    val rows = Similarity.embedPrefixRecall(spark, sf)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(rows.length == 30, s"expected 10 queries x 3 prefixes, got ${rows.length}")
+    rows.foreach { case (qid, p, nTrue, nHit, ppm) =>
+      assert(nTrue == 5L, s"query $qid p=$p truth size $nTrue != 5")
+      assert(nHit >= 0 && nHit <= 5, s"query $qid p=$p hits $nHit out of [0,5]")
+      assert(ppm == 1000000L * nHit / 5, s"query $qid p=$p ppm mismatch")
+    }
+    // more dims can only help IN AGGREGATE (per-query inversions are
+    // legitimate — a truncated space can luckily rank a true neighbor
+    // higher): the corpus-level curve must be non-decreasing. On this
+    // SYNTHETIC corpus the absolute values are near-chance (random
+    // vectors spread information uniformly across dims — no matryoshka
+    // concentration to exploit), which is precisely the verdict the dial
+    // exists to deliver: do NOT serve these vectors truncated. A real
+    // MRL-trained store reads a high-and-flattening curve instead.
+    val byP = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byP(8) <= byP(16) && byP(16) <= byP(32),
+      s"aggregate recall curve not monotone: $byP")
+    assert(byP(32) > 0, s"32-dim prefix found nothing: $byP")
+  }
 }
