@@ -837,10 +837,10 @@ object Similarity {
     * the dial a production store reads before shipping truncated vectors
     * (smaller index, cheaper dot products) — recall_ppm vs p IS the
     * cost/quality curve. Shape: queries broadcast (10 rows), the corpus
-    * side is one scan per prefix over the SAME cached frame with a
-    * row-local `slice` — no shuffle beyond the bounded per-query top-5
-    * windows; at 100 TB the prefix scans share the scan via the
-    * column-pruned vector column, and truth comes from the already-gated
+    * side is one column-pruned scan per prefix with a row-local `slice`
+    * — no shuffle beyond the bounded per-query top-5 windows; at 100 TB
+    * the per-prefix scans would hang off one persisted projection (the
+    * scoredLshPairs discipline), and truth comes from the already-gated
     * exact top-k stage. */
   def embedPrefixRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
