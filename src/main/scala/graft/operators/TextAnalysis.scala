@@ -302,7 +302,13 @@ object TextAnalysis {
   /** Frequency-weighted distinct-word table with initial char symbols —
     * the unit of work for the BPE trainer and encoder. */
   private def bpeWords(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    bpeWordsFrame(Tables.documents(spark, dir))
+
+  /** The same word table over ANY (doc_id, text) frame — one definition
+    * of tokenize/group/symbol-split shared by the corpus trainer above
+    * and the per-batch streaming encode, so the two paths cannot drift. */
+  private def bpeWordsFrame(docs: DataFrame): DataFrame =
+    docs
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"),
@@ -314,9 +320,13 @@ object TextAnalysis {
     * the trained tokenizer is a durable pipeline ARTIFACT, written to a
     * parquet file and reloaded by every consumer, exactly how a
     * production encoder ships its merge file. The root is process-private
-    * (fresh temp dir, no state outlives the JVM) and the build is atomic
-    * (staged write, ATOMIC_MOVE, then a completion marker), so a killed
-    * build can never be half-read. */
+    * (fresh temp dir, no state outlives the JVM), which means the
+    * marker/staged-move ceremony is belt-and-braces HERE — a fresh root
+    * can never carry a half-written build. It is kept anyway so the code
+    * path is already correct for the production deployment of the same
+    * artifact, where the root IS a shared durable path and readers race
+    * writers: there the `.complete` marker and ATOMIC_MOVE are what make
+    * a killed build unreadable rather than half-read. */
   private val bpeRootMemo = new scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]
 
@@ -421,14 +431,8 @@ object TextAnalysis {
     * driver literals. */
   private[graft] def bpeEncodeDocs(docs: DataFrame,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    val words = docs
-      .select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("w"),
-        filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
-        col("freq"))
-    val encoded = merges.foldLeft(words) { case (df, (_, a, b, _)) =>
-      df.select(col("w"), applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+    val encoded = merges.foldLeft(bpeWordsFrame(docs)) { case (df, (_, a, b, _)) =>
+      df.select(col("w"), applyMerge(col("syms"), a, b).as("syms"))
     }
     val perWord = encoded.select(col("w"), size(col("syms")).as("n_bpe"))
     docs
@@ -475,10 +479,12 @@ object TextAnalysis {
 
   /** Per-process persisted gate-spec roots — the same durable-artifact
     * protocol as the BPE merge table and the IVF index (process-private
-    * root, staged write, ATOMIC_MOVE, completion marker): the trained
-    * gate ships as two parquet files (thresholds + tie roster) and every
-    * consumer — batch audit or the streaming twin — reloads the files,
-    * never the trainer. */
+    * root, staged write, ATOMIC_MOVE, completion marker; as with those,
+    * the marker is belt-and-braces under process-private roots and earns
+    * its keep the day the root becomes a shared durable path): the
+    * trained gate ships as two parquet files (thresholds + tie roster)
+    * and every consumer — batch audit or the streaming twin — reloads
+    * the files, never the trainer. */
   private val gateSpecMemo = new scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]
 

@@ -938,29 +938,38 @@ object StreamingBridge {
     * parquet files with ascending mtimes (one file per micro-batch at
     * maxFilesPerTrigger=1) — the document-corpus counterpart of
     * stageTimeOrdered, shared by the artifact-serving twins (BPE encode,
-    * quality gate). Per-doc outputs are order-independent, so unlike the
-    * event staging no tie-break discipline is needed; the range split
-    * just guarantees real multi-batch replay. */
+    * quality gate). Memoized per (dir, n, cols) per process, the same
+    * run-ONCE discipline as the event stagings: repeated bench/oracle
+    * drives reuse the staged files instead of re-paying the corpus
+    * write + copies. No sentinels are ever written into these dirs, so
+    * queries can share the staged dir directly (each brings its own
+    * checkpoint) — no private link views needed. Per-doc outputs are
+    * order-independent, so no tie-break discipline is needed either; the
+    * range split just guarantees real multi-batch replay. */
+  private val docsStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[String]), String]
+
   private def stageDocsRanged(spark: SparkSession, dir: String, n: Int,
-      cols: Seq[String]): String = {
-    val build = graft.sources.TempDirs.create("graft_stream_docs_build_")
-    Tables.documents(spark, dir)
-      .select(cols.map(col): _*)
-      .repartitionByRange(n, col("doc_id"))
-      .write.mode("overwrite").parquet(build)
-    val docsDir = graft.sources.TempDirs.create("graft_stream_docs_")
-    val parts = new java.io.File(build).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val tsBase = System.currentTimeMillis() - 1000L * parts.length
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
-    }
-    docsDir
-  }
+      cols: Seq[String]): String =
+    docsStageMemo.computeIfAbsent((dir, n, cols), { _ =>
+      val build = graft.sources.TempDirs.create("graft_stream_docs_build_")
+      Tables.documents(spark, dir)
+        .select(cols.map(col): _*)
+        .repartitionByRange(n, col("doc_id"))
+        .write.mode("overwrite").parquet(build)
+      val docsDir = graft.sources.TempDirs.create("graft_stream_docs_")
+      val parts = new java.io.File(build).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val tsBase = System.currentTimeMillis() - 1000L * parts.length
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+      }
+      docsDir
+    })
 
   /** Streaming BPE encode — the tokenizer's inference half run as a
     * stream, closing the last batch/streaming pairing gap in the text
@@ -1059,13 +1068,20 @@ object StreamingBridge {
     * exact for the streaming side because every bridge drains its query
     * eagerly before returning; the returned DataFrame is a batch read of
     * the sink and executes under the caller's own partitions. */
+  // bridge-drive mutual exclusion. A PRIVATE lock, deliberately not the
+  // SparkSession's own monitor: Scala lazy-val initialization inside
+  // SparkSession synchronizes on the session instance, so holding that
+  // monitor across a whole streaming drive could deadlock against a
+  // streaming-execution thread touching a not-yet-initialized lazy val.
+  private val statePartsLock = new Object
+
   private def withStateParts[T](spark: SparkSession)(body: => T): T =
     // the save/set/restore mutates session-global conf, so serialize all
-    // bridge drives on the session: concurrent callers from different
-    // threads would otherwise race the save/restore and could reinstate a
-    // stale value. The monitor is reentrant, so a nested scoped call on
-    // the same thread is safe (its restore writes back the outer "8").
-    spark.synchronized {
+    // bridge drives: concurrent callers from different threads would
+    // otherwise race the save/restore and could reinstate a stale value.
+    // The monitor is reentrant, so a nested scoped call on the same
+    // thread is safe (its restore writes back the outer "8").
+    statePartsLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "8")

@@ -415,18 +415,33 @@ class PlanAuditSpec extends SparkSpec {
     userIdWindowGuard("window_range_frame", plan(Analytics.windowRangeFrame(spark, sf)))
   }
 
+  // Every path from `p` down to a leaf relation must pass through an
+  // Aggregate: the window's input row count is then bounded by grouping
+  // keys, not corpus size. (A mere "an Aggregate exists somewhere in the
+  // subtree" check is vacuous — nearly every corpus pipeline has one on
+  // SOME branch; this demands it on EVERY branch.)
+  private def aggCoversAllLeaves(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    p match {
+      case _: Aggregate => true
+      case leaf if leaf.children.isEmpty => false
+      case n => n.children.forall(aggCoversAllLeaves)
+    }
+  }
+
   test("gate_spec_refresh windows only the merged histogram, never corpus rows") {
     // the O(delta) claim: both windows in the threshold derivation must
     // sit above an Aggregate (the mergeable histogram), and the merge
     // itself must be aggregate-shaped — a corpus-row window here would
     // mean the refresh silently rescans what it promised not to
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = graft.operators.TextAnalysis.gateSpecRefresh(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(windows.nonEmpty, "threshold derivation lost its windows")
     windows.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
-        s"refresh window runs over raw rows, not the histogram:\n${w.treeString}")
+      assert(aggCoversAllLeaves(w.child),
+        s"refresh window has a raw-relation path beneath it:\n${w.treeString}")
     }
     val p = plan(df)
     assert("HashAggregate".r.findAllIn(p).size >= 2,
@@ -455,9 +470,8 @@ class PlanAuditSpec extends SparkSpec {
       assert(unpartitioned.nonEmpty,
         s"$name: expected an unpartitioned window (site list is stale — update PLANS.md)")
       unpartitioned.foreach { w =>
-        val fedByAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
-        assert(fedByAggregate,
-          s"$name: single-partition window is fed by raw rows, not an aggregate:\n" +
+        assert(aggCoversAllLeaves(w.child),
+          s"$name: single-partition window has a raw-relation path beneath it:\n" +
             w.treeString)
       }
     }

@@ -30,7 +30,8 @@ import os, sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/probedata/sf0.5"
+_positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+DST = _positional[0] if _positional else "/root/repo/probedata/sf0.5"
 R = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--r=")), 5))
 
 os.makedirs(DST, exist_ok=True)
@@ -70,13 +71,17 @@ write("events", f"""
          * EXCLUDE (event_id, user_id, r)
   FROM '{SRC}/events.parquet', {rep}""")
 
-# embeddings: replicate + deterministic hash-noise (zero noise on replica 0
-# so the original vectors survive verbatim)
+# embeddings: replicate + deterministic PER-ELEMENT hash-noise (zero noise
+# on replica 0 so the original vectors survive verbatim). The noise must
+# vary per dimension, not per vector: a constant per-vector shift moves the
+# replica along the all-ones direction and leaves cosine(replica, source)
+# ~1, keeping the exact-duplicate kNN/dedup-embedding degeneracy the
+# perturbation exists to break.
 write("embeddings", f"""
   SELECT vec_id + r*2000 AS vec_id,
          list_transform(embedding,
-           x -> CAST(x + CASE WHEN r = 0 THEN 0.0
-                ELSE (CAST(hash(vec_id*64 + r) % 2001 AS BIGINT) - 1000) / 1000000.0 END AS FLOAT)
+           (x, i) -> CAST(x + CASE WHEN r = 0 THEN 0.0
+                ELSE (CAST(hash(vec_id*64*{R} + r*64 + i) % 2001 AS BIGINT) - 1000) / 1000000.0 END AS FLOAT)
          ) AS embedding,
          label
   FROM '{SRC}/embeddings.parquet', {rep}""")
