@@ -189,9 +189,10 @@ object Similarity {
     * (partition pruning), exactly like the bucketed-join strategy in
     * BucketingSpec but for ANN. The build is atomic: stages land in a
     * `.build` sibling and are renamed into place before the `.complete`
-    * marker is written, so a crash mid-build never leaves a readable
-    * half-index and concurrent builders can't observe partial state. If
-    * the marker already exists the build is skipped — the CALLER owns
+    * marker is written (ArtifactRoots.atomicBuild, which also arbitrates
+    * concurrent builders on a shared root: losers block on the winner's
+    * marker), so a crash mid-build never leaves a readable half-index.
+    * If the marker already exists the build is skipped — the CALLER owns
     * keying `root` by (dataset, params, code version); nothing here
     * guesses at staleness. */
   def ivfBuildIndex(spark: SparkSession, dir: String, root: String): String =
@@ -200,36 +201,32 @@ object Similarity {
   /** Same atomic build over a caller-supplied vector frame (the
     * incremental path builds from the resident corpus only). */
   private[graft] def ivfBuildIndexFrom(e: DataFrame, spark: SparkSession,
-      root: String): String = {
-    val marker = new java.io.File(s"$root/.complete")
-    if (!marker.exists()) {
-      val stage = java.nio.file.Paths.get(root, ".build")
+      root: String): String =
+    graft.sources.ArtifactRoots.atomicBuild(root, Seq("centroids", "lists")) { stage =>
       refinedCentroids(e).write.mode("overwrite").parquet(s"$stage/centroids")
       assignCells(e, spark.read.parquet(s"$stage/centroids"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
-      for (part <- Seq("centroids", "lists"))
-        java.nio.file.Files.move(stage.resolve(part),
-          java.nio.file.Paths.get(root, part),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      java.nio.file.Files.delete(stage)
-      marker.createNewFile()
     }
-    root
-  }
 
-  /** Per-process index roots, one build per (session, dataset). The index
-    * lands in a fresh process-private temp dir: cold and warm bench runs
-    * pay the same (single) build, and no state outlives the JVM — the
-    * previous design keyed a shared /tmp path by dataset dir, so any later
-    * process silently reused whatever an earlier (possibly older-code)
-    * run left behind, making bench numbers and correctness /tmp-dependent. */
+  /** Per-process index roots, one build per (session, dataset). By
+    * default the index lands in a fresh process-private temp dir: cold
+    * and warm bench runs pay the same (single) build, and no state
+    * outlives the JVM — an UNKEYED shared /tmp path would let any later
+    * process silently reuse whatever an earlier (possibly older-code)
+    * run left behind. With `spark.graft.artifactRoot` set, the index
+    * instead lands under the shared durable root at a dataset-fingerprint
+    * path (ArtifactRoots.rootFor), where the atomic-build claim + marker
+    * arbitrate concurrent builders and staleness is impossible by key.
+    * Every access re-asserts the reader-side `.complete` check. */
   private val indexMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
 
   private def ivfIndexRoot(spark: SparkSession, dir: String): String = {
     indexMemo.keys.filter(_._1.sparkContext.isStopped).foreach(indexMemo.remove)
-    indexMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)),
-      ivfBuildIndex(spark, dir, graft.sources.TempDirs.create("graft_ivf_")))
+    graft.sources.ArtifactRoots.assertComplete(
+      indexMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)),
+        ivfBuildIndex(spark, dir,
+          graft.sources.ArtifactRoots.rootFor(spark, "ivf", dir))))
   }
 
   /** Public warm-up: force the one-time index build so harnesses (Bench)

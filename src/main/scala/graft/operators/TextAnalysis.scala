@@ -319,46 +319,40 @@ object TextAnalysis {
     * (session, dataset) — the IVF index pattern (`Similarity.indexMemo`):
     * the trained tokenizer is a durable pipeline ARTIFACT, written to a
     * parquet file and reloaded by every consumer, exactly how a
-    * production encoder ships its merge file. The root is process-private
-    * (fresh temp dir, no state outlives the JVM), which means the
-    * marker/staged-move ceremony is belt-and-braces HERE — a fresh root
-    * can never carry a half-written build. It is kept anyway so the code
-    * path is already correct for the production deployment of the same
-    * artifact, where the root IS a shared durable path and readers race
-    * writers: there the `.complete` marker and ATOMIC_MOVE are what make
-    * a killed build unreadable rather than half-read. */
+    * production encoder ships its merge file. The root defaults to a
+    * process-private temp dir (no state outlives the JVM); with
+    * `spark.graft.artifactRoot` set it becomes a shared durable path
+    * (ArtifactRoots.rootFor), where the staged write + ATOMIC_MOVE +
+    * `.complete` marker — enforced on BOTH sides: atomicBuild arbitrates
+    * racing writers, assertComplete gates every reader — are what make a
+    * killed build unreadable rather than half-read. */
   private val bpeRootMemo = new scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]
 
   private[graft] def bpeIndexRoot(spark: SparkSession, dir: String): String = {
     bpeRootMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeRootMemo.remove)
     bpeRootMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
-      val root = graft.sources.TempDirs.create("graft_bpe_")
-      val marker = new java.io.File(s"$root/.complete")
-      if (!marker.exists()) {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "bpe", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root, Seq("merges")) { stage =>
         import spark.implicits._
-        val stage = java.nio.file.Paths.get(root, ".build")
         trainBpeMerges(spark, dir)
           .toDF("step", "left_sym", "right_sym", "pair_count")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$stage/merges")
-        java.nio.file.Files.move(stage.resolve("merges"),
-          java.nio.file.Paths.get(root, "merges"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.delete(stage)
-        marker.createNewFile()
       }
-      root
     })
   }
 
   /** The merge table as driver literals, RELOADED from the persisted
     * artifact — both bpe_learn_merges and bpe_encode (and the streaming
     * encode twin) consume the parquet file, never the trainer directly,
-    * so the artifact is the contract between training and inference. */
+    * so the artifact is the contract between training and inference.
+    * The read is gated on the `.complete` marker like every artifact
+    * consumer. */
   private[graft] def bpeMergeTable(
       spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    spark.read.parquet(s"${bpeIndexRoot(spark, dir)}/merges")
+    spark.read.parquet(s"${graft.sources.ArtifactRoots.assertComplete(
+        bpeIndexRoot(spark, dir))}/merges")
       .orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -478,35 +472,26 @@ object TextAnalysis {
   }
 
   /** Per-process persisted gate-spec roots — the same durable-artifact
-    * protocol as the BPE merge table and the IVF index (process-private
-    * root, staged write, ATOMIC_MOVE, completion marker; as with those,
-    * the marker is belt-and-braces under process-private roots and earns
-    * its keep the day the root becomes a shared durable path): the
-    * trained gate ships as two parquet files (thresholds + tie roster)
-    * and every consumer — batch audit or the streaming twin — reloads
-    * the files, never the trainer. */
+    * protocol as the BPE merge table and the IVF index (default
+    * process-private root or the configured shared durable root; staged
+    * write, ATOMIC_MOVE, completion marker enforced writer- AND
+    * reader-side via ArtifactRoots): the trained gate ships as two
+    * parquet files (thresholds + tie roster) and every consumer — batch
+    * audit or the streaming twin — reloads the files, never the
+    * trainer. */
   private val gateSpecMemo = new scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]
 
   private[graft] def gateSpecRoot(spark: SparkSession, dir: String): String = {
     gateSpecMemo.keys.filter(_._1.sparkContext.isStopped).foreach(gateSpecMemo.remove)
     gateSpecMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
-      val root = graft.sources.TempDirs.create("graft_gatespec_")
-      val marker = new java.io.File(s"$root/.complete")
-      if (!marker.exists()) {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "gatespec", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root, Seq("thresholds", "roster")) { stage =>
         val (thresholds, ties) = gateSpec(
           scoredDocs(spark, dir).select("doc_id", "lang", "quality"))
-        val stage = java.nio.file.Paths.get(root, ".build")
         thresholds.coalesce(1).write.mode("overwrite").parquet(s"$stage/thresholds")
         ties.coalesce(1).write.mode("overwrite").parquet(s"$stage/roster")
-        for (part <- Seq("thresholds", "roster"))
-          java.nio.file.Files.move(stage.resolve(part),
-            java.nio.file.Paths.get(root, part),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.delete(stage)
-        marker.createNewFile()
       }
-      root
     })
   }
 

@@ -25,7 +25,9 @@ object StreamingBridge {
 
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value")
 
-  /** Memoized base staging (one per (testdata dir[, n]) per process):
+  /** Memoized base staging (one per (events fingerprint[, n]) per
+    * process — keyed by DatasetId.key of the events source, not the raw
+    * path, so regenerating the dataset in-process misses the cache):
     * bridges run the SAME staging for every query, so the expensive part
     * — the Spark write / file copy out of the read-only testdata tree —
     * happens once and each query gets a cheap per-query VIEW of it via
@@ -67,7 +69,8 @@ object StreamingBridge {
     * columns by name, so the projection prunes the scan and lets
     * sentinel files carry only these five columns). */
   private def stageEvents(spark: SparkSession, dir: String): (String, StructType) = {
-    val (base, proj) = eventsStageMemo.computeIfAbsent(dir, { _ =>
+    val (base, proj) = eventsStageMemo.computeIfAbsent(
+        graft.sources.DatasetId.key(s"$dir/events.parquet"), { _ =>
       val path = s"$dir/events.parquet"
       val schema = StructType(eventCols.map(spark.read.parquet(path).schema(_)))
       val d = graft.sources.TempDirs.create("graft_stream_events_")
@@ -397,7 +400,8 @@ object StreamingBridge {
     * per (dir, n) per process; every query gets a private hard-link view
     * so its sentinels stay its own. */
   private[graft] def stageTimeOrdered(spark: SparkSession, dir: String, n: Int): String =
-    linkStaged(timeOrderedStageMemo.computeIfAbsent((dir, n), { _ =>
+    linkStaged(timeOrderedStageMemo.computeIfAbsent(
+        (graft.sources.DatasetId.key(s"$dir/events.parquet"), n), { _ =>
       val tmp = graft.sources.TempDirs.create("graft_incr_build_")
       Tables.events(spark, dir)
         .select(eventCols.map(col): _*)
@@ -938,10 +942,14 @@ object StreamingBridge {
     * parquet files with ascending mtimes (one file per micro-batch at
     * maxFilesPerTrigger=1) — the document-corpus counterpart of
     * stageTimeOrdered, shared by the artifact-serving twins (BPE encode,
-    * quality gate). Memoized per (dir, n, cols) per process, the same
-    * run-ONCE discipline as the event stagings: repeated bench/oracle
-    * drives reuse the staged files instead of re-paying the corpus
-    * write + copies. No sentinels are ever written into these dirs, so
+    * quality gate). Memoized per (dataset fingerprint, n, cols) per
+    * process — DatasetId.key, not the raw path, so an in-process
+    * regeneration of the dataset is a cache miss here exactly as it is
+    * for the artifact memos (bpeRootMemo/gateSpecMemo); a path-keyed
+    * memo would replay the stale staged corpus while the freshly
+    * fingerprinted artifacts retrain, silently diverging batch from
+    * stream. Repeated bench/oracle drives on unchanged data still reuse
+    * the staged files instead of re-paying the corpus write + copies. No sentinels are ever written into these dirs, so
     * queries can share the staged dir directly (each brings its own
     * checkpoint) — no private link views needed. Per-doc outputs are
     * order-independent, so no tie-break discipline is needed either; the
@@ -951,7 +959,7 @@ object StreamingBridge {
 
   private def stageDocsRanged(spark: SparkSession, dir: String, n: Int,
       cols: Seq[String]): String =
-    docsStageMemo.computeIfAbsent((dir, n, cols), { _ =>
+    docsStageMemo.computeIfAbsent((graft.sources.DatasetId.key(dir), n, cols), { _ =>
       val build = graft.sources.TempDirs.create("graft_stream_docs_build_")
       Tables.documents(spark, dir)
         .select(cols.map(col): _*)
@@ -1020,7 +1028,8 @@ object StreamingBridge {
     * equal batch quality_gate row for row; same oracle. */
   def streamQualityGateEq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
-    val specRoot = TextAnalysis.gateSpecRoot(spark, dir)
+    val specRoot = graft.sources.ArtifactRoots.assertComplete(
+      TextAnalysis.gateSpecRoot(spark, dir))
     // the shipped spec: a per-lang threshold table (≤ #langs rows) and the
     // tie roster (≤ Σ per-lang tie-group), reloaded as driver literals
     val qtRows = spark.read.parquet(s"$specRoot/thresholds")

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ArtifactRoots
+
+/** The durable-artifact protocol under contention — exercising the
+  * ceremony the scaladoc promises, not just documenting it: N builders
+  * race one shared root; exactly one builds, the losers observe the
+  * `.complete` marker and read the winner's files; readers refuse a
+  * markerless root. This is the shared-durable-root deployment
+  * (spark.graft.artifactRoot) that the process-private default never
+  * stresses. */
+class ArtifactProtocolSpec extends SparkSpec {
+
+  test("concurrent builders on one root: one builds, losers wait and read") {
+    val root = graft.sources.TempDirs.create("graft_race_root_")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.jdk.CollectionConverters._
+    val tasks = (1 to 4).map { i =>
+      new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          barrier.await() // maximize overlap: all four claim at once
+          ArtifactRoots.atomicBuild(root, Seq("data")) { stage =>
+            builds.incrementAndGet()
+            // slow build so losers genuinely wait on the marker
+            Thread.sleep(200)
+            spark.range(10).withColumn("builder", lit(i))
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/data")
+          }
+        }
+      }
+    }
+    val roots = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+    pool.shutdown()
+    assert(builds.get() === 1, "exactly one builder must win the claim")
+    assert(roots.forall(_ == root))
+    assert(new java.io.File(s"$root/.complete").exists())
+    assert(!new java.io.File(s"$root/.build").exists(),
+      "stage dir must be cleaned up after publish")
+    // all four read the SAME winner's artifact
+    val winners = spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data")
+      .select("builder").distinct().collect().map(_.getInt(0)).toSeq
+    assert(winners.size === 1)
+  }
+
+  test("atomicBuild is idempotent once the marker exists") {
+    val root = graft.sources.TempDirs.create("graft_idem_root_")
+    var calls = 0
+    ArtifactRoots.atomicBuild(root, Seq("data")) { stage =>
+      calls += 1
+      spark.range(3).coalesce(1).write.parquet(s"$stage/data")
+    }
+    ArtifactRoots.atomicBuild(root, Seq("data")) { _ => calls += 1 }
+    assert(calls === 1, "a completed root must skip the build entirely")
+  }
+
+  test("readers refuse a root without the .complete marker") {
+    val root = graft.sources.TempDirs.create("graft_halfbuilt_root_")
+    // simulate a killed build: files present, marker absent
+    spark.range(3).coalesce(1).write.parquet(s"$root/data")
+    val e = intercept[RuntimeException](ArtifactRoots.assertComplete(root))
+    assert(e.getMessage.contains(".complete"))
+  }
+
+  test("shared root config keys artifacts by dataset fingerprint") {
+    val shared = graft.sources.TempDirs.create("graft_shared_root_")
+    spark.conf.set("spark.graft.artifactRoot", shared)
+    try {
+      val r1 = ArtifactRoots.rootFor(spark, "bpe", sf)
+      val r2 = ArtifactRoots.rootFor(spark, "bpe", sf)
+      assert(r1 === r2, "same dataset → same durable path (cache key)")
+      assert(r1.startsWith(shared) && r1.contains("bpe"))
+      val other = ArtifactRoots.rootFor(spark, "ivf", sf)
+      assert(other !== r1, "different artifact kinds must not collide")
+    } finally spark.conf.unset("spark.graft.artifactRoot")
+    // with the knob unset, roots are process-private temp dirs again
+    val t1 = ArtifactRoots.rootFor(spark, "bpe", sf)
+    val t2 = ArtifactRoots.rootFor(spark, "bpe", sf)
+    assert(t1 !== t2)
+  }
+}

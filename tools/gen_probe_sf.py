@@ -36,6 +36,10 @@ R = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--r=")), 5))
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
+# setseed only governs random() per-thread; multi-threaded execution would
+# interleave draws nondeterministically, so pin to one thread to make the
+# regenerated documents table byte-reproducible run to run.
+con.sql("SET threads=1")
 con.sql("SELECT setseed(0.42)")
 
 def write(name, sql):
