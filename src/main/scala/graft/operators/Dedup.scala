@@ -610,17 +610,20 @@ object Dedup {
     h
   }
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc gram-set stage shared by the exhaustive audit and its
+    * sampled variant: (doc_id, lang, source, sorted distinct 5-gram
+    * hashes, set size, length band). Computed in a typed mapPartitions —
+    * a tight JVM loop AND a hard optimizer barrier. Expressing this with
+    * Column transforms let Catalyst/AQE inline the gram pipeline into
+    * downstream operators (the self-join predicate, pushed filters) and
+    * recompute it per CANDIDATE PAIR — thread dumps showed ArrayDistinct
+    * inside the join's SpecificPredicate and O(len²) ascii loops in the
+    * scan; 813 s vs ~10 s at sf0.1. Deserialize/Serialize boundaries are
+    * opaque to the optimizer, so the arrays are materialized exactly
+    * once per doc. */
+  private def gramSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Gram sets are computed in a typed mapPartitions: a tight JVM loop
-    // AND a hard optimizer barrier. Expressing this with Column transforms
-    // let Catalyst/AQE inline the gram pipeline into downstream operators
-    // (the self-join predicate, pushed filters) and recompute it per
-    // CANDIDATE PAIR — thread dumps showed ArrayDistinct inside the join's
-    // SpecificPredicate and O(len²) ascii loops in the scan; 813 s vs ~10 s
-    // at sf0.1. Deserialize/Serialize boundaries are opaque to the
-    // optimizer, so the arrays are materialized exactly once per doc.
-    val g = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)]
@@ -639,6 +642,10 @@ object Dedup {
         (id, lang, src, set.toArray.sorted, set.size, band)
       })
       .toDF("doc_id", "lang", "source", "g", "sz", "band")
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = gramSets(spark, dir)
     // Asymmetric band join, each admissible pair generated EXACTLY once:
     // the probe side enters its own band's block AND the next band up,
     // the anchor side only its own band. A same-band pair matches in its
@@ -686,6 +693,53 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
       .orderBy("id1", "id2")
+  }
+
+  /** Sampled exact-Jaccard audit — the form of [[dedupNgramJaccard]] one
+    * actually runs at corpus scale. The exhaustive audit is in-band
+    * quadratic BY DEFINITION (every admissible pair must be scored), so
+    * at 100 TB it is an audit nobody runs; this variant ground-truths the
+    * LSH pipeline's recall at O(sample) cost instead: a deterministic
+    * stratified document sample per (lang, source, length-band) block,
+    * then exact Jaccard on ALL pairs inside the sampled stratum —
+    * unthresholded, so the output is the true J distribution the LSH
+    * threshold sweep can be calibrated against.
+    *
+    * The sample is rate-adapted, not rank-based, on purpose: a
+    * `row_number` window per block would place an entire block — the
+    * whole (en, web) slice of the corpus — in ONE window partition. Here
+    * block populations come from a partial-aggregated count (tiny: ≤
+    * #langs·#sources·#bands rows, broadcast back), and selection is the
+    * map-side integer predicate `hash(doc_id) % 1e6 < (TARGET·1e6) div m`
+    * — expected TARGET docs per block whatever m is, hence O(TARGET²)
+    * pairs per block at ANY scale, and the keyed md5 hash (the
+    * curriculum_order recipe) makes the draw reproducible run-to-run,
+    * append-stable, and replayable verbatim by the DuckDB oracle. Blocks
+    * at or under TARGET docs are audited exhaustively (the rate
+    * saturates), so small strata lose nothing. */
+  def dedupNgramJaccardSampled(spark: SparkSession, dir: String): DataFrame = {
+    val target = 8L // expected docs sampled per block → ≤ ~28 pairs each
+    val g = gramSets(spark, dir)
+    val sizes = g.groupBy("lang", "source", "band").agg(count(lit(1)).as("m"))
+    val samp = g
+      .withColumn("hk", conv(substring(md5(concat(lit("graft-jacsample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .join(broadcast(sizes), Seq("lang", "source", "band"))
+      .filter(col("hk") % lit(1000000L) <
+        expr(s"${target * 1000000L} div m"))
+    samp.as("a")
+      .join(samp.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.lang").as("lang"), col("a.source").as("source"),
+        col("a.band").as("band"),
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        graft.plans.VectorExpressions.sorted_intersect_count(
+          col("a.g"), col("b.g")).as("inter"),
+        (col("a.sz") + col("b.sz")).as("tot"))
+      .select(col("lang"), col("source"), col("band"), col("id1"), col("id2"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
+      .orderBy("lang", "source", "band", "id1", "id2")
   }
 
   /** Edit-distance verification of LSH candidates: full Levenshtein plus
@@ -957,6 +1011,7 @@ object Dedup {
     "dedup_apply" -> dedupApply,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "ngram_jaccard_sampled" -> dedupNgramJaccardSampled,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
     "dedup_triangles" -> dedupTriangles,
@@ -1341,5 +1396,30 @@ object Dedup {
         "len(a.g) + len(b.g) AS tot " +
         "FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) " +
         "WHERE inter * 6 >= tot ORDER BY id1, id2"),
+    // sampled audit: replays the Spark side's rate-adapted keyed-hash
+    // draw verbatim — same gram polynomial, same ⌊log₅ sz⌋ band (exact
+    // integer CASE chain, no float log), same md5-derived selection —
+    // then exact Jaccard on all pairs inside each sampled stratum
+    "ngram_jaccard_sampled" ->
+      ("WITH g0 AS (SELECT doc_id, lang, source, " +
+        "list_distinct(list_transform(generate_series(1, len(text) - 4), i -> " +
+        "CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 923521 + ascii(substr(text, CAST(i+1 AS INT), 1)) * 29791 + " +
+        "ascii(substr(text, CAST(i+2 AS INT), 1)) * 961 + ascii(substr(text, CAST(i+3 AS INT), 1)) * 31 + " +
+        "ascii(substr(text, CAST(i+4 AS INT), 1)))) AS g " +
+        "FROM documents WHERE len(text) >= 5), " +
+        "g2 AS (SELECT doc_id, lang, source, g, len(g) AS sz, " +
+        "CAST(CASE WHEN len(g) < 5 THEN 0 WHEN len(g) < 25 THEN 1 WHEN len(g) < 125 THEN 2 " +
+        "WHEN len(g) < 625 THEN 3 WHEN len(g) < 3125 THEN 4 WHEN len(g) < 15625 THEN 5 " +
+        "WHEN len(g) < 78125 THEN 6 WHEN len(g) < 390625 THEN 7 WHEN len(g) < 1953125 THEN 8 " +
+        "WHEN len(g) < 9765625 THEN 9 ELSE 10 END AS INT) AS band FROM g0), " +
+        "sizes AS (SELECT lang, source, band, count(*) AS m FROM g2 GROUP BY 1, 2, 3), " +
+        "samp AS (SELECT g2.* FROM g2 JOIN sizes USING (lang, source, band) " +
+        "WHERE CAST('0x' || substr(md5('graft-jacsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < 8000000 // m) " +
+        "SELECT lang, source, band, id1, id2, round(inter / (tot - inter), 6) AS jaccard FROM " +
+        "(SELECT a.lang, a.source, a.band, a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
+        "FROM samp a JOIN samp b ON a.lang = b.lang AND a.source = b.source " +
+        "AND a.band = b.band AND a.doc_id < b.doc_id) " +
+        "ORDER BY lang, source, band, id1, id2"),
   )
 }

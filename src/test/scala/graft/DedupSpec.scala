@@ -204,4 +204,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._3).sum == Dedup.clusterLabels(spark, sf).count(),
       "per-bucket dup counts must sum to the cluster roster")
   }
+
+  test("ngram_jaccard_sampled: deterministic, block-bounded, agrees with the exhaustive audit") {
+    val s1 = Dedup.dedupNgramJaccardSampled(spark, sf)
+      .as[(String, String, Int, Long, Long, Double)].collect()
+    val s2 = Dedup.dedupNgramJaccardSampled(spark, sf)
+      .as[(String, String, Int, Long, Long, Double)].collect()
+    assert(s1.nonEmpty)
+    assert(s1.toSeq == s2.toSeq, "keyed-hash draw must be reproducible run to run")
+    // the rate saturates at TARGET=8 expected docs per block: sampled doc
+    // count per stratum must stay near that bound (hard cap here: a
+    // block can't exceed its own population or a loose 4x of the target)
+    val perBlock = s1.groupBy(t => (t._1, t._2, t._3))
+      .map { case (_, ps) => ps.flatMap(p => Seq(p._4, p._5)).distinct.size }
+    assert(perBlock.forall(_ <= 32),
+      s"sampled docs per block must be O(target), got max ${perBlock.max}")
+    // agreement: any sampled same-band pair at J >= 0.2 is exactly the
+    // value the exhaustive audit reports for that pair
+    val exhaustive = Dedup.dedupNgramJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val admissible = s1.filter(t => t._6 >= 0.2)
+    assert(admissible.nonEmpty, "fixture should sample at least one true near-dup")
+    admissible.foreach { t =>
+      assert(exhaustive.get((t._4, t._5)).contains(t._6),
+        s"pair (${t._4},${t._5}) J=${t._6} must match the exhaustive audit")
+    }
+  }
 }
