@@ -272,6 +272,43 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Filtered ANN search — top-k under a metadata predicate, the vector-
+    * store query shape users actually run ("docs like this, but only
+    * English and substantial"): the IVF probe prunes the corpus to each
+    * query's top-`IvfProbes` cells AND the predicate admits only
+    * candidates whose document metadata qualifies, BEFORE the top-k rank
+    * — filtered search, not filter-after-search, so the k results are
+    * the true best among admissible docs (a post-filter can return fewer
+    * than k or none). Plan shape at 100 TB, guarded by PlanAuditSpec:
+    * the predicate pushes down to the documents parquet scan
+    * (PushedFilters — only doc_id and the two predicate columns are
+    * read), the partitioned list scan carries a dynamicpruning filter
+    * keyed by the tiny probe side (only probed cells' files open), and
+    * admission is a SEMI join — candidate rows never duplicate, and the
+    * corpus's float vectors ride only the cell-pruned list scan. */
+  def ivfSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val lists = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("cell").cast("long").as("cell"))
+    val keep = Tables.documents(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"))
+    val q = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = ivfProbeCells(spark, dir).join(q, "qid")
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    probes.join(lists, "cell")
+      .join(keep, col("cand_id") === col("doc_id"), "left_semi")
+      .filter(col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"),
+        round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select("qid", "cand_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** IVF-PQ search — the composition a production vector store actually
     * runs (the FAISS `IVFPQ` shape): the coarse IVF quantizer prunes the
     * corpus to the query's top-`IvfProbes` cells, and the surviving
@@ -960,6 +997,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding,
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
+    "ivf_search_filtered" -> ivfSearchFiltered,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_recall" -> ivfPqRecall,
     "ivf_incremental" -> ivfIncremental,
@@ -1283,6 +1321,21 @@ object Similarity {
         "probes AS (SELECT qid, qv, cid AS cell FROM " +
         s"(SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
         "cand AS (SELECT p.qid, p.qv, a.cand_id FROM probes p JOIN assign a ON p.cell = a.cell WHERE a.cand_id <> p.qid), " +
+        s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
+        "ranked AS (SELECT qid, cand_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rn FROM cscored) " +
+        "SELECT qid, cand_id, cos, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn"),
+    "ivf_search_filtered" ->
+      (s"WITH $refinedCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id AS cand_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"pscored AS (SELECT q.qid, q.qv, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
+        "probes AS (SELECT qid, qv, cid AS cell FROM " +
+        s"(SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
+        "cand AS (SELECT p.qid, p.qv, a.cand_id FROM probes p JOIN assign a ON p.cell = a.cell " +
+        "WHERE a.cand_id <> p.qid AND a.cand_id IN (SELECT doc_id FROM keep)), " +
         s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
         "ranked AS (SELECT qid, cand_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rn FROM cscored) " +
         "SELECT qid, cand_id, cos, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn"),

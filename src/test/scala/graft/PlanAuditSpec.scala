@@ -476,4 +476,23 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("ivf_search_filtered: cell pruning AND the pushed metadata predicate both reach their scans") {
+    val p = plan(graft.operators.Similarity.ivfSearchFiltered(spark, sf))
+    // the partitioned inverted-list scan must be keyed by the probe side
+    // (dynamic partition pruning), not read whole
+    assert(p.contains("dynamicpruning"),
+      s"list scan not dynamically pruned to probed cells:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"list scan carries no partition filters:\n$p")
+    // the metadata predicate must push into the documents parquet scan —
+    // only the filter columns + doc_id read, not text
+    assert(p.contains("PushedFilters: [IsNotNull(lang)") ||
+      p.contains("EqualTo(lang,en)"),
+      s"metadata predicate not pushed to the documents scan:\n$p")
+    assert(!p.contains("text#"),
+      s"documents scan reads the text column it never needs:\n$p")
+    // admission is a semi join: candidates never duplicate per metadata row
+    assert(p.contains("LeftSemi"), s"metadata admission not a semi join:\n$p")
+  }
 }
