@@ -309,6 +309,68 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
+    * standard RAG retrieval operator: each query's BM25 lexical ranking
+    * and its cosine ANN ranking are fused as Σ 1/(60 + rank) over the
+    * union of both top-10 lists, so a document strong in either modality
+    * surfaces and one strong in both wins. Composes two already-gated
+    * stages: the lexical leg scores candidates with the EXACT integer
+    * BM25 kernel bm25_top_terms gates (each query doc's top-3 BM25 terms
+    * are its lexical query), the vector leg is cosine_topk's ranking.
+    *
+    * Cross-engine exactness: RRF contributions are floor-scaled integers
+    * `1e12 div (60 + rank)` summed as BIGINT — no float reciprocal sum
+    * to drift. The lexical top-10 rides the TopKAggregator UDAF (O(k)
+    * partial-agg state, map-side combine) rather than a per-query window
+    * — at 100 TB a common query term admits a corpus-sized candidate
+    * set, and a 10-partition window over it is a hot-spot by
+    * construction; the double-valued buffer stays exact because summed
+    * integer BM25 scores are < 2⁵³ for any corpus under ~10⁹ documents
+    * (idf ≤ 2N·10⁶/3, tff ≤ 2.2·10⁶, 3-term sum ≤ 4.4·10¹⁵). Shape: the
+    * query panel's term table broadcasts (≤ 30 rows), the corpus-sized
+    * scored frame shuffles once into the partial top-k agg; the ANN leg
+    * is the gated broadcast-query brute-force scan. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TopKAggregator, TopKItem}
+    val depth = 10
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wAnn = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val ann = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vec_cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("ar", row_number().over(wAnn))
+      .filter(col("ar") <= depth)
+      .select("qid", "cand_id", "ar")
+    val scored = TextAnalysis.bm25Scored(spark, dir)
+    val wQt = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
+    val qterms = scored.filter(col("doc_id") < 10)
+      .withColumn("rn", row_number().over(wQt))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("qid"), col("word"))
+    val topk = udaf(new TopKAggregator(depth),
+      org.apache.spark.sql.Encoders.product[TopKItem])
+    val lex = scored.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("bm25").as("lex"))
+      .groupBy("qid")
+      .agg(topk(col("lex").cast("double"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), col("col.id").as("cand_id"),
+        (col("pos") + 1).cast("int").as("lr"))
+    val wF = Window.partitionBy("qid").orderBy(desc("rrf"), asc("cand_id"))
+    ann.join(lex, Seq("qid", "cand_id"), "full_outer")
+      .select(col("qid"), col("cand_id"),
+        (coalesce(expr("1000000000000 div (60 + ar)"), lit(0L)) +
+          coalesce(expr("1000000000000 div (60 + lr)"), lit(0L))).as("rrf"))
+      .withColumn("rrf_rank", row_number().over(wF))
+      .filter(col("rrf_rank") <= 5)
+      .select("qid", "cand_id", "rrf", "rrf_rank")
+      .orderBy("qid", "rrf_rank")
+  }
+
   /** IVF-PQ search — the composition a production vector store actually
     * runs (the FAISS `IVFPQ` shape): the coarse IVF quantizer prunes the
     * corpus to the query's top-`IvfProbes` cells, and the surviving
@@ -998,6 +1060,7 @@ object Similarity {
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
     "ivf_search_filtered" -> ivfSearchFiltered,
+    "hybrid_rrf" -> hybridRrf,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_recall" -> ivfPqRecall,
     "ivf_incremental" -> ivfIncremental,
@@ -1339,6 +1402,27 @@ object Similarity {
         s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
         "ranked AS (SELECT qid, cand_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rn FROM cscored) " +
         "SELECT qid, cand_id, cos, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn"),
+    "hybrid_rrf" ->
+      (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"ascr AS (SELECT qid, vec_id AS cand_id, round(${cosSql("qv", "v")}, 6) AS cos " +
+        "FROM e CROSS JOIN q WHERE vec_id <> qid), " +
+        "ann AS (SELECT qid, cand_id, ar FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS ar FROM ascr) WHERE ar <= 10), " +
+        s"${TextAnalysis.bm25ScoredCteSql}, " +
+        "qt2 AS (SELECT doc_id AS qid, word FROM (SELECT doc_id, word, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +
+        "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
+        "lexs AS (SELECT qt2.qid, s.doc_id AS cand_id, CAST(sum(s.bm25) AS BIGINT) AS lex " +
+        "FROM qt2 JOIN bscored s USING (word) WHERE s.doc_id <> qt2.qid GROUP BY 1, 2), " +
+        "lex AS (SELECT qid, cand_id, lr FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY lex DESC, cand_id) AS lr FROM lexs) WHERE lr <= 10), " +
+        "fused AS (SELECT coalesce(a.qid, l.qid) AS qid, coalesce(a.cand_id, l.cand_id) AS cand_id, " +
+        "coalesce(1000000000000 // (60 + a.ar), 0) + coalesce(1000000000000 // (60 + l.lr), 0) AS rrf " +
+        "FROM ann a FULL JOIN lex l ON a.qid = l.qid AND a.cand_id = l.cand_id) " +
+        "SELECT qid, cand_id, CAST(rrf AS BIGINT) AS rrf, CAST(rrf_rank AS INT) AS rrf_rank FROM " +
+        "(SELECT qid, cand_id, rrf, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand_id) AS rrf_rank FROM fused) " +
+        "WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank"),
     "ivf_pq_search" ->
       (s"WITH $refinedCentroidCtesSql, $pqPerSubspaceCtesSql, $pqLutsSql, " +
         s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +

@@ -756,10 +756,27 @@ object TextAnalysis {
   def bm25TopTerms(spark: SparkSession, dir: String): DataFrame =
     bm25TopTermsImpl(spark, dir, forceDecimal = false)
 
+  /** The per-(doc, word) integer BM25 score frame — the ranking model
+    * BEFORE the per-doc top-3 cut, factored out so retrieval
+    * compositions (hybrid_rrf's lexical leg) score candidate documents
+    * with the exact same kernel the gated bm25_top_terms row uses. */
+  private[operators] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredImpl(spark, dir, forceDecimal = false)
+
   /** `forceDecimal` lets the spec exercise the huge-corpus DECIMAL kernel
     * at test scale and prove it value-identical to the Long fast path —
     * the branch real data can't reach below ~2e6 documents. */
   private[graft] def bm25TopTermsImpl(spark: SparkSession, dir: String,
+      forceDecimal: Boolean): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
+    bm25ScoredImpl(spark, dir, forceDecimal)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "word", "bm25")
+      .orderBy("doc_id", "rn")
+  }
+
+  private def bm25ScoredImpl(spark: SparkSession, dir: String,
       forceDecimal: Boolean): DataFrame = {
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("word"))
@@ -791,14 +808,9 @@ object TextAnalysis {
         expr(s"(idf * ((1000000 * 22 * tf * cast($tl as decimal(38,0))) div " +
           s"(10*tf*cast($tl as decimal(38,0)) + 3*cast($tl as decimal(38,0)) " +
           s"+ 9*dl*cast($n as decimal(38,0))))) div 1000000")
-    val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
     tf.join(broadcast(df.withColumn("idf", idf)), "word")
       .join(dl, "doc_id")
       .select(col("doc_id"), col("word"), score.as("bm25"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("doc_id", "rn", "word", "bm25")
-      .orderBy("doc_id", "rn")
   }
 
   /** Corpus bigram language-model scoring — the model is trained on the
@@ -1218,6 +1230,23 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> list_contains($lst, t)))"
   }
 
+  /** BM25 CTE chain ending in `bscored(doc_id, word, bm25)` — the exact
+    * per-(doc, word) integer score bm25_top_terms gates, exported (with
+    * collision-proof b-prefixed CTE names) so cross-module retrieval
+    * oracles (Similarity's hybrid_rrf) replay the identical lexical
+    * model inside a larger WITH chain. */
+  private[operators] def bm25ScoredCteSql: String =
+    s"btoks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+      "bpairs AS (SELECT doc_id, unnest(tk) AS word FROM btoks), " +
+      "btf AS (SELECT doc_id, word, count(*) AS tf FROM bpairs GROUP BY 1, 2), " +
+      "bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1), " +
+      "bdft AS (SELECT word, count(*) AS df FROM btf GROUP BY 1), " +
+      "btot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(dl) AS HUGEINT) AS tl FROM bdl), " +
+      "bscored AS (SELECT t.doc_id, t.word, " +
+      "CAST(((1000000 * (2*n - 2*df + 1)) // (2*df + 1)) * " +
+      "((1000000 * 22 * tf * tl) // (10*tf*tl + 3*tl + 9*d.dl*n)) // 1000000 AS BIGINT) AS bm25 " +
+      "FROM btf t JOIN bdft USING (word) JOIN bdl d USING (doc_id) CROSS JOIN btot)"
+
   /** Quality-score CTE chain ending in `q(doc_id, quality)` — the exact
     * expression the quality_score oracle uses, exported so cross-module
     * oracles (Dedup.dedupKeepBest) score documents identically. */
@@ -1351,18 +1380,9 @@ object TextAnalysis {
         "(1000000 * CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_frac_scaled " +
         "FROM grams JOIN nd USING (g) GROUP BY doc_id ORDER BY doc_id"),
     "bm25_top_terms" ->
-      (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-        "pairs AS (SELECT doc_id, unnest(tk) AS word FROM toks), " +
-        "tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
-        "dft AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
-        "tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(dl) AS HUGEINT) AS tl FROM dl), " +
-        "scored AS (SELECT t.doc_id, t.word, " +
-        "CAST(((1000000 * (2*n - 2*df + 1)) // (2*df + 1)) * " +
-        "((1000000 * 22 * tf * tl) // (10*tf*tl + 3*tl + 9*d.dl*n)) // 1000000 AS BIGINT) AS bm25 " +
-        "FROM tf t JOIN dft USING (word) JOIN dl d USING (doc_id) CROSS JOIN tot) " +
+      (s"WITH $bm25ScoredCteSql " +
         "SELECT doc_id, CAST(rn AS INT) AS rn, word, bm25 FROM " +
-        "(SELECT doc_id, word, bm25, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn FROM scored) " +
+        "(SELECT doc_id, word, bm25, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn FROM bscored) " +
         "WHERE rn <= 3 ORDER BY doc_id, rn"),
     "ngram_novelty" ->
       (s"WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents), " +

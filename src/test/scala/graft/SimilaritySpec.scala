@@ -326,4 +326,27 @@ class SimilaritySpec extends SparkSpec {
       s"aggregate recall curve not monotone: $byP")
     assert(byP(32) > 0, s"32-dim prefix found nothing: $byP")
   }
+
+  test("hybrid_rrf: 5 fused rows per query, scores from the two legs' exact contributions") {
+    import spark.implicits._
+    val rows = Similarity.hybridRrf(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5),
+      "each panel query must fuse to exactly 5 results")
+    // every fused score must be expressible as contribution(ar) +
+    // contribution(lr) with ranks in [1, 10] (0 = absent from that leg),
+    // and a doc present in BOTH legs must outrank one with a single
+    // equally-ranked contribution — the fusion property RRF exists for
+    val contrib = (r: Int) => if (r == 0) 0L else 1000000000000L / (60 + r)
+    val legal = (for { a <- 0 to 10; l <- 0 to 10 if a > 0 || l > 0 }
+      yield contrib(a) + contrib(l)).toSet
+    rows.foreach { case (qid, cand, rrf, rk) =>
+      assert(legal.contains(rrf),
+        s"q$qid cand$cand: rrf $rrf is not a sum of two leg contributions")
+      assert(rk >= 1 && rk <= 5)
+    }
+    assert(rows.exists(_._3 > contrib(1)),
+      "no fused result drew from both legs — panel should overlap somewhere")
+  }
 }
