@@ -855,20 +855,53 @@ object Dedup {
     * MBs while the corpus is TBs), so its distinct-gram set is
     * broadcast — the training corpus streams map-only through the join,
     * never shuffling on gram. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct char-8-gram hashes of one text — the row-local kernel
+    * shared by the batch decontamination passes and the streaming twin's
+    * per-batch screen. */
+  private[graft] def gramSet8(text: String): Array[Long] = {
+    val set = new scala.collection.mutable.LinkedHashSet[Long]
+    var i = 0
+    while (i <= text.length - 8) { set += gramHash(text, i, 8); i += 1 }
+    set.toArray
+  }
+
+  /** The exploded (doc_id, gram) inverted frame both decontamination
+    * passes and the benchmark-gram artifact build share. */
+  private def gramsFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val set = new scala.collection.mutable.LinkedHashSet[Long]
-        var i = 0
-        while (i <= text.length - 8) { set += gramHash(text, i, 8); i += 1 }
-        (id, set.toArray)
-      })
+      .mapPartitions(_.map { case (id, text) => (id, gramSet8(text)) })
       .toDF("doc_id", "g")
       .select(col("doc_id"), explode(col("g")).as("gr"))
+  }
+
+  /** Persisted benchmark-gram artifact (durable-artifact protocol, like
+    * the BPE merges / gate spec / IVF index): the distinct char-8-gram
+    * hash set of the held-out benchmark split, written once as parquet
+    * and reloaded by the streaming decontamination twin — the production
+    * contract where the benchmark registry ships its gram sketch to the
+    * ingest service rather than every consumer rescanning the split. The
+    * set is bounded by benchmark size (MBs while the corpus is TBs). */
+  private val benchGramMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]
+
+  private[graft] def benchGramRoot(spark: SparkSession, dir: String): String = {
+    benchGramMemo.keys.filter(_._1.sparkContext.isStopped).foreach(benchGramMemo.remove)
+    benchGramMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "benchgrams", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root, Seq("grams")) { stage =>
+        gramsFrame(spark, dir).filter(col("doc_id") % 50 === 0)
+          .select("gr").distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/grams")
+      }
+    })
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramsFrame(spark, dir)
     val bench = grams.filter(col("doc_id") % 50 === 0).select("gr").distinct()
     val train = grams.filter(col("doc_id") % 50 =!= 0)
     val shared = train.join(broadcast(bench), "gr")
@@ -895,18 +928,7 @@ object Dedup {
     * every exactly-contaminated doc was flagged by the sketch. */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val set = new scala.collection.mutable.LinkedHashSet[Long]
-        var i = 0
-        while (i <= text.length - 8) { set += gramHash(text, i, 8); i += 1 }
-        (id, set.toArray)
-      })
-      .toDF("doc_id", "g")
-      .select(col("doc_id"), explode(col("g")).as("gr"))
+    val grams = gramsFrame(spark, dir)
     val bench = grams.filter(col("doc_id") % 50 === 0).select("gr").distinct()
     // Size the filter from the realized benchmark-gram cardinality (the
     // bench side is bounded — MBs, not the corpus — so this count is

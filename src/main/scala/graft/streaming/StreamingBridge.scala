@@ -1063,6 +1063,72 @@ object StreamingBridge {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Streaming decontamination — the fourth artifact-reuse pairing
+    * (after IVF ingest, BPE encode, quality gate), closing the batch/
+    * streaming gap for the decontamination family: the benchmark split's
+    * distinct char-8-gram set is a PERSISTED parquet artifact
+    * (`Dedup.benchGramRoot`, same atomic-build protocol), reloaded here
+    * as a sorted array plus a Bloom sketch built over it, both broadcast
+    * once; the training corpus then arrives as 3 doc_id-ranged files and
+    * each micro-batch is screened entirely ROW-LOCALLY — per doc, the
+    * Bloom probe gates a binary-search verify against the exact gram
+    * set, no join, no shuffle, no state store. This is the production
+    * ingest shape: the benchmark registry ships its sketch, arriving
+    * documents are screened at the door. Per-doc results depend only on
+    * the doc's own grams and the shipped artifact, so batch-wise append
+    * is value-identical to the batch pass — the SAME oracle as
+    * decontaminate_bloom gates the result. */
+  def streamDecontaminateEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val benchGrams = spark.read.parquet(
+        s"${graft.sources.ArtifactRoots.assertComplete(
+          Dedup.benchGramRoot(spark, dir))}/grams")
+      .collect().map(_.getLong(0)).sorted
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(
+      math.max(benchGrams.length.toLong, 10000L), 0.01)
+    benchGrams.foreach(bf.putLong)
+    val bgB = spark.sparkContext.broadcast(benchGrams)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "text"))
+    val schema = spark.read.parquet(docsDir).schema
+    val outDir = graft.sources.TempDirs.create("graft_stream_decon_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_decon_ck_")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        import session.implicits._
+        batch.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val bg = bgB.value
+            val f = bfB.value
+            it.map { case (id, text) =>
+              var shared = 0L
+              var flagged = 0L
+              Dedup.gramSet8(text).foreach { g =>
+                // screen-then-verify per gram: the sketch's no-false-
+                // negative guarantee means the exact check only ever
+                // runs on Bloom-positive grams
+                if (f.mightContainLong(g)) {
+                  flagged += 1
+                  if (java.util.Arrays.binarySearch(bg, g) >= 0) shared += 1
+                }
+              }
+              (id, shared, if (shared >= 5) 1 else 0, flagged >= shared)
+            }
+          }
+          .toDF("doc_id", "n_shared", "contaminated", "no_false_negative")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -1131,6 +1197,7 @@ object StreamingBridge {
     "stream_quarantine_eq" -> scoped(streamQuarantineEq),
     "stream_bpe_encode_eq" -> scoped(streamBpeEncodeEq),
     "stream_quality_gate_eq" -> scoped(streamQualityGateEq),
+    "stream_decontaminate_eq" -> scoped(streamDecontaminateEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1147,6 +1214,10 @@ object StreamingBridge {
     // identical to batch quality_gate: corpus-trained spec (thresholds +
     // tie roster) applied per micro-batch must admit the same doc set
     "stream_quality_gate_eq" -> graft.operators.TextAnalysis.oracle("quality_gate"),
+    // identical to batch decontaminate_bloom: per-doc screen-then-verify
+    // against the persisted benchmark-gram artifact, applied per
+    // micro-batch instead of in one corpus join
+    "stream_decontaminate_eq" -> graft.operators.Dedup.oracle("decontaminate_bloom"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),
