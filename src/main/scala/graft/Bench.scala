@@ -130,6 +130,20 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
+    // Optional steady-state pass (SPARK_GRAFT_PASSES=2): rerun the query
+    // set in the SAME JVM and report pass-2 walls beside pass-1. jit_s is
+    // 80-90% of wall on small queries across every recorded run, so
+    // pass-1 totals measure mostly C2 compilation of the round's plan
+    // closures, not the plans — the recurring driver-vs-record wall gap.
+    // Pass 2 runs against a warmed code cache (and warm shared-stage
+    // memos), so its per-query walls are the plan-cost signal to compare
+    // across rounds; pass 1 remains the of-record cold number.
+    val results2 =
+      if (sys.env.get("SPARK_GRAFT_PASSES").exists(_.toInt >= 2))
+        Some(selected.map { case (name, fn) =>
+          timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        })
+      else None
     val all = chainResults ++ results
     // The failed list rides the size-capped stdout line, so it must be
     // bounded itself (22 failures once inflated the line past the 2000-char
@@ -150,14 +164,23 @@ object Bench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
     // Full detail (wall + cpu + gc per query) → file; judge-readable even
-    // when the stdout tail is truncated.
-    val detail = all.map(t =>
-      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}, "jit_s": ${fmt(t.jitS)}}""")
-      .mkString("{\n", ",\n", "\n  }")
+    // when the stdout tail is truncated. With SPARK_GRAFT_PASSES=2 each
+    // entry also carries wall2_s/cpu2_s (the steady-state rerun).
+    val pass2ByName = results2.map(_.map(t => t.name -> t).toMap).getOrElse(Map.empty)
+    val detail = all.map { t =>
+      val p2 = pass2ByName.get(t.name).map(s =>
+        s""", "wall2_s": ${fmt(s.wallS)}, "cpu2_s": ${fmt(s.cpuS)}""").getOrElse("")
+      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}, "jit_s": ${fmt(t.jitS)}$p2}"""
+    }.mkString("{\n", ",\n", "\n  }")
     val jitTotal = all.map(_.jitS).filter(_ >= 0).sum
+    val pass2Line = results2.map { r2 =>
+      val t2 = r2.map(_.wallS).filter(_ >= 0).sum
+      val j2 = r2.map(_.jitS).filter(_ >= 0).sum
+      s"""\n  "pass2_total": ${fmt(t2)}, "pass2_jit_s": ${fmt(j2)},"""
+    }.getOrElse("")
     val detailJson =
       s"""{
-  "metric": "total", "value": ${fmt(total)}, "unit": "sec",
+  "metric": "total", "value": ${fmt(total)}, "unit": "sec",$pass2Line
   "gc_s": ${fmt(gcS)}, "cpu_s": ${fmt(cpuS)}, "jit_s": ${fmt(jitTotal)}, "load_avg": ${fmt(load)},
   "sf": "$sfDir", "n_queries": ${results.size}, "n_chains": ${chainResults.size},
   "queries": $detail
