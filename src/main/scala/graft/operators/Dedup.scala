@@ -742,6 +742,51 @@ object Dedup {
       .orderBy("lang", "source", "band", "id1", "id2")
   }
 
+  /** LSH recall/precision audit against a seeded document sample — the
+    * measurement the sampled-audit machinery exists for: MinHash-LSH's
+    * candidate set has no global ground truth at corpus scale (exact
+    * all-pairs shingle Jaccard is quadratic), so ground truth comes from
+    * a rate-adapted md5-keyed doc sample (expected 64 shingled docs
+    * whatever the corpus size — the ngram_jaccard_sampled trick at doc
+    * granularity), exact Jaccard over ALL in-sample pairs, and a join
+    * against the pipeline's own candidate stage. Every sampled pair is
+    * emitted with its true Jaccard, the pipeline's duplicate verdict
+    * threshold (6·inter ≥ tot ⟺ J ≥ 0.2), and whether LSH generated it —
+    * so the one bounded table reads out recall (caught among true dups)
+    * AND candidate precision (true dups among caught), the two numbers
+    * that size the band/row trade. Scale shape: the 1-row universe count
+    * broadcasts, selection is a map-side integer predicate, the pair
+    * universe is sample²-bounded (~2k rows) at ANY corpus size, and the
+    * candidate join touches only in-sample pairs. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val target = 64L
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
+        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
+    val m = grams.agg(count(lit(1)).as("m"))
+    val samp = grams
+      .withColumn("hk", conv(substring(md5(concat(lit("graft-lshsample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("hk") % lit(1000000L) < expr(s"${target * 1000000L} div m"))
+      .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
+    val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
+      .withColumn("caught", lit(1))
+    samp.as("a")
+      .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
+        (col("a.sz") + col("b.sz")).as("tot"))
+      .join(cands, Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"),
+        (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"),
+        coalesce(col("caught"), lit(0)).as("caught"))
+      .orderBy("id1", "id2")
+  }
+
   /** Edit-distance verification of LSH candidates: full Levenshtein plus
     * a length-normalized similarity per candidate pair. The O(L²) kernel
     * runs ONLY on pairs LSH already admitted (candidate-driven, like
@@ -1034,6 +1079,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ngram_jaccard_sampled" -> dedupNgramJaccardSampled,
+    "lsh_recall_audit" -> lshRecallAudit,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
     "dedup_triangles" -> dedupTriangles,
@@ -1443,5 +1489,22 @@ object Dedup {
         "FROM samp a JOIN samp b ON a.lang = b.lang AND a.source = b.source " +
         "AND a.band = b.band AND a.doc_id < b.doc_id) " +
         "ORDER BY lang, source, band, id1, id2"),
+    // LSH recall/precision audit: the identical seeded doc sample, exact
+    // shingle Jaccard on all in-sample pairs, joined to the pipeline's
+    // own candidate CTE
+    "lsh_recall_audit" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "mm AS (SELECT count(*) AS m FROM grams), " +
+        "gsamp AS (SELECT doc_id, g FROM grams, mm " +
+        "WHERE CAST('0x' || substr(md5('graft-lshsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < 64000000 // m), " +
+        "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
+        "FROM gsamp a JOIN gsamp b ON a.doc_id < b.doc_id) " +
+        "SELECT p.id1, p.id2, round(inter / (tot - inter), 6) AS jaccard, " +
+        "CAST(inter * 6 >= tot AS INT) AS is_dup, " +
+        "CAST(c.id1 IS NOT NULL AS INT) AS caught " +
+        "FROM p LEFT JOIN cands c ON c.id1 = p.id1 AND c.id2 = p.id2 " +
+        "ORDER BY p.id1, p.id2"),
   )
 }

@@ -231,4 +231,26 @@ class DedupSpec extends SparkSpec {
         s"pair (${t._4},${t._5}) J=${t._6} must match the exhaustive audit")
     }
   }
+
+  test("lsh_recall_audit: sample-bounded pair universe, caught flags agree with the candidate stage") {
+    val rows = Dedup.lshRecallAudit(spark, sf)
+      .as[(Long, Long, Double, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    // pair count must be exactly sample-choose-2 for the realized sample
+    val ids = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == ids.length * (ids.length - 1) / 2,
+      "audit must emit every in-sample pair exactly once")
+    // caught == membership in the pipeline's own candidate set
+    val cands = Dedup.dedupMinhashLsh(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    rows.foreach { case (id1, id2, _, _, caught) =>
+      assert((caught == 1) == cands.contains((id1, id2)),
+        s"caught flag for ($id1,$id2) disagrees with the LSH candidate stage")
+    }
+    // the audit must find signal at this SF: some true dups, and LSH
+    // must catch at least one (identical docs always collide)
+    val dups = rows.filter(_._4 == 1)
+    assert(dups.nonEmpty, "fixture sample should contain true near-dups")
+    assert(dups.exists(_._5 == 1), "LSH caught none of the sampled true dups")
+  }
 }

@@ -495,4 +495,25 @@ class PlanAuditSpec extends SparkSpec {
     // admission is a semi join: candidates never duplicate per metadata row
     assert(p.contains("LeftSemi"), s"metadata admission not a semi join:\n$p")
   }
+
+  test("hybrid_rrf: lexical top-k is a partial-aggregated UDAF fold, never a corpus-wide window") {
+    val df = graft.operators.Similarity.hybridRrf(spark, sf)
+    // logical check: the only Windows in the plan are the bounded ones
+    // (ANN rank over the broadcast-query candidate set, query-term top-3,
+    // final fused rank over <= 20 rows/query) — the lexical candidate
+    // aggregation itself must be an Aggregate (TopKAggregator), because
+    // at 100 TB a common query term admits a corpus-sized candidate set
+    // and a 10-partition window over it is a hot-spot by construction
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lexAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.contains("topkaggregator")) => a
+    }
+    assert(lexAggs.nonEmpty, "lexical top-k no longer folds through the TopKAggregator UDAF")
+    // physical check: partial aggregation (ObjectHashAggregate partial +
+    // final pair) carries the k-row buffers through the shuffle
+    val p = plan(df)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"TopKAggregator not partially aggregated (no map-side combine):\n$p")
+  }
 }
