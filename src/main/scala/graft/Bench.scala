@@ -102,7 +102,7 @@ object Bench {
       "dedup_triangles", "dedup_cluster_sizes", "dedup_incremental",
       "dedup_bfs_levels")
     val chainDefs: Seq[(String, Set[String], () => Unit)] = Seq(
-      ("chain_dedup_sigs", dedupChainConsumers,
+      ("chain_dedup_sigs", dedupChainConsumers + "lsh_recall_audit",
         () => { operators.Dedup.cachedSignatures(spark, sfDir).count(); () }),
       ("chain_dedup_verified", dedupChainConsumers,
         () => { operators.Dedup.verifiedCandidates(spark, sfDir).count(); () }),
@@ -110,7 +110,8 @@ object Bench {
         () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),
       ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
-      ("chain_ivf_index", Set("ivf_assign", "ivf_search", "ivf_pq_search", "ivf_pq_recall"),
+      ("chain_ivf_index", Set("ivf_assign", "ivf_search", "ivf_search_filtered",
+          "ivf_pq_search", "ivf_pq_recall"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
       ("chain_ivf_incr", Set("ivf_incremental"),
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
@@ -120,6 +121,10 @@ object Bench {
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
       ("chain_bpe_merges", Set("bpe_learn_merges", "bpe_encode"),
         () => { operators.TextAnalysis.bpeMergeTable(spark, sfDir); () }),
+      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf"),
+        () => { operators.TextAnalysis.bm25Scored(spark, sfDir).count(); () }),
+      ("chain_bench_grams", Set("stream_decontaminate_eq"),
+        () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),
       ("chain_pq_codes", Set("pq_encode", "pq_recon_error", "ivf_pq_search", "ivf_pq_recall"),
         () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
     )
@@ -139,7 +144,7 @@ object Bench {
     // memos), so its per-query walls are the plan-cost signal to compare
     // across rounds; pass 1 remains the of-record cold number.
     val results2 =
-      if (sys.env.get("SPARK_GRAFT_PASSES").exists(_.toInt >= 2))
+      if (sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).exists(_ >= 2))
         Some(selected.map { case (name, fn) =>
           timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         })

@@ -631,12 +631,17 @@ object Dedup {
         val set = new scala.collection.mutable.LinkedHashSet[Long]
         var i = 0
         while (i <= text.length - 5) { set += gramHash(text, i, 5); i += 1 }
-        // length band = ⌊log₅ sz⌋, geometric with ratio 5 — ALIGNED with
-        // the 5·min ≥ max size bound below, so a surviving pair's bands
-        // differ by at most 1 (sub-blocking is lossless for J ≥ 0.2)
+        // length band = min(⌊log₅ sz⌋, 10), geometric with ratio 5 —
+        // ALIGNED with the 5·min ≥ max size bound below, so a surviving
+        // pair's bands differ by at most 1 (sub-blocking is lossless for
+        // J ≥ 0.2; merging everything past band 10 — docs with ≥ 5¹⁰
+        // ≈ 10M distinct grams, i.e. ~10MB+ of text — stays lossless
+        // too, it just coarsens the pruning for those giants). The cap
+        // exists so the sampled-audit oracle's finite CASE chain is
+        // EXACTLY this function, not a truncation of it.
         var band = 0
         var t = set.size
-        while (t >= 5) { t /= 5; band += 1 }
+        while (t >= 5 && band < 10) { t /= 5; band += 1 }
         // sorted ascending: the contract SortedIntersectCount's merge
         // scan relies on — one sort per document, not per pair
         (id, lang, src, set.toArray.sorted, set.size, band)
@@ -710,23 +715,25 @@ object Dedup {
     * whole (en, web) slice of the corpus — in ONE window partition. Here
     * block populations come from a partial-aggregated count (tiny: ≤
     * #langs·#sources·#bands rows, broadcast back), and selection is the
-    * map-side integer predicate `hash(doc_id) % 1e6 < (TARGET·1e6) div m`
-    * — expected TARGET docs per block whatever m is, hence O(TARGET²)
+    * map-side integer predicate `hash56(doc_id) < (TARGET·2⁵⁶) div m` —
+    * expected TARGET docs per block whatever m is, hence O(TARGET²)
     * pairs per block at ANY scale, and the keyed md5 hash (the
-    * curriculum_order recipe) makes the draw reproducible run-to-run,
-    * append-stable, and replayable verbatim by the DuckDB oracle. Blocks
-    * at or under TARGET docs are audited exhaustively (the rate
-    * saturates), so small strata lose nothing. */
+    * curriculum_order recipe, widened to 14 hex digits = 56 bits so the
+    * floored threshold stays nonzero up to m ≈ 7·10¹⁶ docs per block —
+    * a ppm-quantized rate would silently sample NOTHING past m = 8·10⁶,
+    * exactly the corpus scale the audit exists for) makes the draw
+    * reproducible run-to-run, append-stable, and replayable verbatim by
+    * the DuckDB oracle. Blocks at or under TARGET docs are audited
+    * exhaustively (the rate saturates), so small strata lose nothing. */
   def dedupNgramJaccardSampled(spark: SparkSession, dir: String): DataFrame = {
     val target = 8L // expected docs sampled per block → ≤ ~28 pairs each
     val g = gramSets(spark, dir)
     val sizes = g.groupBy("lang", "source", "band").agg(count(lit(1)).as("m"))
     val samp = g
       .withColumn("hk", conv(substring(md5(concat(lit("graft-jacsample:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        col("doc_id").cast("string"))), 1, 14), 16, 10).cast("long"))
       .join(broadcast(sizes), Seq("lang", "source", "band"))
-      .filter(col("hk") % lit(1000000L) <
-        expr(s"${target * 1000000L} div m"))
+      .filter(col("hk") < expr(s"${target * (1L << 56)} div m"))
     samp.as("a")
       .join(samp.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -766,11 +773,13 @@ object Dedup {
       .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
         array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
     val m = grams.agg(count(lit(1)).as("m"))
+    // 56-bit draw for the same reason as ngram_jaccard_sampled: the
+    // floored per-corpus rate must stay nonzero at any realistic m
     val samp = grams
       .withColumn("hk", conv(substring(md5(concat(lit("graft-lshsample:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        col("doc_id").cast("string"))), 1, 14), 16, 10).cast("long"))
       .crossJoin(broadcast(m))
-      .filter(col("hk") % lit(1000000L) < expr(s"${target * 1000000L} div m"))
+      .filter(col("hk") < expr(s"${target * (1L << 56)} div m"))
       .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
     val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
       .withColumn("caught", lit(1))
@@ -1482,7 +1491,7 @@ object Dedup {
         "WHEN len(g) < 9765625 THEN 9 ELSE 10 END AS INT) AS band FROM g0), " +
         "sizes AS (SELECT lang, source, band, count(*) AS m FROM g2 GROUP BY 1, 2, 3), " +
         "samp AS (SELECT g2.* FROM g2 JOIN sizes USING (lang, source, band) " +
-        "WHERE CAST('0x' || substr(md5('graft-jacsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < 8000000 // m) " +
+        s"WHERE CAST('0x' || substr(md5('graft-jacsample:' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) < ${8L * (1L << 56)} // m) " +
         "SELECT lang, source, band, id1, id2, round(inter / (tot - inter), 6) AS jaccard FROM " +
         "(SELECT a.lang, a.source, a.band, a.doc_id AS id1, b.doc_id AS id2, " +
         "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
@@ -1497,7 +1506,7 @@ object Dedup {
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
         "mm AS (SELECT count(*) AS m FROM grams), " +
         "gsamp AS (SELECT doc_id, g FROM grams, mm " +
-        "WHERE CAST('0x' || substr(md5('graft-lshsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < 64000000 // m), " +
+        s"WHERE CAST('0x' || substr(md5('graft-lshsample:' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) < ${64L * (1L << 56)} // m), " +
         "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
         "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
         "FROM gsamp a JOIN gsamp b ON a.doc_id < b.doc_id) " +

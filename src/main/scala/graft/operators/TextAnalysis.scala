@@ -130,6 +130,10 @@ object TextAnalysis {
     clearScoredMemo()
     bpeRootMemo.clear()
     gateSpecMemo.clear()
+    bm25Memo.values.foreach { df =>
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    bm25Memo.clear()
   }
 
   /** Quality score: stopword ratio + length saturation, rounded. The exact
@@ -759,9 +763,20 @@ object TextAnalysis {
   /** The per-(doc, word) integer BM25 score frame — the ranking model
     * BEFORE the per-doc top-3 cut, factored out so retrieval
     * compositions (hybrid_rrf's lexical leg) score candidate documents
-    * with the exact same kernel the gated bm25_top_terms row uses. */
-  private[operators] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
-    bm25ScoredImpl(spark, dir, forceDecimal = false)
+    * with the exact same kernel the gated bm25_top_terms row uses.
+    * Memoized + persisted per (session, dataset fingerprint): hybrid_rrf
+    * consumes it from two plan branches (query terms and candidate
+    * scores) and bm25_top_terms is a third consumer — without the memo
+    * the corpus-wide tokenize + tf/df/dl aggregation would re-execute
+    * per branch. */
+  private val bm25Memo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), DataFrame]
+
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    bm25Memo.keys.filter(_._1.sparkContext.isStopped).foreach(bm25Memo.remove)
+    bm25Memo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)),
+      bm25ScoredImpl(spark, dir, forceDecimal = false).persist())
+  }
 
   /** `forceDecimal` lets the spec exercise the huge-corpus DECIMAL kernel
     * at test scale and prove it value-identical to the Long fast path —
@@ -769,7 +784,10 @@ object TextAnalysis {
   private[graft] def bm25TopTermsImpl(spark: SparkSession, dir: String,
       forceDecimal: Boolean): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
-    bm25ScoredImpl(spark, dir, forceDecimal)
+    // the Long fast path shares the memoized stage; the spec-only DECIMAL
+    // variant stays un-memoized so it can't shadow the production frame
+    (if (forceDecimal) bm25ScoredImpl(spark, dir, forceDecimal = true)
+     else bm25Scored(spark, dir))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("doc_id", "rn", "word", "bm25")

@@ -20,13 +20,17 @@ import org.apache.spark.sql.SparkSession
   * the cache key, the marker below is the visibility barrier.
   *
   * '''Atomic build.''' Writers never mutate the live root: parts land in
-  * a `.build` staging child and are `ATOMIC_MOVE`d into place, then a
-  * `.complete` marker file is created LAST. Creation of the `.build` dir
-  * itself is the mutual-exclusion claim (`Files.createDirectory` is
-  * atomic on POSIX): of N concurrent builders exactly one proceeds; the
-  * losers wait for the winner's marker and read the result. A crash
-  * mid-build leaves a root without a marker — unreadable by protocol,
-  * never half-read.
+  * a `.build` staging child and are `ATOMIC_MOVE`d into place, then the
+  * `.complete` marker is created, and only then is the staging claim
+  * released. Creation of the `.build` dir itself is the mutual-exclusion
+  * claim (`Files.createDirectory` is atomic on POSIX): of N concurrent
+  * builders exactly one proceeds; the losers wait for the winner's
+  * marker and read the result. The claim outlives the publish on
+  * purpose — releasing it before the marker would let a racer re-claim
+  * and collide with the published parts. A crash mid-build leaves a
+  * root without a marker — unreadable by protocol, never half-read —
+  * and an in-process build failure deletes its own claim so the root
+  * self-heals instead of deadlocking every future builder.
   *
   * '''Reader check.''' Every consumer calls [[assertComplete]] before
   * reading, so the marker is enforced on BOTH sides of the race, not
@@ -42,15 +46,29 @@ object ArtifactRoots {
       .orElse(sys.env.get("GRAFT_ARTIFACT_ROOT"))
       .filter(_.nonEmpty)
 
+  /** Artifact-format version, part of every shared-root path. Bump it
+    * whenever the bytes an artifact builder writes change meaning —
+    * training logic, parameters (IvfK, BPE rounds, gate formula), or
+    * file layout — so a deployed upgrade builds fresh artifacts instead
+    * of silently serving what an older binary left on the durable root
+    * (the staleness class the process-private default is immune to by
+    * construction). Overridable per session via
+    * `spark.graft.artifactVersion` for side-by-side migration tests. */
+  private val FormatVersion = 1
+
   /** Root directory for artifact `kind` trained on the dataset at `dir`:
-    * `<sharedRoot>/<kind>/<fingerprint(dir)>` when a shared root is
-    * configured (durable, collision-free, staleness-free by key), else a
-    * fresh process-private temp dir (the caller's memo provides the
+    * `<sharedRoot>/<kind>/v<version>/<fingerprint(dir)>` when a shared
+    * root is configured (durable; collision-free by kind, staleness-free
+    * by dataset fingerprint AND format version), else a fresh
+    * process-private temp dir (the caller's memo provides the
     * per-process dedup in that case). */
   def rootFor(spark: SparkSession, kind: String, dir: String): String =
     configured(spark) match {
       case Some(shared) =>
-        val p = java.nio.file.Paths.get(shared, kind, DatasetId.fingerprint(dir))
+        val v = spark.conf.getOption("spark.graft.artifactVersion")
+          .getOrElse(FormatVersion.toString)
+        val p = java.nio.file.Paths.get(shared, kind, s"v$v",
+          DatasetId.fingerprint(dir))
         java.nio.file.Files.createDirectories(p)
         p.toString
       case None => TempDirs.create(s"graft_${kind}_")
@@ -76,15 +94,38 @@ object ArtifactRoots {
     if (java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.delete(stage); return root
     }
-    write(stage.toString)
-    parts.foreach { p =>
-      java.nio.file.Files.move(stage.resolve(p),
-        java.nio.file.Paths.get(root, p),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      write(stage.toString)
+      parts.foreach { p =>
+        java.nio.file.Files.move(stage.resolve(p),
+          java.nio.file.Paths.get(root, p),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      // Marker BEFORE releasing the stage claim: the claim dir is the
+      // mutual exclusion, so it must outlive the publish — deleting it
+      // first would open a window where a second builder re-claims,
+      // rebuilds, and crashes ATOMIC_MOVE-ing onto the already-published
+      // part directories.
+      java.nio.file.Files.createFile(marker)
+    } catch {
+      case e: Throwable =>
+        // A failed build must release its claim (best-effort recursive
+        // delete of the stage) or the root is poisoned: on a durable
+        // shared root every later builder — including fresh processes —
+        // would block on a marker that is never coming.
+        try deleteRecursively(stage)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
     java.nio.file.Files.delete(stage)
-    java.nio.file.Files.createFile(marker)
     root
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** Block until `marker` exists — the loser's half of the builder race.

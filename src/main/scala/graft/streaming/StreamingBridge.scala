@@ -1070,9 +1070,11 @@ object StreamingBridge {
     * (`Dedup.benchGramRoot`, same atomic-build protocol), reloaded here
     * as a sorted array plus a Bloom sketch built over it, both broadcast
     * once; the training corpus then arrives as 3 doc_id-ranged files and
-    * each micro-batch is screened entirely ROW-LOCALLY — per doc, the
-    * Bloom probe gates a binary-search verify against the exact gram
-    * set, no join, no shuffle, no state store. This is the production
+    * each micro-batch is screened entirely ROW-LOCALLY — per doc, a
+    * Bloom-probe count and an independent binary-search exact count
+    * against the shipped gram set (independent so the no-false-negative
+    * column is a live check, not a tautology), no join, no shuffle, no
+    * state store. This is the production
     * ingest shape: the benchmark registry ships its sketch, arriving
     * documents are screened at the door. Per-doc results depend only on
     * the doc's own grams and the shipped artifact, so batch-wise append
@@ -1109,13 +1111,14 @@ object StreamingBridge {
               var shared = 0L
               var flagged = 0L
               Dedup.gramSet8(text).foreach { g =>
-                // screen-then-verify per gram: the sketch's no-false-
-                // negative guarantee means the exact check only ever
-                // runs on Bloom-positive grams
-                if (f.mightContainLong(g)) {
-                  flagged += 1
-                  if (java.util.Arrays.binarySearch(bg, g) >= 0) shared += 1
-                }
+                // both counts independently, like the batch pass: the
+                // exact binary-search count never consults the sketch,
+                // so `flagged >= shared` is a REAL per-doc check of the
+                // Bloom's no-false-negative guarantee — gating the
+                // exact check behind the Bloom probe would make the
+                // comparison true by construction and unable to fire
+                if (f.mightContainLong(g)) flagged += 1
+                if (java.util.Arrays.binarySearch(bg, g) >= 0) shared += 1
               }
               (id, shared, if (shared >= 5) 1 else 0, flagged >= shared)
             }
