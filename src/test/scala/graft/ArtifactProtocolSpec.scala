@@ -56,6 +56,40 @@ class ArtifactProtocolSpec extends SparkSpec {
     assert(calls === 1, "a completed root must skip the build entirely")
   }
 
+  test("a failed build releases its claim: the root self-heals for the next builder") {
+    val root = graft.sources.TempDirs.create("graft_fail_root_")
+    val boom = intercept[RuntimeException] {
+      ArtifactRoots.atomicBuild(root, Seq("data")) { _ =>
+        sys.error("simulated mid-build failure")
+      }
+    }
+    assert(boom.getMessage.contains("simulated"))
+    assert(!new java.io.File(s"$root/.build").exists(),
+      "failed build must delete its claim or the root deadlocks forever")
+    assert(!new java.io.File(s"$root/.complete").exists())
+    // the next builder must get through without waiting on a dead claim
+    ArtifactRoots.atomicBuild(root, Seq("data")) { stage =>
+      spark.range(2).coalesce(1).write.parquet(s"$stage/data")
+    }
+    assert(new java.io.File(s"$root/.complete").exists())
+    assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data").count() == 2)
+  }
+
+  test("marker precedes claim release: a reader admitted by the marker always sees published parts") {
+    // structural assertion of the publish order: once .complete exists,
+    // every declared part is already in place (the win of creating the
+    // marker BEFORE deleting .build — a crash between the two leaves a
+    // readable root plus a stale claim, never a marker without parts)
+    val root = graft.sources.TempDirs.create("graft_order_root_")
+    ArtifactRoots.atomicBuild(root, Seq("a", "b")) { stage =>
+      spark.range(1).coalesce(1).write.parquet(s"$stage/a")
+      spark.range(1).coalesce(1).write.parquet(s"$stage/b")
+    }
+    assert(new java.io.File(s"$root/.complete").exists())
+    assert(new java.io.File(s"$root/a").exists() && new java.io.File(s"$root/b").exists())
+    assert(!new java.io.File(s"$root/.build").exists())
+  }
+
   test("readers refuse a root without the .complete marker") {
     val root = graft.sources.TempDirs.create("graft_halfbuilt_root_")
     // simulate a killed build: files present, marker absent
