@@ -831,6 +831,95 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), score.as("bm25"))
   }
 
+  /** O(delta) BM25 lexical-model maintenance — the agg_incremental /
+    * gate_spec_refresh discipline applied to the retrieval index: the
+    * BM25 model is three mergeable aggregates (per-word document
+    * frequency, corpus doc count N, corpus token total TL), and because
+    * a delta's doc set is disjoint from the resident corpus, df/N/TL all
+    * merge by ADDITION — so when a delta lands (doc_id ≡ 0 mod 10, the
+    * dedup_incremental convention), refreshing the model costs one pass
+    * over the DELTA plus a vocabulary-sized merge, never a corpus
+    * re-scan. The oracle retrains from the full corpus directly: green
+    * iff merge(model(base), model(delta)) == model(base ∪ delta), the
+    * invariant that makes incremental index refresh trustworthy. Output
+    * is the merged model itself (per-word df + the two corpus scalars),
+    * vocabulary-bounded. */
+  def bm25ModelRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 0
+    def modelOf(d: DataFrame): (DataFrame, DataFrame) = {
+      val tf = d.select(col("doc_id"), explode(toks).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      (dfm, dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl")))
+    }
+    val docs = Tables.documents(spark, dir)
+    val (dfBase, scBase) = modelOf(docs.filter(!isNew))
+    val (dfDelta, scDelta) = modelOf(docs.filter(isNew))
+    val scalars = scBase.crossJoin(
+        scDelta.select(col("n").as("nd"), col("tl").as("tld")))
+      .select((col("n") + col("nd")).as("n_docs"),
+        (col("tl") + col("tld")).as("total_tokens"))
+    dfBase.unionByName(dfDelta)
+      .groupBy("word").agg(sum("df").as("df"))
+      .crossJoin(broadcast(scalars))
+      .select("word", "df", "n_docs", "total_tokens")
+      .orderBy("word")
+  }
+
+  /** RAG-shaped chunk retrieval with a per-document diversity cap — the
+    * serving-side composition of two gated stages: each panel query's
+    * top-3 BM25 terms (its lexical query, weights from the memoized
+    * per-(doc, word) kernel) score every 64-token/stride-32 chunk (the
+    * doc_chunking grid) as Σ occurrences × term weight, then results
+    * diversify: at most 2 chunks per source document (so one
+    * boilerplate-heavy doc can't fill the context window), global top-5
+    * per query. Both cuts ride the TopKAggregator UDAF — O(k)
+    * partial-agg state with map-side combine — because a common query
+    * term matches a corpus-sized chunk set and per-query window
+    * partitions would hot-spot (the hybrid_rrf argument, twice).
+    * Weights are floor-scaled by 1000 so the worst-case chunk score
+    * (64 matched tokens × max idf-scaled weight) stays double-exact in
+    * the top-k buffers out to ~10⁹-doc corpora; integer arithmetic on
+    * both engines makes the oracle replay exact. Encoded tie-break id
+    * doc_id·10⁶ + chunk_id orders (doc, chunk) ascending; chunk_id < 10⁶
+    * holds for any document under 32M tokens. */
+  def chunkRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TopKAggregator, TopKItem}
+    val enc = org.apache.spark.sql.Encoders.product[TopKItem]
+    val wQt = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
+    val qterms = bm25Scored(spark, dir).filter(col("doc_id") < 10)
+      .withColumn("rn", row_number().over(wQt))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("qid"), col("word"), expr("bm25 div 1000").as("w"))
+    val chunkWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(32))).as("s"), col("tk"))
+      .select(col("doc_id"), (col("s") / 32).cast("long").as("chunk_id"),
+        explode(slice(col("tk"), col("s") + 1, lit(64))).as("word"))
+    val scored = chunkWords.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id", "chunk_id")
+      .agg(sum("w").as("score"))
+    val top2 = udaf(new TopKAggregator(2), enc)
+    val top5 = udaf(new TopKAggregator(5), enc)
+    val capped = scored.groupBy("qid", "doc_id")
+      .agg(top2(col("score").cast("double"), col("chunk_id")).as("t"))
+      .select(col("qid"), col("doc_id"), explode(col("t.items")).as("it"))
+      .select(col("qid"),
+        (col("doc_id") * 1000000L + col("it.id")).as("e"), col("it.value").as("v"))
+    capped.groupBy("qid").agg(top5(col("v"), col("e")).as("t"))
+      .select(col("qid"), posexplode(col("t.items")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("chunk_rank"),
+        col("col.id").as("e"), col("col.value").as("v"))
+      .select(col("qid"), col("chunk_rank"),
+        expr("e div 1000000").as("doc_id"), expr("e % 1000000").as("chunk_id"),
+        col("v").cast("long").as("score"))
+      .orderBy("qid", "chunk_rank")
+  }
+
   /** Corpus bigram language-model scoring — the model is trained on the
     * corpus and applied back to each document (the self-referential shape
     * of a data-quality pipeline). P(w2|w1) is integer-scaled like TF-IDF.
@@ -1223,6 +1312,8 @@ object TextAnalysis {
     "quality_score" -> qualityScore,
     "quality_gate" -> qualityGate,
     "gate_spec_refresh" -> gateSpecRefresh,
+    "bm25_model_refresh" -> bm25ModelRefresh,
+    "chunk_retrieval" -> chunkRetrieval,
     "curriculum_order" -> curriculumOrder,
     "token_budget_select" -> tokenBudgetSelect,
     "bpe_pair_counts" -> bpePairCounts,
@@ -1435,6 +1526,32 @@ object TextAnalysis {
         "(SELECT w, count(*) AS exact FROM " +
         s"(SELECT unnest(toks) AS w FROM (SELECT $toksSql AS toks FROM documents)) " +
         "GROUP BY w) ORDER BY exact DESC, w LIMIT 50"),
+    // full-retrain oracle: green iff merge(base, delta) == retrain(full)
+    "bm25_model_refresh" ->
+      (s"WITH mpairs AS (SELECT doc_id, unnest($toksSql) AS word FROM documents), " +
+        "mtf AS (SELECT doc_id, word, count(*) AS tf FROM mpairs GROUP BY 1, 2), " +
+        "mdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM mtf GROUP BY 1), " +
+        "mdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM mtf GROUP BY 1), " +
+        "msc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_tokens FROM mdl) " +
+        "SELECT word, df, n_docs, total_tokens FROM mdf CROSS JOIN msc ORDER BY word"),
+    // replay: query terms + weights from the shared bscored CTE, chunk
+    // grid from btoks, the same two-level (per-doc cap 2, global top-5)
+    // rank with identical integer weights and tie order
+    "chunk_retrieval" ->
+      (s"WITH $bm25ScoredCteSql, " +
+        "qt3 AS (SELECT qid, word, w FROM (SELECT doc_id AS qid, word, bm25 // 1000 AS w, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +
+        "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
+        "cw AS (SELECT doc_id, CAST(s // 32 AS BIGINT) AS chunk_id, unnest(tk[s+1 : s+64]) AS word " +
+        "FROM (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, 32)) AS s " +
+        "FROM btoks WHERE len(tk) > 0)), " +
+        "sc2 AS (SELECT qid, cw.doc_id, chunk_id, CAST(sum(w) AS BIGINT) AS score " +
+        "FROM cw JOIN qt3 USING (word) WHERE cw.doc_id <> qt3.qid GROUP BY 1, 2, 3), " +
+        "cap AS (SELECT qid, doc_id, chunk_id, score FROM (SELECT sc2.*, " +
+        "row_number() OVER (PARTITION BY qid, doc_id ORDER BY score DESC, chunk_id) AS rn FROM sc2) WHERE rn <= 2) " +
+        "SELECT qid, CAST(rk AS INT) AS chunk_rank, doc_id, chunk_id, score FROM " +
+        "(SELECT cap.*, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id, chunk_id) AS rk FROM cap) " +
+        "WHERE rk <= 5 ORDER BY qid, chunk_rank"),
     "doc_chunking" ->
       (s"SELECT doc_id, CAST(start_tok // 32 AS BIGINT) AS chunk_id, " +
         "CAST(start_tok AS INT) AS start_tok, " +

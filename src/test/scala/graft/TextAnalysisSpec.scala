@@ -326,4 +326,48 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bpeEncodeDocs(b, merges).collect().map(_.toString)).sorted
     assert(parts == whole, "batch-split encode diverged from the corpus pass")
   }
+
+  test("bm25_model_refresh: merged model equals a from-scratch retrain") {
+    import spark.implicits._
+    val merged = TextAnalysis.bm25ModelRefresh(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(merged.nonEmpty)
+    // scalars are constant across rows and equal the full-corpus truth
+    assert(merged.map(r => (r._3, r._4)).distinct.length == 1)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])].collect()
+    val withToks = docs.filter(_._2.nonEmpty)
+    assert(merged.head._3 == withToks.length, "n_docs != tokenized doc count")
+    assert(merged.head._4 == withToks.map(_._2.length.toLong).sum, "total_tokens mismatch")
+    // per-word df equals the direct document-frequency count
+    val truth = withToks.flatMap { case (_, tk) => tk.distinct }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(merged.length == truth.size)
+    merged.foreach { case (w, df, _, _) =>
+      assert(truth(w) == df, s"df($w): merged $df vs retrain ${truth(w)}")
+    }
+  }
+
+  test("chunk_retrieval: top-5 per query, at most 2 chunks per source doc, chunks on the grid") {
+    import spark.implicits._
+    val rows = TextAnalysis.chunkRetrieval(spark, sf)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 5 && rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks not 1..k")
+      assert(rs.map(_._3).groupBy(identity).values.forall(_.length <= 2),
+        s"query $q: diversity cap violated")
+      assert(rs.forall(_._5 > 0), s"query $q: non-positive score")
+      assert(!rs.exists(_._3 == q), s"query $q retrieved its own chunks")
+    }
+    // every retrieved (doc, chunk) exists on the doc_chunking grid
+    val grid = TextAnalysis.docChunking(spark, sf)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+    rows.foreach { r =>
+      assert(grid.contains((r._3, r._4)), s"chunk (${r._3},${r._4}) off-grid")
+    }
+  }
 }
