@@ -781,7 +781,15 @@ object Dedup {
       .crossJoin(broadcast(m))
       .filter(col("hk") < expr(s"${target * (1L << 56)} div m"))
       .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
-    val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
+    // candidacy among sampled docs only: a pair is an LSH candidate iff
+    // its OWN band signatures collide, so restricting the signature
+    // frame to the sample before the band self-join is semantically
+    // identical for every audited pair — and collapses the audit's
+    // candidate stage from a corpus-wide join (measured ×11 at 10× data)
+    // to a ~64-doc one, keeping the whole operator O(sample) + one
+    // signature scan
+    val cands = lshPairsFromSigs(cachedSignatures(spark, dir)
+        .join(broadcast(samp.select("doc_id")), Seq("doc_id")))
       .withColumn("caught", lit(1))
     samp.as("a")
       .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))

@@ -516,4 +516,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"TopKAggregator not partially aggregated (no map-side combine):\n$p")
   }
+
+  test("chunk_retrieval: both diversity cuts are partial-agg folds; the only window is the 10-doc query panel") {
+    val df = graft.operators.TextAnalysis.chunkRetrieval(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val topkAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.contains("topkaggregator")) => a
+    }
+    assert(topkAggs.size >= 2,
+      s"expected per-doc cap AND global top-5 as TopKAggregator folds, found ${topkAggs.size}")
+    // the sole window ranks the panel's own terms (partitioned by the
+    // query doc id, 10 partitions of vocabulary-bounded size) — never
+    // the corpus-sized chunk-candidate stream
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(
+      _.partitionSpec.exists(_.toString.contains("doc_id"))),
+      "unexpected window shape in chunk_retrieval")
+    val p = plan(df)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"TopK folds not partially aggregated:\n$p")
+  }
 }
