@@ -844,18 +844,22 @@ object TextAnalysis {
     * invariant that makes incremental index refresh trustworthy. Output
     * is the merged model itself (per-word df + the two corpus scalars),
     * vocabulary-bounded. */
+  /** The BM25 model's two mergeable parts for a document frame: the
+    * per-word document-frequency table and the 1-row (n, tl) corpus
+    * scalars — shared by the batch refresh and its streaming twin. */
+  private[graft] def bm25ModelParts(d: DataFrame): (DataFrame, DataFrame) = {
+    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    (dfm, dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl")))
+  }
+
   def bm25ModelRefresh(spark: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 0
-    def modelOf(d: DataFrame): (DataFrame, DataFrame) = {
-      val tf = d.select(col("doc_id"), explode(toks).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      (dfm, dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl")))
-    }
-    val docs = Tables.documents(spark, dir)
-    val (dfBase, scBase) = modelOf(docs.filter(!isNew))
-    val (dfDelta, scDelta) = modelOf(docs.filter(isNew))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val (dfBase, scBase) = bm25ModelParts(docs.filter(!isNew))
+    val (dfDelta, scDelta) = bm25ModelParts(docs.filter(isNew))
     val scalars = scBase.crossJoin(
         scDelta.select(col("n").as("nd"), col("tl").as("tld")))
       .select((col("n") + col("nd")).as("n_docs"),

@@ -1132,6 +1132,60 @@ object StreamingBridge {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Streaming BM25 model maintenance — the fifth batch/stream pairing,
+    * the serving half of `bm25_model_refresh`: the resident corpus's
+    * lexical model (per-word df + the (N, TL) scalars) is materialized
+    * once as version-0 state, then the delta (doc_id ≡ 0 mod 10)
+    * arrives as micro-batches and each trigger folds the BATCH's model
+    * increment into a new state version — a vocabulary-sized merge by
+    * addition, valid because batch doc sets are disjoint, so the final
+    * version must equal a from-scratch retrain REGARDLESS of how the
+    * delta was micro-batched. Per-trigger cost is O(|batch| + vocab),
+    * never a corpus re-scan — the index-freshness loop of a production
+    * retrieval stack, and the same versioned-state shape as the CDC
+    * twin. Gated by bm25_model_refresh's full-retrain oracle. */
+  def streamBm25RefreshEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val stateRoot = graft.sources.TempDirs.create("graft_stream_bm25_")
+    def writeModel(df: DataFrame, sc: DataFrame, v: Int): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v$v/df")
+      sc.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v$v/sc")
+    }
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val (dfB, scB) = TextAnalysis.bm25ModelParts(base)
+    writeModel(dfB, scB, 0)
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "text"))
+    val schema = spark.read.parquet(docsDir).schema
+    val ck = graft.sources.TempDirs.create("graft_stream_bm25_ck_")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val cur = ver.get()
+        val (dfI, scI) = TextAnalysis.bm25ModelParts(
+          batch.filter(col("doc_id") % 10 === 0).select("doc_id", "text"))
+        val dfM = session.read.parquet(s"$stateRoot/v$cur/df")
+          .unionByName(dfI).groupBy("word").agg(sum("df").as("df"))
+        val scM = session.read.parquet(s"$stateRoot/v$cur/sc")
+          .crossJoin(scI.select(col("n").as("ni"), col("tl").as("tli")))
+          .select((col("n") + col("ni")).as("n"), (col("tl") + col("tli")).as("tl"))
+        writeModel(dfM, scM, cur + 1)
+        ver.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val last = ver.get()
+    spark.read.parquet(s"$stateRoot/v$last/df")
+      .crossJoin(broadcast(spark.read.parquet(s"$stateRoot/v$last/sc")
+        .select(col("n").as("n_docs"), col("tl").as("total_tokens"))))
+      .select("word", "df", "n_docs", "total_tokens")
+      .orderBy("word")
+  }
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -1201,6 +1255,7 @@ object StreamingBridge {
     "stream_bpe_encode_eq" -> scoped(streamBpeEncodeEq),
     "stream_quality_gate_eq" -> scoped(streamQualityGateEq),
     "stream_decontaminate_eq" -> scoped(streamDecontaminateEq),
+    "stream_bm25_refresh_eq" -> scoped(streamBm25RefreshEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1221,6 +1276,9 @@ object StreamingBridge {
     // against the persisted benchmark-gram artifact, applied per
     // micro-batch instead of in one corpus join
     "stream_decontaminate_eq" -> graft.operators.Dedup.oracle("decontaminate_bloom"),
+    // identical to batch bm25_model_refresh: per-trigger mergeable-model
+    // folds must land on the exact full-retrain model
+    "stream_bm25_refresh_eq" -> graft.operators.TextAnalysis.oracle("bm25_model_refresh"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),
