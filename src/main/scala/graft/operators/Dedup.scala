@@ -82,6 +82,10 @@ object Dedup {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     chainMemo.clear()
+    // persisted benchmark-gram artifact roots follow the same discipline
+    // as the TextAnalysis artifact memos: config-invariance variants must
+    // rebuild, not replay a root trained under the baseline config
+    benchGramMemo.clear()
   }
 
   private def toksCol: Column = TextFunctions.tokens(col("text"))
