@@ -771,19 +771,30 @@ object Dedup {
     * candidate join touches only in-sample pairs. */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     val target = 64L
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
-        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
-    val m = grams.agg(count(lit(1)).as("m"))
+    // the sample universe and its size both come from the PERSISTED
+    // signature stage — cachedSignatures applies the identical
+    // ≥3-tokens admission (shingled docs), so neither the draw nor m
+    // needs a corpus gram scan of its own
+    val sigs = cachedSignatures(spark, dir)
+    val m = sigs.agg(count(lit(1)).as("m"))
     // 56-bit draw for the same reason as ngram_jaccard_sampled: the
     // floored per-corpus rate must stay nonzero at any realistic m
-    val samp = grams
+    val sampIds = sigs.select("doc_id")
       .withColumn("hk", conv(substring(md5(concat(lit("graft-lshsample:"),
         col("doc_id").cast("string"))), 1, 14), 16, 10).cast("long"))
       .crossJoin(broadcast(m))
       .filter(col("hk") < expr(s"${target * (1L << 56)} div m"))
+      .select("doc_id")
+    // exact shingle-gram sets are derived ONLY for the sampled docs —
+    // the broadcast id semi-restriction reaches the documents scan, so
+    // the expensive tokenize/shingle/hash pipeline runs on ~TARGET rows,
+    // not the corpus (the third full gram scan the review caught)
+    val samp = Tables.documents(spark, dir)
+      .join(broadcast(sampIds), Seq("doc_id"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
+        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
       .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
     // candidacy among sampled docs only: a pair is an LSH candidate iff
     // its OWN band signatures collide, so restricting the signature
@@ -791,9 +802,9 @@ object Dedup {
     // identical for every audited pair — and collapses the audit's
     // candidate stage from a corpus-wide join (measured ×11 at 10× data)
     // to a ~64-doc one, keeping the whole operator O(sample) + one
-    // signature scan
-    val cands = lshPairsFromSigs(cachedSignatures(spark, dir)
-        .join(broadcast(samp.select("doc_id")), Seq("doc_id")))
+    // (persisted) signature scan
+    val cands = lshPairsFromSigs(sigs
+        .join(broadcast(sampIds), Seq("doc_id")))
       .withColumn("caught", lit(1))
     samp.as("a")
       .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))

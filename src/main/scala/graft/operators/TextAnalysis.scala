@@ -831,6 +831,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), score.as("bm25"))
   }
 
+  /** The BM25 model's two mergeable parts for a document frame: the
+    * per-word document-frequency table and the 1-row (n, tl) corpus
+    * scalars — shared by the batch refresh and its streaming twin. */
+  private[graft] def bm25ModelParts(d: DataFrame): (DataFrame, DataFrame) = {
+    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    (dfm, dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl")))
+  }
+
   /** O(delta) BM25 lexical-model maintenance — the agg_incremental /
     * gate_spec_refresh discipline applied to the retrieval index: the
     * BM25 model is three mergeable aggregates (per-word document
@@ -844,17 +855,6 @@ object TextAnalysis {
     * invariant that makes incremental index refresh trustworthy. Output
     * is the merged model itself (per-word df + the two corpus scalars),
     * vocabulary-bounded. */
-  /** The BM25 model's two mergeable parts for a document frame: the
-    * per-word document-frequency table and the 1-row (n, tl) corpus
-    * scalars — shared by the batch refresh and its streaming twin. */
-  private[graft] def bm25ModelParts(d: DataFrame): (DataFrame, DataFrame) = {
-    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    (dfm, dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl")))
-  }
-
   def bm25ModelRefresh(spark: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 0
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -887,7 +887,9 @@ object TextAnalysis {
     * the top-k buffers out to ~10⁹-doc corpora; integer arithmetic on
     * both engines makes the oracle replay exact. Encoded tie-break id
     * doc_id·10⁶ + chunk_id orders (doc, chunk) ascending; chunk_id < 10⁶
-    * holds for any document under 32M tokens. */
+    * holds for any document under 32M tokens and is ENFORCED with a
+    * raise_error branch folded into the encode arithmetic — an
+    * over-radix chunk would otherwise silently corrupt the decode. */
   def chunkRetrieval(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TopKAggregator, TopKItem}
     val enc = org.apache.spark.sql.Encoders.product[TopKItem]
@@ -912,8 +914,16 @@ object TextAnalysis {
     val capped = scored.groupBy("qid", "doc_id")
       .agg(top2(col("score").cast("double"), col("chunk_id")).as("t"))
       .select(col("qid"), col("doc_id"), explode(col("t.items")).as("it"))
+      // encoding-overflow guard referenced by the arithmetic itself (so
+      // the optimizer can't prune it): a chunk_id past the 10⁶ radix
+      // would silently corrupt the decode — fail loudly instead
       .select(col("qid"),
-        (col("doc_id") * 1000000L + col("it.id")).as("e"), col("it.value").as("v"))
+        (col("doc_id") * 1000000L +
+          when(col("it.id") < 1000000L, col("it.id"))
+            .otherwise(raise_error(lit(
+              "chunk_id >= 1e6 (document over 32M tokens): " +
+                "widen the chunk_retrieval tie-break radix")).cast("long"))).as("e"),
+        col("it.value").as("v"))
     capped.groupBy("qid").agg(top5(col("v"), col("e")).as("t"))
       .select(col("qid"), posexplode(col("t.items")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("chunk_rank"),

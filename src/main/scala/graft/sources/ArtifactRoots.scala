@@ -95,6 +95,12 @@ object ArtifactRoots {
       java.nio.file.Files.delete(stage); return root
     }
     try {
+      // No marker + we hold the claim ⇒ any part dirs under the root are
+      // unpublished leftovers (a crashed builder that died between a
+      // part move and its cleanup). By protocol they are unreadable, so
+      // clear them — otherwise OUR ATOMIC_MOVE below would collide with
+      // a stale directory and the root could never be built again.
+      parts.foreach(p => deleteRecursively(java.nio.file.Paths.get(root, p)))
       write(stage.toString)
       parts.foreach { p =>
         java.nio.file.Files.move(stage.resolve(p),
@@ -109,12 +115,18 @@ object ArtifactRoots {
       java.nio.file.Files.createFile(marker)
     } catch {
       case e: Throwable =>
-        // A failed build must release its claim (best-effort recursive
-        // delete of the stage) or the root is poisoned: on a durable
-        // shared root every later builder — including fresh processes —
-        // would block on a marker that is never coming.
-        try deleteRecursively(stage)
-        catch { case scala.util.control.NonFatal(_) => () }
+        // A failed build must undo everything this ATTEMPT landed — any
+        // parts already moved into the root (a failure mid-loop would
+        // otherwise strand them and collide with the next attempt's
+        // moves) and then the claim itself — or the root is poisoned: on
+        // a durable shared root every later builder, including fresh
+        // processes, would either block on a marker that never comes or
+        // crash on the stale part. Best-effort; the pre-build sweep
+        // above is the second line of defence for a hard crash here.
+        try {
+          parts.foreach(p => deleteRecursively(java.nio.file.Paths.get(root, p)))
+          deleteRecursively(stage)
+        } catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
     java.nio.file.Files.delete(stage)

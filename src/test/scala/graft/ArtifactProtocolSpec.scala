@@ -75,6 +75,20 @@ class ArtifactProtocolSpec extends SparkSpec {
     assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data").count() == 2)
   }
 
+  test("a failure after a partial parts move still self-heals: no stale part collides with the retry") {
+    val root = graft.sources.TempDirs.create("graft_partial_root_")
+    // simulate a builder that moved part "a" into the root and then died
+    // before cleanup: by protocol (no marker) "a" is unreadable junk
+    spark.range(5).coalesce(1).write.parquet(s"$root/a")
+    ArtifactRoots.atomicBuild(root, Seq("a", "b")) { stage =>
+      spark.range(1).coalesce(1).write.parquet(s"$stage/a")
+      spark.range(1).coalesce(1).write.parquet(s"$stage/b")
+    }
+    assert(new java.io.File(s"$root/.complete").exists())
+    // the rebuild's "a" won, not the stale leftover
+    assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/a").count() == 1)
+  }
+
   test("marker precedes claim release: a reader admitted by the marker always sees published parts") {
     // structural assertion of the publish order: once .complete exists,
     // every declared part is already in place (the win of creating the

@@ -360,9 +360,14 @@ class TextAnalysisSpec extends SparkSpec {
         s"query $q: ranks not 1..k")
       assert(rs.map(_._3).groupBy(identity).values.forall(_.length <= 2),
         s"query $q: diversity cap violated")
-      assert(rs.forall(_._5 > 0), s"query $q: non-positive score")
+      // >= 0, not > 0: a term weight legitimately floors to 0 (bm25 div
+      // 1000) for near-ubiquitous terms, and zero-score chunks may then
+      // fill a short top-5 on BOTH engines — that is correct behavior,
+      // not a defect, so only negativity is impossible
+      assert(rs.forall(_._5 >= 0), s"query $q: negative score")
       assert(!rs.exists(_._3 == q), s"query $q retrieved its own chunks")
     }
+    assert(rows.exists(_._5 > 0), "no query found any positive-score chunk at this SF")
     // every retrieved (doc, chunk) exists on the doc_chunking grid
     val grid = TextAnalysis.docChunking(spark, sf)
       .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
