@@ -806,8 +806,11 @@ object Dedup {
     val cands = lshPairsFromSigs(sigs
         .join(broadcast(sampIds), Seq("doc_id")))
       .withColumn("caught", lit(1))
+    // broadcast one side of the sample² pair join: the frame is
+    // TARGET-bounded by the draw, so this plans as a nested-loop over
+    // ~64 broadcast rows instead of a CartesianProduct exchange
     samp.as("a")
-      .join(samp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .join(broadcast(samp.as("b")), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
         (col("a.sz") + col("b.sz")).as("tot"))
