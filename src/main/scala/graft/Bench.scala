@@ -121,7 +121,7 @@ object Bench {
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
       ("chain_bpe_merges", Set("bpe_learn_merges", "bpe_encode"),
         () => { operators.TextAnalysis.bpeMergeTable(spark, sfDir); () }),
-      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf", "chunk_retrieval"),
+      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf", "hybrid_rrf_filtered", "chunk_retrieval"),
         () => { operators.TextAnalysis.bm25Scored(spark, sfDir).count(); () }),
       ("chain_bench_grams", Set("stream_decontaminate_eq"),
         () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),

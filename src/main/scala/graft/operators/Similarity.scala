@@ -330,16 +330,36 @@ object Similarity {
     * query panel's term table broadcasts (≤ 30 rows), the corpus-sized
     * scored frame shuffles once into the partial top-k agg; the ANN leg
     * is the gated broadcast-query brute-force scan. */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfImpl(spark, dir, admitted = None)
+
+  /** Filtered hybrid retrieval — the daily production composition of the
+    * two retrieval dimensions this engine gates separately: the SAME
+    * metadata predicate as ivf_search_filtered (`lang = 'en' AND
+    * n_chars >= 200`, pushed down to the documents scan) admits
+    * candidates into BOTH legs BEFORE their rankings, so each leg's
+    * top-10 — and therefore the fusion — ranks only admissible docs
+    * (filter-then-rank, not a post-filter that can starve the fused
+    * list). Everything else is hybrid_rrf verbatim. */
+  def hybridRrfFiltered(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfImpl(spark, dir, admitted = Some(
+      Tables.documents(spark, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id"))))
+
+  private def hybridRrfImpl(spark: SparkSession, dir: String,
+      admitted: Option[DataFrame]): DataFrame = {
     import graft.functions.{TopKAggregator, TopKItem}
     val depth = 10
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wAnn = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    val ann = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val annCands = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("qv"), col("v")), 6).as("cos"))
+    val ann = admitted.fold(annCands)(k =>
+        annCands.join(k, col("cand_id") === col("doc_id"), "left_semi"))
       .withColumn("ar", row_number().over(wAnn))
       .filter(col("ar") <= depth)
       .select("qid", "cand_id", "ar")
@@ -351,8 +371,10 @@ object Similarity {
       .select(col("doc_id").as("qid"), col("word"))
     val topk = udaf(new TopKAggregator(depth),
       org.apache.spark.sql.Encoders.product[TopKItem])
-    val lex = scored.join(broadcast(qterms), "word")
+    val lexCands = scored.join(broadcast(qterms), "word")
       .filter(col("doc_id") =!= col("qid"))
+    val lex = admitted.fold(lexCands)(k =>
+        lexCands.join(k, Seq("doc_id"), "left_semi"))
       .groupBy("qid", "doc_id")
       .agg(sum("bm25").as("lex"))
       .groupBy("qid")
@@ -1061,6 +1083,7 @@ object Similarity {
     "ivf_search" -> ivfSearch,
     "ivf_search_filtered" -> ivfSearchFiltered,
     "hybrid_rrf" -> hybridRrf,
+    "hybrid_rrf_filtered" -> hybridRrfFiltered,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_recall" -> ivfPqRecall,
     "ivf_incremental" -> ivfIncremental,
@@ -1415,6 +1438,31 @@ object Similarity {
         "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
         "lexs AS (SELECT qt2.qid, s.doc_id AS cand_id, CAST(sum(s.bm25) AS BIGINT) AS lex " +
         "FROM qt2 JOIN bscored s USING (word) WHERE s.doc_id <> qt2.qid GROUP BY 1, 2), " +
+        "lex AS (SELECT qid, cand_id, lr FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY lex DESC, cand_id) AS lr FROM lexs) WHERE lr <= 10), " +
+        "fused AS (SELECT coalesce(a.qid, l.qid) AS qid, coalesce(a.cand_id, l.cand_id) AS cand_id, " +
+        "coalesce(1000000000000 // (60 + a.ar), 0) + coalesce(1000000000000 // (60 + l.lr), 0) AS rrf " +
+        "FROM ann a FULL JOIN lex l ON a.qid = l.qid AND a.cand_id = l.cand_id) " +
+        "SELECT qid, cand_id, CAST(rrf AS BIGINT) AS rrf, CAST(rrf_rank AS INT) AS rrf_rank FROM " +
+        "(SELECT qid, cand_id, rrf, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand_id) AS rrf_rank FROM fused) " +
+        "WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank"),
+    // identical to hybrid_rrf except both legs admit only keep docs
+    // BEFORE their rankings (filter-then-rank)
+    "hybrid_rrf_filtered" ->
+      (s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), " +
+        "keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"ascr AS (SELECT qid, vec_id AS cand_id, round(${cosSql("qv", "v")}, 6) AS cos " +
+        "FROM e CROSS JOIN q WHERE vec_id <> qid AND vec_id IN (SELECT doc_id FROM keep)), " +
+        "ann AS (SELECT qid, cand_id, ar FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS ar FROM ascr) WHERE ar <= 10), " +
+        s"${TextAnalysis.bm25ScoredCteSql}, " +
+        "qt2 AS (SELECT doc_id AS qid, word FROM (SELECT doc_id, word, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +
+        "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
+        "lexs AS (SELECT qt2.qid, s.doc_id AS cand_id, CAST(sum(s.bm25) AS BIGINT) AS lex " +
+        "FROM qt2 JOIN bscored s USING (word) WHERE s.doc_id <> qt2.qid " +
+        "AND s.doc_id IN (SELECT doc_id FROM keep) GROUP BY 1, 2), " +
         "lex AS (SELECT qid, cand_id, lr FROM (SELECT qid, cand_id, " +
         "row_number() OVER (PARTITION BY qid ORDER BY lex DESC, cand_id) AS lr FROM lexs) WHERE lr <= 10), " +
         "fused AS (SELECT coalesce(a.qid, l.qid) AS qid, coalesce(a.cand_id, l.cand_id) AS cand_id, " +

@@ -349,4 +349,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.exists(_._3 > contrib(1)),
       "no fused result drew from both legs — panel should overlap somewhere")
   }
+
+  test("hybrid_rrf_filtered: every fused result satisfies the metadata predicate") {
+    import spark.implicits._
+    val keep = graft.sources.Tables.documents(spark, sf)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select("doc_id").as[Long].collect().toSet
+    val rows = Similarity.hybridRrfFiltered(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, cand, _, _) =>
+      assert(keep.contains(cand),
+        s"q$q fused inadmissible doc $cand — predicate must gate BOTH legs pre-rank")
+    }
+    // filter-then-rank, not post-filter: admissible-only queries still
+    // fuse a full 5 when enough admissible docs exist
+    assert(rows.groupBy(_._1).values.forall(_.length == 5),
+      "filtered fusion came up short despite an admissible majority at this SF")
+  }
 }
