@@ -224,7 +224,9 @@ object Similarity {
   private def ivfIndexRoot(spark: SparkSession, dir: String): String = {
     indexMemo.keys.filter(_._1.sparkContext.isStopped).foreach(indexMemo.remove)
     graft.sources.ArtifactRoots.assertComplete(
-      indexMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)),
+      indexMemo.getOrElseUpdate((spark,
+        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
+          graft.sources.DatasetId.key(dir)),
         ivfBuildIndex(spark, dir,
           graft.sources.ArtifactRoots.rootFor(spark, "ivf", dir))))
   }

@@ -335,7 +335,9 @@ object TextAnalysis {
 
   private[graft] def bpeIndexRoot(spark: SparkSession, dir: String): String = {
     bpeRootMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeRootMemo.remove)
-    bpeRootMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+    bpeRootMemo.getOrElseUpdate((spark,
+        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
+          graft.sources.DatasetId.key(dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "bpe", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("merges")) { stage =>
         import spark.implicits._
@@ -488,7 +490,9 @@ object TextAnalysis {
 
   private[graft] def gateSpecRoot(spark: SparkSession, dir: String): String = {
     gateSpecMemo.keys.filter(_._1.sparkContext.isStopped).foreach(gateSpecMemo.remove)
-    gateSpecMemo.getOrElseUpdate((spark, graft.sources.DatasetId.key(dir)), {
+    gateSpecMemo.getOrElseUpdate((spark,
+        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
+          graft.sources.DatasetId.key(dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "gatespec", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("thresholds", "roster")) { stage =>
         val (thresholds, ties) = gateSpec(

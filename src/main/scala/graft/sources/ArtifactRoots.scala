@@ -32,6 +32,23 @@ import org.apache.spark.sql.SparkSession
   * and an in-process build failure deletes its own claim so the root
   * self-heals instead of deadlocking every future builder.
   *
+  * '''Lease takeover.''' A claim is a LEASE, not a lock: the winner
+  * heartbeats its `.build/.hb` file while building, and a waiter that
+  * observes no heartbeat for [[defaultLeaseMs]] concludes the winner is
+  * hard-dead (process kill — the failure mode in-process self-heal
+  * can't cover) and takes the claim over: it `ATOMIC_MOVE`s the stale
+  * `.build` aside (of N concurrent reclaimers exactly one rename
+  * succeeds), then competes for a fresh claim and rebuilds. The winner
+  * is fenced against losing its lease to a long pause: it re-checks
+  * ownership (its nonce in `.build/.owner`) before every part publish
+  * and before the marker, and a winner that lost the lease aborts
+  * WITHOUT sweeping the root — the parts there now belong to the
+  * usurper. The residual window of mtime-based leases (a paused winner
+  * resuming between an ownership check and the next syscall) is the
+  * standard trade; the lease default is generous relative to any pause
+  * a healthy JVM sees, and the worst case is a rebuild, never a
+  * half-read — readers still gate on the marker.
+  *
   * '''Reader check.''' Every consumer calls [[assertComplete]] before
   * reading, so the marker is enforced on BOTH sides of the race, not
   * just documented on the writer side.
@@ -56,6 +73,24 @@ object ArtifactRoots {
     * `spark.graft.artifactVersion` for side-by-side migration tests. */
   private val FormatVersion = 1
 
+  private val VersionPattern = "[A-Za-z0-9._-]+".r
+
+  /** The effective artifact-format version for this session, validated:
+    * the version is interpolated into shared-root PATHS, so a value
+    * containing `/` or `..` would silently change the root layout
+    * (escape the root, collide kinds). Restricted to `[A-Za-z0-9._-]+`.
+    * Callers that memoize an artifact root MUST fold this tag into the
+    * memo key — a mid-session version override must be a cache miss,
+    * not a silent hit on the root built under the old version. */
+  def versionTag(spark: SparkSession): String = {
+    val v = spark.conf.getOption("spark.graft.artifactVersion")
+      .getOrElse(FormatVersion.toString)
+    if (!VersionPattern.matches(v))
+      sys.error(s"spark.graft.artifactVersion must match [A-Za-z0-9._-]+ " +
+        s"(it becomes a path segment of the shared artifact root); got '$v'")
+    v
+  }
+
   /** Root directory for artifact `kind` trained on the dataset at `dir`:
     * `<sharedRoot>/<kind>/v<version>/<fingerprint(dir)>` when a shared
     * root is configured (durable; collision-free by kind, staleness-free
@@ -65,35 +100,106 @@ object ArtifactRoots {
   def rootFor(spark: SparkSession, kind: String, dir: String): String =
     configured(spark) match {
       case Some(shared) =>
-        val v = spark.conf.getOption("spark.graft.artifactVersion")
-          .getOrElse(FormatVersion.toString)
-        val p = java.nio.file.Paths.get(shared, kind, s"v$v",
+        val p = java.nio.file.Paths.get(shared, kind, s"v${versionTag(spark)}",
           DatasetId.fingerprint(dir))
         java.nio.file.Files.createDirectories(p)
         p.toString
       case None => TempDirs.create(s"graft_${kind}_")
     }
 
+  /** No-heartbeat bound after which a waiter may conclude the claim
+    * holder is hard-dead and take the claim over. Generous relative to
+    * the heartbeat period (lease/8) — a takeover needs ~8 consecutive
+    * missed beats, far beyond any healthy GC pause. Overridable via
+    * system property for the takeover specs. */
+  def defaultLeaseMs: Long =
+    sys.props.get("graft.artifact.leaseMs").map(_.toLong).getOrElse(60000L)
+
   /** Run `write(stagePath)` to produce the artifact's `parts` under the
     * staging dir, then publish them atomically under `root`. Safe against
     * concurrent builders on the same root: exactly one claims the
     * `.build` dir and builds; the rest block until the winner's
-    * `.complete` marker appears (bounded wait), then return the built
-    * root. Idempotent: a root that already carries the marker returns
-    * immediately. Returns `root`. */
-  def atomicBuild(root: String, parts: Seq[String])(write: String => Unit): String = {
+    * `.complete` marker appears, then return the built root. A winner
+    * hard-killed mid-build (no marker, heartbeat gone stale past
+    * `leaseMs`) loses its claim to a waiting builder, which rebuilds —
+    * a shared durable root self-heals instead of wedging until manual
+    * cleanup. Idempotent: a root that already carries the marker
+    * returns immediately. Returns `root`. */
+  def atomicBuild(root: String, parts: Seq[String],
+                  leaseMs: Long = defaultLeaseMs)(write: String => Unit): String = {
     val marker = java.nio.file.Paths.get(root, ".complete")
-    if (java.nio.file.Files.exists(marker)) return root
     val stage = java.nio.file.Paths.get(root, ".build")
-    val claimed =
-      try { java.nio.file.Files.createDirectory(stage); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!claimed) { awaitMarker(marker); return root }
-    // Re-check after claiming: a winner that finished between our marker
-    // check and our claim has deleted its stage, letting us re-create it.
-    if (java.nio.file.Files.exists(marker)) {
-      java.nio.file.Files.delete(stage); return root
+    // Overall bound: generous per attempt; with takeover in play a dead
+    // winner costs one lease, not the whole deadline.
+    val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+    while (!java.nio.file.Files.exists(marker)) {
+      if (System.nanoTime() > deadline)
+        sys.error(s"timed out building artifact at $root — if no builder " +
+          s"is live, delete $stage to release the claim manually")
+      val claimed =
+        try { java.nio.file.Files.createDirectory(stage); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        // Re-check after claiming: a winner that finished between our
+        // marker check and our claim has deleted its stage, letting us
+        // re-create it.
+        if (java.nio.file.Files.exists(marker)) {
+          java.nio.file.Files.delete(stage); return root
+        }
+        buildAsWinner(root, stage, marker, parts, leaseMs)(write)
+        return root
+      }
+      // Loser: wait for the winner's marker, but watch its heartbeat —
+      // a stale claim (hard-killed winner) is taken over, a VANISHED
+      // claim (winner failed in-process and self-healed) re-enters the
+      // claim race immediately instead of waiting out the old 300 s
+      // marker timeout.
+      awaitOutcome(marker, stage, leaseMs, deadline) match {
+        case Outcome.Marker => return root
+        case Outcome.Vanished => () // re-loop to claim
+        case Outcome.Stale =>
+          // Atomic takeover: of N waiters that saw the same stale
+          // claim, exactly one wins the rename; the rest see
+          // NoSuchFileException and re-enter the claim race.
+          val tomb = java.nio.file.Paths.get(root,
+            s".build-expired-${java.util.UUID.randomUUID()}")
+          try {
+            java.nio.file.Files.move(stage, tomb,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(tomb)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
     }
+    root
+  }
+
+  private object Outcome extends Enumeration { val Marker, Vanished, Stale = Value }
+
+  /** The claimed-builder half: heartbeat while building, fence every
+    * publish step on still owning the claim. */
+  private def buildAsWinner(root: String, stage: java.nio.file.Path,
+                            marker: java.nio.file.Path, parts: Seq[String],
+                            leaseMs: Long)(write: String => Unit): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString
+    val ownerF = stage.resolve(".owner")
+    val hb = stage.resolve(".hb")
+    java.nio.file.Files.write(ownerF, nonce.getBytes("UTF-8"))
+    java.nio.file.Files.createFile(hb)
+    // Ownership fence: true iff OUR nonce is still in .build/.owner. A
+    // takeover renames the whole .build away (read throws → false) or a
+    // usurper's fresh claim carries a different nonce.
+    def owned(): Boolean =
+      try new String(java.nio.file.Files.readAllBytes(ownerF), "UTF-8") == nonce
+      catch { case scala.util.control.NonFatal(_) => false }
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        java.nio.file.Files.setLastModifiedTime(hb,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        Thread.sleep(math.max(1L, leaseMs / 8))
+      } catch { case _: Throwable => () } // beat thread just exits
+    }, s"graft-artifact-heartbeat-${stage}")
+    beat.setDaemon(true)
+    beat.start()
     try {
       // No marker + we hold the claim ⇒ any part dirs under the root are
       // unpublished leftovers (a crashed builder that died between a
@@ -103,10 +209,15 @@ object ArtifactRoots {
       parts.foreach(p => deleteRecursively(java.nio.file.Paths.get(root, p)))
       write(stage.toString)
       parts.foreach { p =>
+        if (!owned()) sys.error(s"artifact build lease on $root lost " +
+          "mid-publish (builder paused past the lease and was taken over); " +
+          "aborting without touching the usurper's parts")
         java.nio.file.Files.move(stage.resolve(p),
           java.nio.file.Paths.get(root, p),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      if (!owned()) sys.error(s"artifact build lease on $root lost " +
+        "before marker publish; aborting")
       // Marker BEFORE releasing the stage claim: the claim dir is the
       // mutual exclusion, so it must outlive the publish — deleting it
       // first would open a window where a second builder re-claims,
@@ -116,21 +227,48 @@ object ArtifactRoots {
     } catch {
       case e: Throwable =>
         // A failed build must undo everything this ATTEMPT landed — any
-        // parts already moved into the root (a failure mid-loop would
-        // otherwise strand them and collide with the next attempt's
-        // moves) and then the claim itself — or the root is poisoned: on
-        // a durable shared root every later builder, including fresh
-        // processes, would either block on a marker that never comes or
-        // crash on the stale part. Best-effort; the pre-build sweep
-        // above is the second line of defence for a hard crash here.
+        // parts already moved into the root and then the claim itself —
+        // or the root is poisoned for the marker-wait bound. But ONLY
+        // while we still own the claim: after a lease takeover the parts
+        // under the root are the usurper's work, not ours.
         try {
-          parts.foreach(p => deleteRecursively(java.nio.file.Paths.get(root, p)))
-          deleteRecursively(stage)
+          if (owned()) {
+            parts.foreach(p => deleteRecursively(java.nio.file.Paths.get(root, p)))
+            deleteRecursively(stage)
+          }
         } catch { case scala.util.control.NonFatal(_) => () }
+        beat.interrupt()
         throw e
     }
-    java.nio.file.Files.delete(stage)
-    root
+    beat.interrupt()
+    deleteRecursively(stage)
+  }
+
+  /** The waiting-builder half: block until the winner's marker appears,
+    * its claim vanishes (in-process failure self-heal), or its
+    * heartbeat goes stale past the lease. */
+  private def awaitOutcome(marker: java.nio.file.Path,
+                           stage: java.nio.file.Path, leaseMs: Long,
+                           deadline: Long): Outcome.Value = {
+    while (true) {
+      if (java.nio.file.Files.exists(marker)) return Outcome.Marker
+      if (!java.nio.file.Files.exists(stage)) return Outcome.Vanished
+      val hbAge =
+        try {
+          val hb = stage.resolve(".hb")
+          val t = java.nio.file.Files.getLastModifiedTime(
+            if (java.nio.file.Files.exists(hb)) hb else stage).toMillis
+          System.currentTimeMillis() - t
+        } catch { // claim vanished between checks → fresh look next loop
+          case scala.util.control.NonFatal(_) => 0L
+        }
+      if (hbAge > leaseMs) return Outcome.Stale
+      if (System.nanoTime() > deadline)
+        sys.error(s"timed out waiting for artifact marker $marker — if no " +
+          s"builder is live, delete $stage to release the claim manually")
+      Thread.sleep(25)
+    }
+    Outcome.Marker // unreachable
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -138,20 +276,6 @@ object ArtifactRoots {
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
-
-  /** Block until `marker` exists — the loser's half of the builder race.
-    * The bound is generous (these builds are seconds, not hours); a
-    * production deployment would add lease/heartbeat expiry for crashed
-    * winners, which process-private and test roots don't need. */
-  private def awaitMarker(marker: java.nio.file.Path): Unit = {
-    val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-    while (!java.nio.file.Files.exists(marker)) {
-      if (System.nanoTime() > deadline)
-        sys.error(s"timed out waiting for artifact marker $marker " +
-          "(concurrent builder crashed mid-build?)")
-      Thread.sleep(50)
-    }
   }
 
   /** Reader-side protocol check: the artifact at `root` must carry the

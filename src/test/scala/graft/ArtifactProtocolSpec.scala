@@ -112,6 +112,124 @@ class ArtifactProtocolSpec extends SparkSpec {
     assert(e.getMessage.contains(".complete"))
   }
 
+  test("a hard-killed winner's stale claim is taken over: the root self-heals without manual cleanup") {
+    val root = graft.sources.TempDirs.create("graft_dead_winner_root_")
+    // Fabricate exactly what a process-killed winner leaves behind: a
+    // claim dir with owner + heartbeat files whose beat stopped long ago,
+    // plus a stranded half-published part and NO marker. There is no live
+    // thread — in-process self-heal cannot fire; only the lease can.
+    val stage = java.nio.file.Paths.get(root, ".build")
+    java.nio.file.Files.createDirectory(stage)
+    java.nio.file.Files.write(stage.resolve(".owner"), "dead-builder".getBytes)
+    java.nio.file.Files.createFile(stage.resolve(".hb"))
+    val longAgo = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000)
+    java.nio.file.Files.setLastModifiedTime(stage.resolve(".hb"), longAgo)
+    java.nio.file.Files.setLastModifiedTime(stage, longAgo)
+    spark.range(99).coalesce(1).write.parquet(s"$root/data") // stranded part
+    // A second builder with a 1 s lease must reclaim and rebuild, not
+    // block out the full marker wait and error (the pre-lease behavior).
+    val t0 = System.nanoTime()
+    ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 1000) { st =>
+      spark.range(7).coalesce(1).write.parquet(s"$st/data")
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(new java.io.File(s"$root/.complete").exists())
+    assert(!new java.io.File(s"$root/.build").exists())
+    assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data").count() == 7,
+      "the takeover's build must win, not the dead winner's stranded part")
+    assert(secs < 60, s"takeover must happen at lease scale, took $secs s")
+  }
+
+  test("N waiters racing one stale claim: exactly one takes over and rebuilds") {
+    val root = graft.sources.TempDirs.create("graft_takeover_race_root_")
+    val stage = java.nio.file.Paths.get(root, ".build")
+    java.nio.file.Files.createDirectory(stage)
+    java.nio.file.Files.createFile(stage.resolve(".hb"))
+    val longAgo = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000)
+    java.nio.file.Files.setLastModifiedTime(stage.resolve(".hb"), longAgo)
+    java.nio.file.Files.setLastModifiedTime(stage, longAgo)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.jdk.CollectionConverters._
+    val tasks = (1 to 4).map { i =>
+      new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          barrier.await() // all four observe the same stale claim at once
+          ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 500) { st =>
+            builds.incrementAndGet()
+            Thread.sleep(200)
+            spark.range(5).withColumn("builder", lit(i))
+              .coalesce(1).write.mode("overwrite").parquet(s"$st/data")
+          }
+        }
+      }
+    }
+    pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    pool.shutdown()
+    assert(builds.get() === 1,
+      "the ATOMIC_MOVE tombstone must admit exactly one usurper")
+    assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data")
+      .select("builder").distinct().count() == 1)
+  }
+
+  test("a slow but heartbeating winner is NOT taken over") {
+    val root = graft.sources.TempDirs.create("graft_slow_winner_root_")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // winner: builds for 4× the lease — only the heartbeat keeps it alive
+    val winner = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String =
+        ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 300) { st =>
+          builds.incrementAndGet()
+          started.countDown()
+          Thread.sleep(1200)
+          spark.range(11).coalesce(1).write.parquet(s"$st/data")
+        }
+    })
+    started.await()
+    val loser = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String =
+        ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 300) { st =>
+          builds.incrementAndGet()
+          spark.range(1).coalesce(1).write.parquet(s"$st/data")
+        }
+    })
+    winner.get(); loser.get()
+    pool.shutdown()
+    assert(builds.get() === 1,
+      "a live heartbeat must fence off takeover however slow the build")
+    assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data").count() == 11)
+  }
+
+  test("artifactVersion is path-sanitized and mid-session overrides miss the memo") {
+    // a version with path metacharacters must be rejected before it can
+    // rewrite the shared-root layout
+    spark.conf.set("spark.graft.artifactVersion", "../evil")
+    try {
+      val e = intercept[RuntimeException](ArtifactRoots.versionTag(spark))
+      assert(e.getMessage.contains("artifactVersion"))
+    } finally spark.conf.unset("spark.graft.artifactVersion")
+    // versioned layout: same dataset, different version → different root,
+    // and the version-keyed memo rebuilds instead of serving the old root
+    val shared = graft.sources.TempDirs.create("graft_vshared_root_")
+    spark.conf.set("spark.graft.artifactRoot", shared)
+    try {
+      val r1 = graft.operators.Dedup.benchGramRoot(spark, sf)
+      spark.conf.set("spark.graft.artifactVersion", "2-migration")
+      val r2 = graft.operators.Dedup.benchGramRoot(spark, sf)
+      assert(r1 !== r2, "mid-session version override must be a memo miss")
+      assert(r2.contains("v2-migration"))
+      assert(new java.io.File(s"$r2/.complete").exists())
+    } finally {
+      spark.conf.unset("spark.graft.artifactVersion")
+      spark.conf.unset("spark.graft.artifactRoot")
+    }
+  }
+
   test("shared root config keys artifacts by dataset fingerprint") {
     val shared = graft.sources.TempDirs.create("graft_shared_root_")
     spark.conf.set("spark.graft.artifactRoot", shared)
