@@ -1147,7 +1147,7 @@ object StreamingBridge {
   def streamBm25RefreshEq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
     val stateRoot = graft.sources.TempDirs.create("graft_stream_bm25_")
-    def writeModel(df: DataFrame, sc: DataFrame, v: Int): Unit = {
+    def writeModel(df: DataFrame, sc: DataFrame, v: Long): Unit = {
       df.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v$v/df")
       sc.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v$v/sc")
     }
@@ -1155,16 +1155,23 @@ object StreamingBridge {
       .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
     val (dfB, scB) = TextAnalysis.bm25ModelParts(base)
     writeModel(dfB, scB, 0)
-    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ver = new java.util.concurrent.atomic.AtomicLong(0)
     val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "text"))
     val schema = spark.read.parquet(docsDir).schema
     val ck = graft.sources.TempDirs.create("graft_stream_bm25_ck_")
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream.option("checkpointLocation", ck)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
-        val cur = ver.get()
+        // The state version is DERIVED from the batchId (v = batchId+1,
+        // prior = batchId), never from a driver-side counter: foreachBatch
+        // is at-least-once, and a counter incremented after the merge
+        // would let a retried batch fold its delta into a fresh version —
+        // double-counting df/N/TL. Keyed by batchId, a retry re-reads the
+        // same prior version (which its own earlier attempt never wrote)
+        // and OVERWRITES the same output version: idempotent by layout.
+        val cur = batchId
         val (dfI, scI) = TextAnalysis.bm25ModelParts(
           batch.filter(col("doc_id") % 10 === 0).select("doc_id", "text"))
         val dfM = session.read.parquet(s"$stateRoot/v$cur/df")
@@ -1173,7 +1180,7 @@ object StreamingBridge {
           .crossJoin(scI.select(col("n").as("ni"), col("tl").as("tli")))
           .select((col("n") + col("ni")).as("n"), (col("tl") + col("tli")).as("tl"))
         writeModel(dfM, scM, cur + 1)
-        ver.incrementAndGet()
+        ver.getAndUpdate(v => math.max(v, cur + 1))
         ()
       }
       .start()
