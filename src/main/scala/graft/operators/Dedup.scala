@@ -653,6 +653,41 @@ object Dedup {
       .toDF("doc_id", "lang", "source", "g", "sz", "band")
   }
 
+  /** Enforced audit budget: the exhaustive audit refuses loudly when any
+    * blocking group could generate more candidate pairs than
+    * `spark.graft.jaccardPairBudget` (default 10⁷ per block, ~3k docs) —
+    * the adjudicated "small-SF verifier" role as a CONTRACT rather than
+    * a convention, so nobody silently runs an in-band quadratic at
+    * corpus scale (the at-scale form is [[dedupNgramJaccardSampled]]).
+    * The per-block populations come from an exact extra pass over the
+    * gram stage (the band is defined on DISTINCT gram counts, so a
+    * cheap length-based estimate could under-count a band that
+    * repetitive long docs collapse into — exactly the blowup the budget
+    * exists to catch); that pass is linear, runs as the broadcast build
+    * BEFORE any pair is generated, and the guard itself rides the probe
+    * projection via the chunk_retrieval raise_error-in-arithmetic
+    * pattern (wrapping `sz`, which the join condition references, so
+    * the optimizer cannot prune it): the first probe row of an
+    * over-budget block kills the job with the block's coordinates while
+    * the refusal cost stays O(corpus), never O(pairs). */
+  private def budgetGuarded(spark: SparkSession, probe: DataFrame): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.jaccardPairBudget")
+      .map(_.toLong).getOrElse(10000000L)
+    val blockM = probe.groupBy("lang", "source", "block").agg(count(lit(1)).as("m"))
+    probe.join(broadcast(blockM), Seq("lang", "source", "block"))
+      .withColumn("sz",
+        when(col("m") * col("m") <= budget, col("sz"))
+          .otherwise(raise_error(concat(
+            lit("dedup_ngram_jaccard: block ("), col("lang"), lit(", "),
+            col("source"), lit(", band "), col("block").cast("string"),
+            lit(") holds "), col("m").cast("string"),
+            lit(s" docs — candidate-pair bound exceeds the exhaustive-audit " +
+              s"budget of $budget pairs/block; run dedup_ngram_jaccard_sampled " +
+              "at this scale or raise spark.graft.jaccardPairBudget"))
+          ).cast("int")))
+      .drop("m")
+  }
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val g = gramSets(spark, dir)
     // Asymmetric band join, each admissible pair generated EXACTLY once:
@@ -671,8 +706,8 @@ object Dedup {
     // frame filtered to its own band (block == band), so its rows are
     // already partitioned by (lang, source, band) and the join's second
     // input is a ReusedExchange — grams are computed and shuffled once
-    val probe = g
-      .withColumn("block", explode(array(col("band"), col("band") + 1)))
+    val probe = budgetGuarded(spark, g
+      .withColumn("block", explode(array(col("band"), col("band") + 1))))
       .repartition(col("lang"), col("source"), col("block"))
     probe.filter(col("block") === col("band")).as("a")
       .join(probe.as("b"),

@@ -232,6 +232,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngram_jaccard refuses loudly past the per-block pair budget") {
+    // with a budget no real block fits under, the exhaustive audit must
+    // fail with the remediation message instead of silently going
+    // quadratic — the enforced form of its "small-SF verifier" role
+    spark.conf.set("spark.graft.jaccardPairBudget", "1")
+    try {
+      val e = intercept[Exception] {
+        Dedup.dedupNgramJaccard(spark, sf).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("exhaustive-audit budget") &&
+        m.contains("dedup_ngram_jaccard_sampled")),
+        s"refusal must name the budget and the at-scale alternative, got: $e")
+    } finally spark.conf.unset("spark.graft.jaccardPairBudget")
+    // and at the default budget the small-SF audit still runs
+    assert(Dedup.dedupNgramJaccard(spark, sf).count() > 0)
+  }
+
   test("lsh_recall_audit: sample-bounded pair universe, caught flags agree with the candidate stage") {
     val rows = Dedup.lshRecallAudit(spark, sf)
       .as[(Long, Long, Double, Int, Int)].collect()
