@@ -484,6 +484,49 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Recall of FILTERED IVF search vs the exact filtered ground truth —
+    * the eval ivf_pq_recall provides for the PQ path, applied to the
+    * predicate dimension: ivf_search_filtered admits only candidates
+    * passing the metadata predicate, but at fixed `IvfProbes` a
+    * restrictive predicate can empty the probed cells and the search
+    * silently returns fewer than k — this row makes that cost visible
+    * per query. Ground truth is brute-force cosine over exactly the
+    * predicate-admitted corpus (semi-join on the pushed-down documents
+    * scan, query panel broadcast — the candidate-bounded shape every
+    * recall eval here uses). `n_returned` < 3 is the silent-underfill
+    * signal; `recall_pct` (third-fractions ×100, integer-exact) is the
+    * dial for sizing nprobe against selectivity: recall lost here but
+    * NOT in ivf_pq_recall is attributable to the predicate emptying
+    * probed cells, so the remedy is raising nprobe for filtered
+    * queries, not better codes. */
+  def ivfFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ivfSearchFiltered(spark, dir).select("qid", "cand_id")
+    val keep = Tables.documents(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"))
+    val e = emb(spark, dir)
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val exact = e.join(keep, col("vec_id") === col("doc_id"), "left_semi")
+      .join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vec_cosine(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val returned = approx.groupBy("qid").agg(count(lit(1)).as("nr"))
+    val overlap = approx.join(exact, Seq("qid", "cand_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n"))
+    qv.select(col("qid"))
+      .join(returned, Seq("qid"), "left")
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nr"), lit(0L)).as("n_returned"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_pct", expr("n_overlap * 100 div 3"))
+      .orderBy("qid")
+  }
+
   /** Per-process incremental-index roots (same lifecycle as indexMemo). */
   private val incrMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
@@ -1088,6 +1131,7 @@ object Similarity {
     "hybrid_rrf_filtered" -> hybridRrfFiltered,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_recall" -> ivfPqRecall,
+    "ivf_filtered_recall" -> ivfFilteredRecall,
     "ivf_incremental" -> ivfIncremental,
     "dedup_semantic" -> dedupSemantic,
     "ivf_purity" -> ivfPurity,
@@ -1522,6 +1566,31 @@ object Similarity {
         "JOIN ext x ON a.qid = x.qid AND a.vec_id = x.vec_id GROUP BY a.qid) " +
         "SELECT q.qid, coalesce(ov.n, 0) AS n_overlap, coalesce(ov.n, 0) * 100 // 3 AS recall_pct " +
         "FROM q LEFT JOIN ov USING (qid) ORDER BY qid"),
+    "ivf_filtered_recall" ->
+      (s"WITH $refinedCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id AS cand_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"pscored AS (SELECT q.qid, q.qv, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
+        "probes AS (SELECT qid, qv, cid AS cell FROM " +
+        s"(SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
+        "cand AS (SELECT p.qid, p.qv, a.cand_id FROM probes p JOIN assign a ON p.cell = a.cell " +
+        "WHERE a.cand_id <> p.qid AND a.cand_id IN (SELECT doc_id FROM keep)), " +
+        s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
+        "appr AS (SELECT qid, cand_id FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rn FROM cscored) WHERE rn <= 3), " +
+        s"exs AS (SELECT q.qid, e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS cos " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid AND e.vec_id IN (SELECT doc_id FROM keep)), " +
+        "ext AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM exs) WHERE rn <= 3), " +
+        "ret AS (SELECT qid, CAST(count(*) AS BIGINT) AS nr FROM appr GROUP BY qid), " +
+        "ov AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n FROM appr a " +
+        "JOIN ext x ON a.qid = x.qid AND a.cand_id = x.vec_id GROUP BY a.qid) " +
+        "SELECT q.qid, coalesce(ret.nr, 0) AS n_returned, coalesce(ov.n, 0) AS n_overlap, " +
+        "coalesce(ov.n, 0) * 100 // 3 AS recall_pct " +
+        "FROM q LEFT JOIN ret USING (qid) LEFT JOIN ov USING (qid) ORDER BY qid"),
     "dedup_semantic" ->
       (s"WITH $refinedCentroidCtesSql, " +
         s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +

@@ -304,6 +304,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._2).sum <= 30)
   }
 
+  test("ivf_filtered_recall: one row per panel query, underfill visible, overlap within returns") {
+    val rows = Similarity.ivfFilteredRecall(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    rows.foreach { case (qid, nRet, nOv, pct) =>
+      assert(nRet >= 0 && nRet <= 3, s"query $qid returned $nRet out of [0,3]")
+      assert(nOv <= nRet, s"query $qid overlap $nOv exceeds its $nRet returns")
+      assert(pct == nOv * 100 / 3, s"query $qid recall $pct != ${nOv * 100 / 3}")
+    }
+    // the filtered search results must all pass the predicate: every
+    // returned candidate appears in the exact filtered ground truth's
+    // admissible universe (overlap counted against it is the gate; here
+    // just assert the search never returns an inadmissible doc)
+    val keep = graft.sources.Tables.documents(spark, sf)
+      .filter($"lang" === "en" && $"n_chars" >= 200)
+      .select($"doc_id").as[Long].collect().toSet
+    val returned = Similarity.ivfSearchFiltered(spark, sf)
+      .select($"cand_id").as[Long].collect()
+    assert(returned.forall(keep), "filtered search leaked an inadmissible doc")
+  }
+
   test("embed_prefix_recall: 3 prefixes x 10 queries, recall bounded, improves with dims on aggregate") {
     val rows = Similarity.embedPrefixRecall(spark, sf)
       .as[(Long, Int, Long, Long, Long)].collect()
