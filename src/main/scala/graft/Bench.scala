@@ -111,7 +111,7 @@ object Bench {
       ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
       ("chain_ivf_index", Set("ivf_assign", "ivf_search", "ivf_search_filtered",
-          "ivf_pq_search", "ivf_pq_recall"),
+          "ivf_pq_search", "ivf_pq_recall", "ivf_filtered_recall", "hybrid_rrf_ivf"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
       ("chain_ivf_incr", Set("ivf_incremental"),
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
@@ -121,7 +121,7 @@ object Bench {
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
       ("chain_bpe_merges", Set("bpe_learn_merges", "bpe_encode"),
         () => { operators.TextAnalysis.bpeMergeTable(spark, sfDir); () }),
-      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf", "hybrid_rrf_filtered", "chunk_retrieval"),
+      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf", "hybrid_rrf_filtered", "hybrid_rrf_ivf", "chunk_retrieval"),
         () => { operators.TextAnalysis.bm25Scored(spark, sfDir).count(); () }),
       ("chain_bench_grams", Set("stream_decontaminate_eq"),
         () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),

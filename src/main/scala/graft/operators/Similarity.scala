@@ -351,7 +351,6 @@ object Similarity {
 
   private def hybridRrfImpl(spark: SparkSession, dir: String,
       admitted: Option[DataFrame]): DataFrame = {
-    import graft.functions.{TopKAggregator, TopKItem}
     val depth = 10
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
@@ -365,6 +364,50 @@ object Similarity {
       .withColumn("ar", row_number().over(wAnn))
       .filter(col("ar") <= depth)
       .select("qid", "cand_id", "ar")
+    rrfFuseWithLex(spark, dir, ann, admitted, depth)
+  }
+
+  /** Hybrid RRF retrieval with the PRODUCTION vector leg: the persisted
+    * IVF index probe (top-`depth` by exact cosine over the query's
+    * probed cells) replaces hybrid_rrf's brute-force corpus scan — the
+    * composition a RAG serving path actually runs, since a corpus-sized
+    * exact scan per query panel is exactly what the index exists to
+    * avoid. The lexical leg and the integer-exact RRF fusion are
+    * hybrid_rrf verbatim, so any ranking difference between the two
+    * rows is attributable to IVF cell-pruning alone (quantified on the
+    * vector side by ivf_pq_recall / ivf_filtered_recall; the spec gates
+    * fused-list overlap against hybrid_rrf directly). Scale shape: the
+    * vector leg touches only the cell-pruned list scan (dynamic
+    * partition pruning keyed by the ≤ queries×nprobe probe side,
+    * plan-guarded), the corpus's float vectors never ride a shuffle,
+    * and the fusion inputs are two ≤ queries×depth integer-rank
+    * frames. */
+  def hybridRrfIvf(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 10
+    val root = ivfIndexRoot(spark, dir)
+    val lists = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("cell").cast("long").as("cell"))
+    val q = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = ivfProbeCells(spark, dir).join(q, "qid")
+    val wAnn = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val ann = probes.join(lists, "cell")
+      .filter(col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"),
+        round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
+      .withColumn("ar", row_number().over(wAnn))
+      .filter(col("ar") <= depth)
+      .select("qid", "cand_id", "ar")
+    rrfFuseWithLex(spark, dir, ann, admitted = None, depth)
+  }
+
+  /** The lexical leg + RRF fusion shared by every hybrid variant: BM25
+    * top-`depth` per query via the TopKAggregator partial-agg fold, then
+    * integer reciprocal-rank fusion with the given vector-leg ranking. */
+  private def rrfFuseWithLex(spark: SparkSession, dir: String,
+      ann: DataFrame, admitted: Option[DataFrame], depth: Int): DataFrame = {
+    import graft.functions.{TopKAggregator, TopKItem}
     val scored = TextAnalysis.bm25Scored(spark, dir)
     val wQt = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
     val qterms = scored.filter(col("doc_id") < 10)
@@ -1129,6 +1172,7 @@ object Similarity {
     "ivf_search_filtered" -> ivfSearchFiltered,
     "hybrid_rrf" -> hybridRrf,
     "hybrid_rrf_filtered" -> hybridRrfFiltered,
+    "hybrid_rrf_ivf" -> hybridRrfIvf,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_recall" -> ivfPqRecall,
     "ivf_filtered_recall" -> ivfFilteredRecall,
@@ -1478,6 +1522,36 @@ object Similarity {
         "FROM e CROSS JOIN q WHERE vec_id <> qid), " +
         "ann AS (SELECT qid, cand_id, ar FROM (SELECT qid, cand_id, " +
         "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS ar FROM ascr) WHERE ar <= 10), " +
+        s"${TextAnalysis.bm25ScoredCteSql}, " +
+        "qt2 AS (SELECT doc_id AS qid, word FROM (SELECT doc_id, word, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +
+        "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
+        "lexs AS (SELECT qt2.qid, s.doc_id AS cand_id, CAST(sum(s.bm25) AS BIGINT) AS lex " +
+        "FROM qt2 JOIN bscored s USING (word) WHERE s.doc_id <> qt2.qid GROUP BY 1, 2), " +
+        "lex AS (SELECT qid, cand_id, lr FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY lex DESC, cand_id) AS lr FROM lexs) WHERE lr <= 10), " +
+        "fused AS (SELECT coalesce(a.qid, l.qid) AS qid, coalesce(a.cand_id, l.cand_id) AS cand_id, " +
+        "coalesce(1000000000000 // (60 + a.ar), 0) + coalesce(1000000000000 // (60 + l.lr), 0) AS rrf " +
+        "FROM ann a FULL JOIN lex l ON a.qid = l.qid AND a.cand_id = l.cand_id) " +
+        "SELECT qid, cand_id, CAST(rrf AS BIGINT) AS rrf, CAST(rrf_rank AS INT) AS rrf_rank FROM " +
+        "(SELECT qid, cand_id, rrf, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand_id) AS rrf_rank FROM fused) " +
+        "WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank"),
+    // identical to hybrid_rrf except the vector leg is the persisted
+    // IVF probe (top-10 by exact cosine within probed cells) instead of
+    // the brute-force corpus scan
+    "hybrid_rrf_ivf" ->
+      (s"WITH $refinedCentroidCtesSql, " +
+        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+        "assign AS (SELECT vec_id AS cand_id, cid AS cell FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        s"pscored AS (SELECT q.qid, q.qv, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
+        "probes AS (SELECT qid, qv, cid AS cell FROM " +
+        s"(SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
+        "cand AS (SELECT p.qid, p.qv, a.cand_id FROM probes p JOIN assign a ON p.cell = a.cell WHERE a.cand_id <> p.qid), " +
+        s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
+        "ann AS (SELECT qid, cand_id, ar FROM (SELECT qid, cand_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS ar FROM cscored) WHERE ar <= 10), " +
         s"${TextAnalysis.bm25ScoredCteSql}, " +
         "qt2 AS (SELECT doc_id AS qid, word FROM (SELECT doc_id, word, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +

@@ -517,6 +517,26 @@ class PlanAuditSpec extends SparkSpec {
       s"TopKAggregator not partially aggregated (no map-side combine):\n$p")
   }
 
+  test("hybrid_rrf_ivf: the fused plan rides the pruned index scan and the UDAF lexical fold") {
+    val df = graft.operators.Similarity.hybridRrfIvf(spark, sf)
+    val p = plan(df)
+    // the vector leg inside the fusion must be the cell-pruned list
+    // scan — dynamic partition pruning keyed by the probe side, exactly
+    // the ivf_search shape, or the "production" composition is quietly
+    // re-scanning the corpus
+    assert(p.contains("dynamicpruning"),
+      s"fusion's list scan not dynamically pruned to probed cells:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"fusion's list scan carries no partition filters:\n$p")
+    // and the lexical leg keeps the partial-agg TopKAggregator fold
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val lexAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.contains("topkaggregator")) => a
+    }
+    assert(lexAggs.nonEmpty, "lexical top-k no longer folds through the TopKAggregator UDAF")
+  }
+
   test("chunk_retrieval: both diversity cuts are partial-agg folds; the only window is the 10-doc query panel") {
     val df = graft.operators.TextAnalysis.chunkRetrieval(spark, sf)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
