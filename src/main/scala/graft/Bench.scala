@@ -125,6 +125,8 @@ object Bench {
         () => { operators.TextAnalysis.bm25Scored(spark, sfDir).count(); () }),
       ("chain_bench_grams", Set("stream_decontaminate_eq"),
         () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),
+      ("chain_chunk_index", Set("stream_chunk_retrieval_eq"),
+        () => { operators.TextAnalysis.chunkIndexWarm(spark, sfDir); () }),
       ("chain_pq_codes", Set("pq_encode", "pq_recon_error", "ivf_pq_search", "ivf_pq_recall"),
         () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
     )

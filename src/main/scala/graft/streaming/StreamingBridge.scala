@@ -1193,6 +1193,79 @@ object StreamingBridge {
       .orderBy("word")
   }
 
+  /** Streaming retrieval serving — the sixth batch/stream pairing, and
+    * the QUERY-side twin (every earlier twin streamed the corpus; here
+    * the corpus is the served artifact and the QUERIES stream): the
+    * panel's 10 query docs arrive as 3 doc_id-ranged micro-batches, and
+    * each trigger is answered entirely from the persisted chunk-serving
+    * index (`TextAnalysis.chunkIndexRoot` — bucketed postings + BM25
+    * model, atomic-build/marker protocol): the batch's docs are scored
+    * against the SHIPPED model (tf/dl row-local, df from the vocabulary
+    * table, the same integer kernel by construction —
+    * bm25ScoreAgainstModel), each query's top-3 terms then probe the
+    * postings through a broadcast join keyed on (wb, word), so the
+    * corpus-sized grid is read only in the ≤3 buckets the terms hash to
+    * — never scanned whole — and the shared diversity cut (per-doc cap,
+    * global top-5, both TopKAggregator folds) finishes the answer.
+    * Per-query results depend only on the query's own text and the
+    * shipped artifacts, so batch-wise append is value-identical to the
+    * batch pass: the SAME oracle as chunk_retrieval gates the result. */
+  def streamChunkRetrievalEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val root = graft.sources.ArtifactRoots.assertComplete(
+      TextAnalysis.chunkIndexRoot(spark, dir))
+    val postings = spark.read.parquet(s"$root/postings")
+    val modelDf = spark.read.parquet(s"$root/model_df")
+    val scRow = spark.read.parquet(s"$root/model_sc").head()
+    val (n, tl, maxdl) = (scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"),
+      scRow.getAs[Long]("maxdl"))
+    // stage the query panel as 3 id-ranged files with ascending mtimes —
+    // 3 real micro-batches at maxFilesPerTrigger=1
+    val build = graft.sources.TempDirs.create("graft_stream_chunk_build_")
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(build)
+    val panelDir = graft.sources.TempDirs.create("graft_stream_chunk_panel_")
+    val parts = new java.io.File(build).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val tsBase = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(panelDir, f"panel_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+    }
+    val schema = spark.read.parquet(panelDir).schema
+    val outDir = graft.sources.TempDirs.create("graft_stream_chunk_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_chunk_ck_")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(panelDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wQt = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
+        val qterms = TextAnalysis.bm25ScoreAgainstModel(
+            batch.select("doc_id", "text"), modelDf, n, tl, maxdl)
+          .withColumn("rn", row_number().over(wQt))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id").as("qid"), col("word"),
+            expr("bm25 div 1000").as("w"))
+          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+        val scored = postings.join(broadcast(qterms), Seq("wb", "word"))
+          .filter(col("doc_id") =!= col("qid"))
+          .groupBy("qid", "doc_id", "chunk_id")
+          .agg(sum(col("cnt") * col("w")).as("score"))
+        TextAnalysis.chunkDiversityCut(scored)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).orderBy("qid", "chunk_rank")
+  }
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -1263,6 +1336,7 @@ object StreamingBridge {
     "stream_quality_gate_eq" -> scoped(streamQualityGateEq),
     "stream_decontaminate_eq" -> scoped(streamDecontaminateEq),
     "stream_bm25_refresh_eq" -> scoped(streamBm25RefreshEq),
+    "stream_chunk_retrieval_eq" -> scoped(streamChunkRetrievalEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1286,6 +1360,10 @@ object StreamingBridge {
     // identical to batch bm25_model_refresh: per-trigger mergeable-model
     // folds must land on the exact full-retrain model
     "stream_bm25_refresh_eq" -> graft.operators.TextAnalysis.oracle("bm25_model_refresh"),
+    // identical to batch chunk_retrieval: query panels answered per
+    // micro-batch from the persisted postings + BM25 model artifacts
+    // must produce the exact batch ranking
+    "stream_chunk_retrieval_eq" -> graft.operators.TextAnalysis.oracle("chunk_retrieval"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),

@@ -537,6 +537,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(lexAggs.nonEmpty, "lexical top-k no longer folds through the TopKAggregator UDAF")
   }
 
+  test("stream_chunk_retrieval serving probe reads only the query terms' postings buckets") {
+    // the per-trigger plan of the streaming retrieval twin, built here as
+    // a batch frame: the postings artifact is partitioned by wb, the
+    // query side broadcasts with wb in the join key, so the corpus-sized
+    // grid scan must carry dynamic partition pruning — a serving path
+    // that scans the whole grid per trigger is not a serving path
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    val root = graft.sources.ArtifactRoots.assertComplete(
+      graft.operators.TextAnalysis.chunkIndexRoot(spark, sf))
+    val postings = spark.read.parquet(s"$root/postings")
+    val scRow = spark.read.parquet(s"$root/model_sc").head()
+    val qterms = graft.operators.TextAnalysis.bm25ScoreAgainstModel(
+        graft.sources.Tables.documents(spark, sf)
+          .filter(col("doc_id") < 10).select("doc_id", "text"),
+        spark.read.parquet(s"$root/model_df"),
+        scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"), scRow.getAs[Long]("maxdl"))
+      .limit(30)
+      .select(col("doc_id").as("qid"), col("word"))
+      .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+    val probe = postings.join(broadcast(qterms), Seq("wb", "word"))
+    val p = plan(probe)
+    assert(p.contains("dynamicpruning"),
+      s"postings scan not dynamically pruned to the terms' buckets:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"postings scan carries no partition filters:\n$p")
+  }
+
   test("chunk_retrieval: both diversity cuts are partial-agg folds; the only window is the 10-doc query panel") {
     val df = graft.operators.TextAnalysis.chunkRetrieval(spark, sf)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
