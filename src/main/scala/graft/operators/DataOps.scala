@@ -533,7 +533,58 @@ object DataOps {
     ).reduce(_.unionByName(_)).orderBy("key_col")
   }
 
+  /** Artifact-root retention GC, mark phase — the cas_orphans discipline
+    * applied to the shared durable artifact layout
+    * `<root>/<kind>/v<version>/<fingerprint>` (ArtifactRoots), where
+    * versioned fingerprint dirs otherwise accumulate forever: every
+    * dataset regeneration mints a fresh fingerprint, every format bump a
+    * fresh version, and nothing ever deletes the old ones. Liveness is
+    * the path contract itself: live = CURRENT version × CURRENT dataset
+    * fingerprint; `stale_version` and `stale_fingerprint` are
+    * reclaimable; `incomplete` (current version, no `.complete` marker)
+    * is NEVER reclaimed by the mark phase — it may be a build in flight,
+    * owned by the claim/lease protocol, not the GC.
+    *
+    * The scanned root here is a deterministic registry constructed from
+    * the corpus (one artifact kind per language; payload bytes scale
+    * with the language's doc count; one dir per liveness class) so the
+    * DuckDB oracle can replay the liveness rule over the same manifest
+    * — the REAL mark phase (`ArtifactRoots.gcMark`, a registry-bounded
+    * directory walk, an object-store LIST at scale — never a data scan)
+    * runs over a real on-disk layout, and the protocol-level behavior
+    * on real built artifacts is covered by ArtifactProtocolSpec. */
+  def artifactGc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = graft.sources.TempDirs.create("graft_gc_root_")
+    langs.foreach { case (lang, m) =>
+      val kind = s"art_$lang"
+      def mk(version: String, fp: String, mult: Int, marker: Boolean): Unit = {
+        val d = java.nio.file.Paths.get(root, kind, s"v$version", fp)
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve("part"), new Array[Byte]((m * mult).toInt))
+        if (marker) java.nio.file.Files.createFile(d.resolve(".complete"))
+      }
+      mk("1", md5hex(s"fp:$lang"), 1, marker = true)    // live
+      mk("1", md5hex(s"old:$lang"), 2, marker = true)   // stale fingerprint
+      mk("0", md5hex(s"fp:$lang"), 3, marker = true)    // stale version
+      mk("1", md5hex(s"half:$lang"), 4, marker = false) // incomplete
+    }
+    val live = langs.map { case (l, _) => md5hex(s"fp:$l") }.toSet
+    graft.sources.ArtifactRoots.gcMark(root, "1", live)
+      .toDF()
+      .groupBy(col("kind"), col("status"))
+      .agg(count(lit(1)).as("n_roots"), sum(col("bytes")).as("bytes"))
+      .orderBy("kind", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "artifact_gc" -> artifactGc,
     "missing_days" -> missingDays,
     "table_checksum" -> tableChecksum,
     "dq_report" -> dqReport,
@@ -575,6 +626,16 @@ object DataOps {
        |  FROM (SELECT count(*) AS cnt FROM $table WHERE $key IS NOT NULL GROUP BY $key) c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // replay of the GC scenario + liveness rule: one artifact kind per
+    // language, one dir per liveness class, payload bytes = docs × the
+    // class's deterministic multiplier (the marker file is 0 bytes)
+    "artifact_gc" ->
+      ("WITH langs AS (SELECT lang, count(*) AS m FROM documents GROUP BY lang), " +
+        "cats(status, mult) AS (VALUES ('incomplete', 4), ('live', 1), " +
+        "('stale_fingerprint', 2), ('stale_version', 3)) " +
+        "SELECT 'art_' || lang AS kind, status, CAST(1 AS BIGINT) AS n_roots, " +
+        "CAST(m * mult AS BIGINT) AS bytes " +
+        "FROM langs CROSS JOIN cats ORDER BY kind, status"),
     "referential_integrity" -> (Seq(
       ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
       ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),

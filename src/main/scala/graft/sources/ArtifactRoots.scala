@@ -278,6 +278,61 @@ object ArtifactRoots {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  /** One scanned artifact directory in the retention-GC mark phase. */
+  final case class GcMark(kind: String, version: String, fingerprint: String,
+      status: String, nFiles: Long, bytes: Long)
+
+  /** Mark phase of artifact-root retention GC over the shared layout
+    * `<root>/<kind>/v<version>/<fingerprint>`: versioned fingerprint
+    * dirs otherwise accumulate forever on a durable root (every dataset
+    * regeneration mints a new fingerprint, every format bump a new
+    * version). Liveness is the path contract itself — an artifact is
+    * live iff it carries the CURRENT format version AND a CURRENT
+    * dataset fingerprint; everything else is garbage, classified:
+    *
+    *  - `stale_version`: version ≠ `liveVersion` — written by a retired
+    *    binary; no current reader can resolve this path (rootFor always
+    *    interpolates the current version), so marker or not, it is
+    *    unreachable. Reclaimable.
+    *  - `stale_fingerprint`: current version but the dataset that keyed
+    *    it is gone/regenerated. Reclaimable.
+    *  - `incomplete`: current version, NO `.complete` marker — possibly
+    *    a build in flight RIGHT NOW (the claim/lease protocol owns
+    *    these, not the GC; reclaiming here would race a live builder).
+    *    Never reclaimed by the mark phase.
+    *  - `live`: current version, current fingerprint, marker present.
+    *
+    * The walk is registry-bounded (kinds × versions × fingerprints
+    * directory entries — an object-store LIST at scale, never a data
+    * scan); bytes are the dir's file sizes, what a sweep reclaims. */
+  def gcMark(root: String, liveVersion: String,
+      liveFingerprints: Set[String]): Seq[GcMark] = {
+    import scala.jdk.CollectionConverters._
+    def children(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else java.nio.file.Files.list(p).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    for {
+      kindDir <- children(java.nio.file.Paths.get(root))
+      if java.nio.file.Files.isDirectory(kindDir)
+      verDir <- children(kindDir)
+      v = verDir.getFileName.toString.stripPrefix("v")
+      fpDir <- children(verDir)
+      if java.nio.file.Files.isDirectory(fpDir)
+    } yield {
+      val fp = fpDir.getFileName.toString
+      val marker = java.nio.file.Files.exists(fpDir.resolve(".complete"))
+      val status =
+        if (v != liveVersion) "stale_version"
+        else if (!marker) "incomplete"
+        else if (!liveFingerprints.contains(fp)) "stale_fingerprint"
+        else "live"
+      val files = java.nio.file.Files.walk(fpDir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      GcMark(kindDir.getFileName.toString, v, fp, status,
+        files.size.toLong, files.map(java.nio.file.Files.size(_)).sum)
+    }
+  }
+
   /** Reader-side protocol check: the artifact at `root` must carry the
     * `.complete` marker. Failing loudly here is what makes a killed
     * build "unreadable rather than half-read" — without this, the

@@ -230,6 +230,37 @@ class ArtifactProtocolSpec extends SparkSpec {
     }
   }
 
+  test("gcMark over real built artifacts: retired versions reclaimable, live and in-flight protected") {
+    val shared = graft.sources.TempDirs.create("graft_gc_shared_")
+    spark.conf.set("spark.graft.artifactRoot", shared)
+    try {
+      // two REAL builds of the same artifact kind under different format
+      // versions (fresh version tags so the version-keyed memo builds
+      // both under THIS root), plus a fabricated in-flight claim
+      spark.conf.set("spark.graft.artifactVersion", "gc-live")
+      graft.operators.Dedup.benchGramRoot(spark, sf)
+      spark.conf.set("spark.graft.artifactVersion", "gc-old")
+      graft.operators.Dedup.benchGramRoot(spark, sf)
+      val half = java.nio.file.Paths.get(shared, "benchgrams", "vgc-live", "0000inflight")
+      java.nio.file.Files.createDirectories(half)
+      java.nio.file.Files.write(half.resolve("part"), Array[Byte](1, 2, 3))
+      val fp = graft.sources.DatasetId.fingerprint(sf)
+      val marks = ArtifactRoots.gcMark(shared, "gc-live", Set(fp))
+      assert(marks.size === 3)
+      val byFp = marks.map(m => (m.version, m.fingerprint) -> m.status).toMap
+      assert(byFp(("gc-live", fp)) === "live")
+      assert(byFp(("gc-old", fp)) === "stale_version",
+        "a retired binary's artifact is unreachable by any current reader")
+      assert(byFp(("gc-live", "0000inflight")) === "incomplete",
+        "a markerless current-version root may be a build in flight — never reclaimed")
+      // bytes/files accounting covers the real parquet payloads
+      assert(marks.filter(_.status == "live").forall(m => m.bytes > 0 && m.nFiles > 0))
+    } finally {
+      spark.conf.unset("spark.graft.artifactVersion")
+      spark.conf.unset("spark.graft.artifactRoot")
+    }
+  }
+
   test("shared root config keys artifacts by dataset fingerprint") {
     val shared = graft.sources.TempDirs.create("graft_shared_root_")
     spark.conf.set("spark.graft.artifactRoot", shared)
