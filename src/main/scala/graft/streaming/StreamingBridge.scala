@@ -1243,7 +1243,7 @@ object StreamingBridge {
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(panelDir)
       .writeStream.option("checkpointLocation", ck)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val wQt = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
         val qterms = TextAnalysis.bm25ScoreAgainstModel(
@@ -1257,13 +1257,20 @@ object StreamingBridge {
           .filter(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id", "chunk_id")
           .agg(sum(col("cnt") * col("w")).as("score"))
+        // per-batch OVERWRITE keyed by the deterministic batchId (the
+        // streamCdcEq discipline): foreachBatch is at-least-once, and a
+        // plain append would duplicate a retried batch's answers —
+        // rewriting b<batchId> makes retries idempotent. Dir name
+        // deliberately not `batch=<id>`: partition discovery would
+        // inject a spurious column; recursiveFileLookup disables it.
         TextAnalysis.chunkDiversityCut(scored)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir).orderBy("qid", "chunk_rank")
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy("qid", "chunk_rank")
   }
 
   /** Scope the state-partition count to the bridge call: stateful
