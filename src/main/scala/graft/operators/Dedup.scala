@@ -1006,8 +1006,7 @@ object Dedup {
   private[graft] def benchGramRoot(spark: SparkSession, dir: String): String = {
     benchGramMemo.keys.filter(_._1.sparkContext.isStopped).foreach(benchGramMemo.remove)
     benchGramMemo.getOrElseUpdate((spark,
-        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
-          graft.sources.DatasetId.key(dir)), {
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "benchgrams", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("grams")) { stage =>
         gramsFrame(spark, dir).filter(col("doc_id") % 50 === 0)

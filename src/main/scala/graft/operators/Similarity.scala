@@ -225,8 +225,7 @@ object Similarity {
     indexMemo.keys.filter(_._1.sparkContext.isStopped).foreach(indexMemo.remove)
     graft.sources.ArtifactRoots.assertComplete(
       indexMemo.getOrElseUpdate((spark,
-        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
-          graft.sources.DatasetId.key(dir)),
+        graft.sources.ArtifactRoots.memoKey(spark, dir)),
         ivfBuildIndex(spark, dir,
           graft.sources.ArtifactRoots.rootFor(spark, "ivf", dir))))
   }

@@ -337,8 +337,7 @@ object TextAnalysis {
   private[graft] def bpeIndexRoot(spark: SparkSession, dir: String): String = {
     bpeRootMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bpeRootMemo.remove)
     bpeRootMemo.getOrElseUpdate((spark,
-        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
-          graft.sources.DatasetId.key(dir)), {
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "bpe", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("merges")) { stage =>
         import spark.implicits._
@@ -492,8 +491,7 @@ object TextAnalysis {
   private[graft] def gateSpecRoot(spark: SparkSession, dir: String): String = {
     gateSpecMemo.keys.filter(_._1.sparkContext.isStopped).foreach(gateSpecMemo.remove)
     gateSpecMemo.getOrElseUpdate((spark,
-        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
-          graft.sources.DatasetId.key(dir)), {
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "gatespec", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("thresholds", "roster")) { stage =>
         val (thresholds, ties) = gateSpec(
@@ -976,8 +974,7 @@ object TextAnalysis {
   private[graft] def chunkIndexRoot(spark: SparkSession, dir: String): String = {
     chunkIdxMemo.keys.filter(_._1.sparkContext.isStopped).foreach(chunkIdxMemo.remove)
     chunkIdxMemo.getOrElseUpdate((spark,
-        s"${graft.sources.ArtifactRoots.versionTag(spark)}:" +
-          graft.sources.DatasetId.key(dir)), {
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "chunkidx", dir)
       graft.sources.ArtifactRoots.atomicBuild(root,
           Seq("postings", "model_df", "model_sc")) { stage =>

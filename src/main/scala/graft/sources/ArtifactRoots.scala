@@ -91,6 +91,17 @@ object ArtifactRoots {
     v
   }
 
+  /** The per-process memo key for an artifact root: configured shared
+    * root (or the process-private sentinel) + validated version tag +
+    * dataset content key. Every artifact memo MUST key on this, not on
+    * the dataset alone — a mid-session change to artifactRoot OR
+    * artifactVersion must be a cache miss that rebuilds under the new
+    * location, never a silent hit on the root built under the old
+    * config (the staleness class ADVICE r14 flagged for the version
+    * knob; the root knob has the identical failure shape). */
+  def memoKey(spark: SparkSession, dir: String): String =
+    s"${configured(spark).getOrElse("<private>")}|${versionTag(spark)}:${DatasetId.key(dir)}"
+
   /** Root directory for artifact `kind` trained on the dataset at `dir`:
     * `<sharedRoot>/<kind>/v<version>/<fingerprint(dir)>` when a shared
     * root is configured (durable; collision-free by kind, staleness-free

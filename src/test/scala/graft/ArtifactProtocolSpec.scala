@@ -224,6 +224,14 @@ class ArtifactProtocolSpec extends SparkSpec {
       assert(r1 !== r2, "mid-session version override must be a memo miss")
       assert(r2.contains("v2-migration"))
       assert(new java.io.File(s"$r2/.complete").exists())
+      // and the ROOT knob has the same contract: pointing the session at
+      // a different shared root must rebuild there, not silently serve
+      // the root built under the old location
+      val shared2 = graft.sources.TempDirs.create("graft_vshared2_root_")
+      spark.conf.set("spark.graft.artifactRoot", shared2)
+      val r3 = graft.operators.Dedup.benchGramRoot(spark, sf)
+      assert(r3.startsWith(shared2), "mid-session root change must be a memo miss")
+      assert(new java.io.File(s"$r3/.complete").exists())
     } finally {
       spark.conf.unset("spark.graft.artifactVersion")
       spark.conf.unset("spark.graft.artifactRoot")
