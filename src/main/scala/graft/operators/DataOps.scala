@@ -567,7 +567,11 @@ object DataOps {
       def mk(version: String, fp: String, mult: Int, marker: Boolean): Unit = {
         val d = java.nio.file.Paths.get(root, kind, s"v$version", fp)
         java.nio.file.Files.createDirectories(d)
-        java.nio.file.Files.write(d.resolve("part"), new Array[Byte]((m * mult).toInt))
+        // size the payload without materializing it (a giant language at
+        // high SF would otherwise allocate m*mult bytes on the driver
+        // heap — and a silent Int truncation would desync the oracle)
+        val raf = new java.io.RandomAccessFile(d.resolve("part").toFile, "rw")
+        try raf.setLength(m * mult) finally raf.close()
         if (marker) java.nio.file.Files.createFile(d.resolve(".complete"))
       }
       mk("1", md5hex(s"fp:$lang"), 1, marker = true)    // live

@@ -673,10 +673,15 @@ object Dedup {
   private def budgetGuarded(spark: SparkSession, probe: DataFrame): DataFrame = {
     val budget = spark.conf.getOption("spark.graft.jaccardPairBudget")
       .map(_.toLong).getOrElse(10000000L)
+    // compare m against floor(sqrt(budget)) rather than m*m against the
+    // budget: at the (en, web)-slice scale this guard exists for,
+    // m ≥ ~3.04e9 would overflow m*m to a NEGATIVE Long and the
+    // overflowed product would pass the very check meant to refuse it
+    val maxM = math.sqrt(budget.toDouble).toLong
     val blockM = probe.groupBy("lang", "source", "block").agg(count(lit(1)).as("m"))
     probe.join(broadcast(blockM), Seq("lang", "source", "block"))
       .withColumn("sz",
-        when(col("m") * col("m") <= budget, col("sz"))
+        when(col("m") <= maxM, col("sz"))
           .otherwise(raise_error(concat(
             lit("dedup_ngram_jaccard: block ("), col("lang"), lit(", "),
             col("source"), lit(", band "), col("block").cast("string"),

@@ -171,20 +171,38 @@ object ArtifactRoots {
         case Outcome.Stale =>
           // Atomic takeover: of N waiters that saw the same stale
           // claim, exactly one wins the rename; the rest see
-          // NoSuchFileException and re-enter the claim race.
-          val tomb = java.nio.file.Paths.get(root,
-            s".build-expired-${java.util.UUID.randomUUID()}")
-          try {
-            java.nio.file.Files.move(stage, tomb,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            deleteRecursively(tomb)
-          } catch { case _: java.nio.file.NoSuchFileException => () }
+          // NoSuchFileException and re-enter the claim race. Re-check
+          // staleness IMMEDIATELY before the move: a waiter descheduled
+          // since its verdict could otherwise tombstone a fresh claim a
+          // faster taker already re-created (the healthy new winner
+          // would be evicted and waste a full rebuild). The residual
+          // check-to-move window is the documented mtime-lease trade.
+          if (claimStalenessMs(stage) > leaseMs) {
+            val tomb = java.nio.file.Paths.get(root,
+              s".build-expired-${java.util.UUID.randomUUID()}")
+            try {
+              java.nio.file.Files.move(stage, tomb,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              deleteRecursively(tomb)
+            } catch { case _: java.nio.file.NoSuchFileException => () }
+          }
       }
     }
     root
   }
 
   private object Outcome extends Enumeration { val Marker, Vanished, Stale = Value }
+
+  /** Age of the claim's heartbeat in ms (falls back to the claim dir's
+    * own mtime before the winner creates `.hb`); 0 — i.e. fresh — if
+    * the claim vanished between checks, so callers take a new look. */
+  private def claimStalenessMs(stage: java.nio.file.Path): Long =
+    try {
+      val hb = stage.resolve(".hb")
+      val t = java.nio.file.Files.getLastModifiedTime(
+        if (java.nio.file.Files.exists(hb)) hb else stage).toMillis
+      System.currentTimeMillis() - t
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** The claimed-builder half: heartbeat while building, fence every
     * publish step on still owning the claim. */
@@ -203,11 +221,23 @@ object ArtifactRoots {
       try new String(java.nio.file.Files.readAllBytes(ownerF), "UTF-8") == nonce
       catch { case scala.util.control.NonFatal(_) => false }
     val beat = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        java.nio.file.Files.setLastModifiedTime(hb,
+      var running = true
+      while (running && !Thread.interrupted()) {
+        // a TRANSIENT touch failure (NFS hiccup, momentary EMFILE) must
+        // not stop the beat for good — that would get a healthy long
+        // build usurped and aborted at publish. Only a vanished hb file
+        // (takeover moved the claim away) or interrupt ends the loop.
+        try java.nio.file.Files.setLastModifiedTime(hb,
           java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        Thread.sleep(math.max(1L, leaseMs / 8))
-      } catch { case _: Throwable => () } // beat thread just exits
+        catch {
+          case _: java.nio.file.NoSuchFileException => running = false
+          case _: InterruptedException => running = false
+          case scala.util.control.NonFatal(_) => ()
+        }
+        if (running)
+          try Thread.sleep(math.max(1L, leaseMs / 8))
+          catch { case _: InterruptedException => running = false }
+      }
     }, s"graft-artifact-heartbeat-${stage}")
     beat.setDaemon(true)
     beat.start()
@@ -264,16 +294,7 @@ object ArtifactRoots {
     while (true) {
       if (java.nio.file.Files.exists(marker)) return Outcome.Marker
       if (!java.nio.file.Files.exists(stage)) return Outcome.Vanished
-      val hbAge =
-        try {
-          val hb = stage.resolve(".hb")
-          val t = java.nio.file.Files.getLastModifiedTime(
-            if (java.nio.file.Files.exists(hb)) hb else stage).toMillis
-          System.currentTimeMillis() - t
-        } catch { // claim vanished between checks → fresh look next loop
-          case scala.util.control.NonFatal(_) => 0L
-        }
-      if (hbAge > leaseMs) return Outcome.Stale
+      if (claimStalenessMs(stage) > leaseMs) return Outcome.Stale
       if (System.nanoTime() > deadline)
         sys.error(s"timed out waiting for artifact marker $marker — if no " +
           s"builder is live, delete $stage to release the claim manually")
@@ -301,27 +322,42 @@ object ArtifactRoots {
     * live iff it carries the CURRENT format version AND a CURRENT
     * dataset fingerprint; everything else is garbage, classified:
     *
-    *  - `stale_version`: version ≠ `liveVersion` — written by a retired
-    *    binary; no current reader can resolve this path (rootFor always
-    *    interpolates the current version), so marker or not, it is
-    *    unreachable. Reclaimable.
-    *  - `stale_fingerprint`: current version but the dataset that keyed
-    *    it is gone/regenerated. Reclaimable.
-    *  - `incomplete`: current version, NO `.complete` marker — possibly
-    *    a build in flight RIGHT NOW (the claim/lease protocol owns
-    *    these, not the GC; reclaiming here would race a live builder).
-    *    Never reclaimed by the mark phase.
+    *  - `stale_version`: version ≠ `liveVersion`, marker present — a
+    *    completed artifact of a retired format. Reclaimable ONCE the
+    *    caller has decided that version is retired: during a
+    *    side-by-side migration (`spark.graft.artifactVersion`), sessions
+    *    pinned to the old version still read these, so run the GC with
+    *    the OLD liveVersion (or not at all) until the migration
+    *    completes — liveVersion is the caller's retirement decision,
+    *    not a discovery.
+    *  - `stale_fingerprint`: current version, marker present, but the
+    *    dataset that keyed it is gone/regenerated. Reclaimable.
+    *  - `incomplete`: NO `.complete` marker, ANY version — possibly a
+    *    build in flight RIGHT NOW (the claim/lease protocol owns
+    *    these, not the GC; reclaiming here would race a live builder,
+    *    and that hazard doesn't care what version the builder is
+    *    pinned to). Never reclaimed by the mark phase; a TTL sweep for
+    *    long-dead incompletes belongs to the lease layer, which can
+    *    tell a crashed claim from a live one.
     *  - `live`: current version, current fingerprint, marker present.
     *
     * The walk is registry-bounded (kinds × versions × fingerprints
     * directory entries — an object-store LIST at scale, never a data
-    * scan); bytes are the dir's file sizes, what a sweep reclaims. */
+    * scan); bytes are the dir's file sizes, what a sweep reclaims.
+    * Safe against a LIVE root: every stream is closed, and entries
+    * that vanish mid-walk (a finishing builder deleting its claim, a
+    * churning heartbeat file) are skipped, never fatal. */
   def gcMark(root: String, liveVersion: String,
       liveFingerprints: Set[String]): Seq[GcMark] = {
     import scala.jdk.CollectionConverters._
     def children(p: java.nio.file.Path): Seq[java.nio.file.Path] =
       if (!java.nio.file.Files.isDirectory(p)) Seq.empty
-      else java.nio.file.Files.list(p).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      else
+        try {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+          finally s.close()
+        } catch { case _: java.io.IOException => Seq.empty }
     for {
       kindDir <- children(java.nio.file.Paths.get(root))
       if java.nio.file.Files.isDirectory(kindDir)
@@ -333,14 +369,27 @@ object ArtifactRoots {
       val fp = fpDir.getFileName.toString
       val marker = java.nio.file.Files.exists(fpDir.resolve(".complete"))
       val status =
-        if (v != liveVersion) "stale_version"
-        else if (!marker) "incomplete"
+        if (!marker) "incomplete"
+        else if (v != liveVersion) "stale_version"
         else if (!liveFingerprints.contains(fp)) "stale_fingerprint"
         else "live"
-      val files = java.nio.file.Files.walk(fpDir).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-      GcMark(kindDir.getFileName.toString, v, fp, status,
-        files.size.toLong, files.map(java.nio.file.Files.size(_)).sum)
+      // tolerate concurrent mutation: files vanishing between the walk
+      // and their size read are counted as gone, not fatal
+      val (nf, bytes) =
+        try {
+          val s = java.nio.file.Files.walk(fpDir)
+          try {
+            val files = s.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+            (files.size.toLong, files.map { f =>
+              try java.nio.file.Files.size(f)
+              catch { case _: java.io.IOException => 0L }
+            }.sum)
+          } finally s.close()
+        } catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException => (0L, 0L)
+        }
+      GcMark(kindDir.getFileName.toString, v, fp, status, nf, bytes)
     }
   }
 

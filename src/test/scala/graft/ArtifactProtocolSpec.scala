@@ -158,7 +158,7 @@ class ArtifactProtocolSpec extends SparkSpec {
       new java.util.concurrent.Callable[String] {
         def call(): String = {
           barrier.await() // all four observe the same stale claim at once
-          ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 500) { st =>
+          ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 2000) { st =>
             builds.incrementAndGet()
             Thread.sleep(200)
             spark.range(5).withColumn("builder", lit(i))
@@ -183,17 +183,17 @@ class ArtifactProtocolSpec extends SparkSpec {
     // winner: builds for 4× the lease — only the heartbeat keeps it alive
     val winner = pool.submit(new java.util.concurrent.Callable[String] {
       def call(): String =
-        ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 300) { st =>
+        ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 1000) { st =>
           builds.incrementAndGet()
           started.countDown()
-          Thread.sleep(1200)
+          Thread.sleep(3000)
           spark.range(11).coalesce(1).write.parquet(s"$st/data")
         }
     })
     started.await()
     val loser = pool.submit(new java.util.concurrent.Callable[String] {
       def call(): String =
-        ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 300) { st =>
+        ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 1000) { st =>
           builds.incrementAndGet()
           spark.range(1).coalesce(1).write.parquet(s"$st/data")
         }
