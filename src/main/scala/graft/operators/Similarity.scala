@@ -243,35 +243,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The ONE probe-search kernel every IVF consumer composes: join the
+    * query panel's probed cells against the partitioned inverted lists
+    * (dynamic partition pruning keys the corpus-sized scan on the tiny
+    * probe side), optionally admit candidates through a metadata
+    * semi-join BEFORE ranking, and take the per-query top-`k` by exact
+    * cosine. Shared by ivf_search (k=3), ivf_search_filtered (k=3 +
+    * predicate), and hybrid_rrf_ivf's vector leg (k=10) so a change to
+    * the probe shape — the cell cast, the tie-break, the self-exclusion
+    * — cannot silently diverge the three and break their documented
+    * "differences are attributable to X alone" comparisons. */
+  private def ivfProbeTopK(spark: SparkSession, dir: String, k: Int,
+      admitted: Option[DataFrame]): DataFrame = {
+    val root = ivfIndexRoot(spark, dir)
+    val lists = spark.read.parquet(s"$root/lists")
+      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("cell").cast("long").as("cell"))
+    val q = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = ivfProbeCells(spark, dir).join(q, "qid")
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
+    val cands = probes.join(lists, "cell")
+    admitted.fold(cands)(keep =>
+        cands.join(keep, col("cand_id") === col("doc_id"), "left_semi"))
+      .filter(col("cand_id") =!= col("qid"))
+      .select(col("qid"), col("cand_id"),
+        round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select("qid", "cand_id", "cos", "rn")
+  }
+
   /** IVF probe search against the PERSISTED index: each query ranks the
     * stored centroids, then joins only its top-`IvfProbes` cells of the
     * partitioned lists (dynamic partition pruning keys the scan on the
     * 20-row probe side) and ranks candidates by exact cosine — the
     * classic recall/cost dial, with zero index recomputation per query. */
-  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val root = ivfIndexRoot(spark, dir)
-    val cents = spark.read.parquet(s"$root/centroids")
-    val lists = spark.read.parquet(s"$root/lists")
-      .select(col("vec_id").as("cand_id"), col("v").as("cv2"), col("cell").cast("long").as("cell"))
-    val q = emb(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("qid").orderBy(desc("csim"), asc("cid"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(vec_cosine(col("qv"), col("cv")), 6).as("csim"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= IvfProbes)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
-    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    probes.join(lists, "cell")
-      .filter(col("cand_id") =!= col("qid"))
-      .select(col("qid"), col("cand_id"),
-        round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select("qid", "cand_id", "cos", "rn")
-      .orderBy("qid", "rn")
-  }
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeTopK(spark, dir, 3, admitted = None).orderBy("qid", "rn")
 
   /** Filtered ANN search — top-k under a metadata predicate, the vector-
     * store query shape users actually run ("docs like this, but only
@@ -287,28 +296,12 @@ object Similarity {
     * keyed by the tiny probe side (only probed cells' files open), and
     * admission is a SEMI join — candidate rows never duplicate, and the
     * corpus's float vectors ride only the cell-pruned list scan. */
-  def ivfSearchFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val root = ivfIndexRoot(spark, dir)
-    val lists = spark.read.parquet(s"$root/lists")
-      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
-        col("cell").cast("long").as("cell"))
-    val keep = Tables.documents(spark, dir)
-      .filter(col("lang") === "en" && col("n_chars") >= 200)
-      .select(col("doc_id"))
-    val q = emb(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val probes = ivfProbeCells(spark, dir).join(q, "qid")
-    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    probes.join(lists, "cell")
-      .join(keep, col("cand_id") === col("doc_id"), "left_semi")
-      .filter(col("cand_id") =!= col("qid"))
-      .select(col("qid"), col("cand_id"),
-        round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select("qid", "cand_id", "cos", "rn")
+  def ivfSearchFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeTopK(spark, dir, 3, admitted = Some(
+      Tables.documents(spark, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id"))))
       .orderBy("qid", "rn")
-  }
 
   /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
     * standard RAG retrieval operator: each query's BM25 lexical ranking
@@ -383,21 +376,8 @@ object Similarity {
     * frames. */
   def hybridRrfIvf(spark: SparkSession, dir: String): DataFrame = {
     val depth = 10
-    val root = ivfIndexRoot(spark, dir)
-    val lists = spark.read.parquet(s"$root/lists")
-      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
-        col("cell").cast("long").as("cell"))
-    val q = emb(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val probes = ivfProbeCells(spark, dir).join(q, "qid")
-    val wAnn = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    val ann = probes.join(lists, "cell")
-      .filter(col("cand_id") =!= col("qid"))
-      .select(col("qid"), col("cand_id"),
-        round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
-      .withColumn("ar", row_number().over(wAnn))
-      .filter(col("ar") <= depth)
-      .select("qid", "cand_id", "ar")
+    val ann = ivfProbeTopK(spark, dir, depth, admitted = None)
+      .select(col("qid"), col("cand_id"), col("rn").as("ar"))
     rrfFuseWithLex(spark, dir, ann, admitted = None, depth)
   }
 

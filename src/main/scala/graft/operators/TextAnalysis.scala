@@ -797,13 +797,24 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** The tf/df/dl aggregation stack under every BM25 surface — corpus
+    * kernel (bm25ScoredImpl), mergeable model parts (bm25ModelParts),
+    * and the chunk-serving index's shipped model (chunkIndexRoot) all
+    * derive from THIS one derivation, so batch/stream oracle equality
+    * rests on shared code, not on three hand-kept copies staying
+    * identical. */
+  private def bm25TfStages(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tf = d.select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    (tf, dfm, dl)
+  }
+
   private def bm25ScoredImpl(spark: SparkSession, dir: String,
       forceDecimal: Boolean): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("word"))
-    val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val df = tf.filter(col("tf") >= 1).groupBy("word").agg(count(lit(1)).as("df"))
+    val (tf, df, dl) = bm25TfStages(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     val totRow = dl.agg(count(lit(1)).as("n"), sum("dl").as("tl"),
       max("dl").as("maxdl")).head()
     val n = totRow.getLong(0)
@@ -858,9 +869,7 @@ object TextAnalysis {
     * them, the bm25_model_refresh loop). */
   private[graft] def bm25ScoreAgainstModel(docs: DataFrame, modelDf: DataFrame,
       n: Long, tl: Long, maxdl: Long): DataFrame = {
-    val pairs = docs.select(col("doc_id"), explode(toks).as("word"))
-    val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val (tf, _, dl) = bm25TfStages(docs) // dfm unused (the model ships df)
     val (idf, score) = bm25Exprs(n, tl, maxdl, forceDecimal = false)
     broadcast(tf).join(modelDf.withColumn("idf", idf), "word")
       .join(broadcast(dl), "doc_id")
@@ -871,10 +880,7 @@ object TextAnalysis {
     * per-word document-frequency table and the 1-row (n, tl) corpus
     * scalars — shared by the batch refresh and its streaming twin. */
   private[graft] def bm25ModelParts(d: DataFrame): (DataFrame, DataFrame) = {
-    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfm = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val (_, dfm, dl) = bm25TfStages(d)
     (dfm, dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl")))
   }
 
@@ -982,12 +988,9 @@ object TextAnalysis {
           .groupBy("word", "doc_id", "chunk_id").agg(count(lit(1)).as("cnt"))
           .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
           .write.partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
-        val pairs = Tables.documents(spark, dir)
-          .select(col("doc_id"), explode(toks).as("word"))
-        val tf = pairs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        tf.groupBy("word").agg(count(lit(1)).as("df"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$stage/model_df")
+        val (_, dfm, dl) = bm25TfStages(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        dfm.coalesce(1).write.mode("overwrite").parquet(s"$stage/model_df")
         dl.agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tl"),
             coalesce(max("dl"), lit(1L)).as("maxdl"))
           .coalesce(1).write.mode("overwrite").parquet(s"$stage/model_sc")

@@ -880,21 +880,9 @@ object StreamingBridge {
         Similarity.emb(spark, dir).filter(!isNew), spark, root)
       // stage the delta as 3 id-ranged files with ascending mtimes →
       // 3 real micro-batches at maxFilesPerTrigger=1
-      val build = graft.sources.TempDirs.create("graft_stream_ivf_build_")
-      Similarity.emb(spark, dir).filter(isNew)
-        .repartitionByRange(3, col("vec_id"))
-        .write.mode("overwrite").parquet(build)
-      val deltaDir = graft.sources.TempDirs.create("graft_stream_ivf_delta_")
-      val parts = new java.io.File(build).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      val tsBase = System.currentTimeMillis() - 1000L * parts.length
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val dst = java.nio.file.Paths.get(deltaDir, f"delta_$i%05d.parquet")
-        java.nio.file.Files.copy(f.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
-      }
+      val deltaDir = stageRangedFiles(
+        Similarity.emb(spark, dir).filter(isNew), 3, "vec_id",
+        "graft_stream_ivf_delta_")
       val schema = spark.read.parquet(deltaDir).schema
       val cents = spark.read.parquet(s"$root/centroids")
       val ck = graft.sources.TempDirs.create("graft_stream_ivf_ck_")
@@ -957,26 +945,37 @@ object StreamingBridge {
   private val docsStageMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[String]), String]
 
+  /** THE file-staging primitive of every bridge: write `df` as `n`
+    * range-split parquet files with ascending mtimes under a fresh temp
+    * dir — one file per micro-batch at `maxFilesPerTrigger=1`. One
+    * implementation (part-file filter, 1 s mtime spacing, name-sorted
+    * order) shared by the corpus stages, the IVF ingest delta, and the
+    * chunk-retrieval query panel, so the batch-ordering semantics every
+    * `stream_*_eq` oracle depends on cannot silently fork per caller. */
+  private[streaming] def stageRangedFiles(df: DataFrame, n: Int,
+      rangeCol: String, prefix: String): String = {
+    val build = graft.sources.TempDirs.create(s"${prefix}build_")
+    df.repartitionByRange(n, col(rangeCol)).write.mode("overwrite").parquet(build)
+    val out = graft.sources.TempDirs.create(prefix)
+    val parts = new java.io.File(build).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val tsBase = System.currentTimeMillis() - 1000L * parts.length
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = java.nio.file.Paths.get(out, f"batch_$i%05d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
+    }
+    out
+  }
+
   private def stageDocsRanged(spark: SparkSession, dir: String, n: Int,
       cols: Seq[String]): String =
     docsStageMemo.computeIfAbsent((graft.sources.DatasetId.key(dir), n, cols), { _ =>
-      val build = graft.sources.TempDirs.create("graft_stream_docs_build_")
-      Tables.documents(spark, dir)
-        .select(cols.map(col): _*)
-        .repartitionByRange(n, col("doc_id"))
-        .write.mode("overwrite").parquet(build)
-      val docsDir = graft.sources.TempDirs.create("graft_stream_docs_")
-      val parts = new java.io.File(build).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      val tsBase = System.currentTimeMillis() - 1000L * parts.length
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val dst = java.nio.file.Paths.get(docsDir, f"docs_$i%05d.parquet")
-        java.nio.file.Files.copy(f.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
-      }
-      docsDir
+      stageRangedFiles(
+        Tables.documents(spark, dir).select(cols.map(col): _*),
+        n, "doc_id", "graft_stream_docs_")
     })
 
   /** Streaming BPE encode — the tokenizer's inference half run as a
@@ -1221,22 +1220,10 @@ object StreamingBridge {
       scRow.getAs[Long]("maxdl"))
     // stage the query panel as 3 id-ranged files with ascending mtimes —
     // 3 real micro-batches at maxFilesPerTrigger=1
-    val build = graft.sources.TempDirs.create("graft_stream_chunk_build_")
-    graft.sources.Tables.documents(spark, dir)
-      .filter(col("doc_id") < 10).select("doc_id", "text")
-      .repartitionByRange(3, col("doc_id"))
-      .write.mode("overwrite").parquet(build)
-    val panelDir = graft.sources.TempDirs.create("graft_stream_chunk_panel_")
-    val parts = new java.io.File(build).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val tsBase = System.currentTimeMillis() - 1000L * parts.length
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dst = java.nio.file.Paths.get(panelDir, f"panel_$i%05d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(tsBase + i * 1000L))
-    }
+    val panelDir = stageRangedFiles(
+      graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") < 10).select("doc_id", "text"),
+      3, "doc_id", "graft_stream_chunk_panel_")
     val schema = spark.read.parquet(panelDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_chunk_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_chunk_ck_")
