@@ -255,13 +255,30 @@ object Similarity {
     * "differences are attributable to X alone" comparisons. */
   private def ivfProbeTopK(spark: SparkSession, dir: String, k: Int,
       admitted: Option[DataFrame]): DataFrame = {
-    val root = ivfIndexRoot(spark, dir)
+    val q = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    ivfServeTopK(spark, ivfIndexRoot(spark, dir), q, k, admitted)
+  }
+
+  /** The same kernel for an ARRIVING query frame `(qid, qv)` against
+    * the persisted index at `root` — the serving-side entry the
+    * streaming hybrid twin uses per micro-batch: probe cells are ranked
+    * from the stored centroids for whatever queries just arrived
+    * (broadcast K-row centroid table, row-local scoring), then the
+    * identical pruned-list top-k. */
+  private[graft] def ivfServeTopK(spark: SparkSession, root: String,
+      q: DataFrame, k: Int, admitted: Option[DataFrame]): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
     val lists = spark.read.parquet(s"$root/lists")
       .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cell").cast("long").as("cell"))
-    val q = emb(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val probes = ivfProbeCells(spark, dir).join(q, "qid")
+    val wProbe = Window.partitionBy("qid").orderBy(desc("csim"), asc("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(vec_cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
     val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
     val cands = probes.join(lists, "cell")
     admitted.fold(cands)(keep =>
@@ -386,26 +403,43 @@ object Similarity {
     * integer reciprocal-rank fusion with the given vector-leg ranking. */
   private def rrfFuseWithLex(spark: SparkSession, dir: String,
       ann: DataFrame, admitted: Option[DataFrame], depth: Int): DataFrame = {
-    import graft.functions.{TopKAggregator, TopKItem}
     val scored = TextAnalysis.bm25Scored(spark, dir)
     val wQt = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
     val qterms = scored.filter(col("doc_id") < 10)
       .withColumn("rn", row_number().over(wQt))
       .filter(col("rn") <= 3)
       .select(col("doc_id").as("qid"), col("word"))
-    val topk = udaf(new TopKAggregator(depth),
-      org.apache.spark.sql.Encoders.product[TopKItem])
     val lexCands = scored.join(broadcast(qterms), "word")
       .filter(col("doc_id") =!= col("qid"))
-    val lex = admitted.fold(lexCands)(k =>
-        lexCands.join(k, Seq("doc_id"), "left_semi"))
-      .groupBy("qid", "doc_id")
+    val lex = lexTopK(admitted.fold(lexCands)(k =>
+      lexCands.join(k, Seq("doc_id"), "left_semi")), depth)
+    rrfFuse(ann, lex).orderBy("qid", "rrf_rank")
+  }
+
+  /** Per-query lexical top-`depth` from (qid, doc_id, bm25) candidate
+    * rows: sum the query's term scores per candidate, then the
+    * TopKAggregator partial-agg fold (O(k) state, map-side combine) —
+    * never a per-query window over a corpus-sized candidate set.
+    * Shared by the batch hybrids and the streaming serving twin so the
+    * cut semantics (tie-break by doc_id through the fold's id channel)
+    * cannot fork. */
+  private[graft] def lexTopK(cands: DataFrame, depth: Int): DataFrame = {
+    import graft.functions.{TopKAggregator, TopKItem}
+    val topk = udaf(new TopKAggregator(depth),
+      org.apache.spark.sql.Encoders.product[TopKItem])
+    cands.groupBy("qid", "doc_id")
       .agg(sum("bm25").as("lex"))
       .groupBy("qid")
       .agg(topk(col("lex").cast("double"), col("doc_id")).as("top"))
       .select(col("qid"), posexplode(col("top.items")))
       .select(col("qid"), col("col.id").as("cand_id"),
         (col("pos") + 1).cast("int").as("lr"))
+  }
+
+  /** Integer-exact reciprocal-rank fusion of a vector ranking (`ar`)
+    * and a lexical ranking (`lr`): Σ 1e12 div (60+rank) as BIGINT,
+    * top-5 per query — ONE implementation under every hybrid surface. */
+  private[graft] def rrfFuse(ann: DataFrame, lex: DataFrame): DataFrame = {
     val wF = Window.partitionBy("qid").orderBy(desc("rrf"), asc("cand_id"))
     ann.join(lex, Seq("qid", "cand_id"), "full_outer")
       .select(col("qid"), col("cand_id"),
@@ -414,7 +448,6 @@ object Similarity {
       .withColumn("rrf_rank", row_number().over(wF))
       .filter(col("rrf_rank") <= 5)
       .select("qid", "cand_id", "rrf", "rrf_rank")
-      .orderBy("qid", "rrf_rank")
   }
 
   /** IVF-PQ search — the composition a production vector store actually

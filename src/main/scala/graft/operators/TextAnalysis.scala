@@ -131,6 +131,7 @@ object TextAnalysis {
     bpeRootMemo.clear()
     gateSpecMemo.clear()
     chunkIdxMemo.clear()
+    lexIdxMemo.clear()
     bm25Memo.values.foreach { df =>
       try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -1002,6 +1003,34 @@ object TextAnalysis {
     * separately from the per-query serving cost. */
   def chunkIndexWarm(spark: SparkSession, dir: String): String =
     chunkIndexRoot(spark, dir)
+
+  /** Persisted lexical-retrieval index: the per-(doc, word) integer
+    * BM25 kernel — the exact frame bm25_top_terms gates — written as
+    * postings bucketed by wb = xxhash64(word) mod 64 (the chunkidx
+    * discipline): a query's ≤3 terms touch ≤3 of 64 partitions, so the
+    * serving path reads only those buckets of a corpus-sized index.
+    * Together with chunkidx's shipped model (which scores the ARRIVING
+    * query doc), this is everything the streaming hybrid needs — the
+    * lexical half of a RAG serving stack as a durable artifact. */
+  private val lexIdxMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]
+
+  private[graft] def lexIndexRoot(spark: SparkSession, dir: String): String = {
+    lexIdxMemo.keys.filter(_._1.sparkContext.isStopped).foreach(lexIdxMemo.remove)
+    lexIdxMemo.getOrElseUpdate((spark,
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "lexidx", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root, Seq("postings")) { stage =>
+        bm25Scored(spark, dir)
+          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+          .write.partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
+      }
+    })
+  }
+
+  /** Public warm-up for Bench. */
+  def lexIndexWarm(spark: SparkSession, dir: String): String =
+    lexIndexRoot(spark, dir)
 
   /** The diversity cut shared by chunk_retrieval and its streaming twin:
     * per-doc cap (top-2 chunks) then global top-5 per query, both as

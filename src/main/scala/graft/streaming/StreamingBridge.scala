@@ -1260,6 +1260,77 @@ object StreamingBridge {
       .orderBy("qid", "chunk_rank")
   }
 
+  /** Streaming hybrid retrieval serving — the full RAG serving loop as
+    * a stream, the seventh batch/stream pairing and the second
+    * query-side twin: query panels (text + embedding vector per query
+    * doc) arrive as 3 micro-batches and each trigger is answered
+    * end-to-end from three persisted artifacts —
+    *
+    *  - the IVF index (`Similarity.ivfServeTopK`: arriving vectors rank
+    *    the stored centroids via a broadcast K-row table, then the
+    *    DPP-pruned inverted-list top-10 — the production ANN leg),
+    *  - the BM25 model (chunkidx's `model_df`/`model_sc`: the arriving
+    *    doc's top-3 terms derived by the shared integer kernel), and
+    *  - the lexical postings (`lexidx`: per-(doc, word) BM25 bucketed
+    *    by word hash — the batch's terms read ≤3 of 64 partitions of a
+    *    corpus-sized index, never the whole thing),
+    *
+    * fused by the SAME `lexTopK` + `rrfFuse` code the batch hybrids
+    * use, per-batch output OVERWRITTEN keyed by batchId
+    * (retry-idempotent). Per-query answers depend only on the query's
+    * own text/vector and the shipped artifacts, so micro-batching is
+    * value-invisible: gated by hybrid_rrf_ivf's exact oracle. */
+  def streamHybridRrfEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Similarity, TextAnalysis}
+    val chunkRoot = graft.sources.ArtifactRoots.assertComplete(
+      TextAnalysis.chunkIndexRoot(spark, dir))
+    val lexRoot = graft.sources.ArtifactRoots.assertComplete(
+      TextAnalysis.lexIndexRoot(spark, dir))
+    val ivfRoot = Similarity.ivfWarmIndex(spark, dir)
+    val modelDf = spark.read.parquet(s"$chunkRoot/model_df")
+    val scRow = spark.read.parquet(s"$chunkRoot/model_sc").head()
+    val (n, tl, maxdl) = (scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"),
+      scRow.getAs[Long]("maxdl"))
+    val lexPost = spark.read.parquet(s"$lexRoot/postings")
+    val panel = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+      .join(Similarity.emb(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("doc_id"), col("v")), "doc_id")
+    val panelDir = stageRangedFiles(panel, 3, "doc_id",
+      "graft_stream_hybrid_panel_")
+    val schema = spark.read.parquet(panelDir).schema
+    val outDir = graft.sources.TempDirs.create("graft_stream_hybrid_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_hybrid_ck_")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(panelDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val depth = 10
+        val wQt = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
+        val qterms = TextAnalysis.bm25ScoreAgainstModel(
+            batch.select("doc_id", "text"), modelDf, n, tl, maxdl)
+          .withColumn("rn", row_number().over(wQt))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id").as("qid"), col("word"))
+          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+        val lex = Similarity.lexTopK(
+          lexPost.join(broadcast(qterms), Seq("wb", "word"))
+            .filter(col("doc_id") =!= col("qid")), depth)
+        val ann = Similarity.ivfServeTopK(spark, ivfRoot,
+            batch.select(col("doc_id").as("qid"), col("v").as("qv")),
+            depth, admitted = None)
+          .select(col("qid"), col("cand_id"), col("rn").as("ar"))
+        Similarity.rrfFuse(ann, lex)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy("qid", "rrf_rank")
+  }
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -1331,6 +1402,7 @@ object StreamingBridge {
     "stream_decontaminate_eq" -> scoped(streamDecontaminateEq),
     "stream_bm25_refresh_eq" -> scoped(streamBm25RefreshEq),
     "stream_chunk_retrieval_eq" -> scoped(streamChunkRetrievalEq),
+    "stream_hybrid_rrf_eq" -> scoped(streamHybridRrfEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1358,6 +1430,10 @@ object StreamingBridge {
     // micro-batch from the persisted postings + BM25 model artifacts
     // must produce the exact batch ranking
     "stream_chunk_retrieval_eq" -> graft.operators.TextAnalysis.oracle("chunk_retrieval"),
+    // identical to batch hybrid_rrf_ivf: per-batch serving from the
+    // persisted IVF index + BM25 model + lexical postings must land on
+    // the exact batch fusion
+    "stream_hybrid_rrf_eq" -> graft.operators.Similarity.oracle("hybrid_rrf_ivf"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),

@@ -564,6 +564,39 @@ class PlanAuditSpec extends SparkSpec {
       s"postings scan carries no partition filters:\n$p")
   }
 
+  test("stream_hybrid serving legs ride pruned artifact scans: lexical buckets + IVF cells") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    // lexical leg: the per-trigger postings probe must be partition-
+    // pruned to the batch's term buckets, exactly like the chunk probe
+    val lexRoot = graft.sources.ArtifactRoots.assertComplete(
+      graft.operators.TextAnalysis.lexIndexRoot(spark, sf))
+    val chunkRoot = graft.sources.ArtifactRoots.assertComplete(
+      graft.operators.TextAnalysis.chunkIndexRoot(spark, sf))
+    val scRow = spark.read.parquet(s"$chunkRoot/model_sc").head()
+    val qterms = graft.operators.TextAnalysis.bm25ScoreAgainstModel(
+        graft.sources.Tables.documents(spark, sf)
+          .filter(col("doc_id") < 10).select("doc_id", "text"),
+        spark.read.parquet(s"$chunkRoot/model_df"),
+        scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"), scRow.getAs[Long]("maxdl"))
+      .limit(30)
+      .select(col("doc_id").as("qid"), col("word"))
+      .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+    val lexProbe = spark.read.parquet(s"$lexRoot/postings")
+      .join(broadcast(qterms), Seq("wb", "word"))
+    val pl = plan(lexProbe)
+    assert(pl.contains("dynamicpruning") && pl.contains("PartitionFilters"),
+      s"lexical postings scan not pruned to the terms' buckets:\n$pl")
+    // vector leg: the serving-side probe against the persisted index
+    // must dynamically prune the inverted-list scan to probed cells
+    val ivfRoot = graft.operators.Similarity.ivfWarmIndex(spark, sf)
+    val q = graft.operators.Similarity.emb(spark, sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pv = plan(graft.operators.Similarity.ivfServeTopK(spark, ivfRoot, q, 10, None))
+    assert(pv.contains("dynamicpruning") && pv.contains("PartitionFilters"),
+      s"serving-side list scan not dynamically pruned:\n$pv")
+  }
+
   test("chunk_retrieval: both diversity cuts are partial-agg folds; the only window is the 10-doc query panel") {
     val df = graft.operators.TextAnalysis.chunkRetrieval(spark, sf)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
