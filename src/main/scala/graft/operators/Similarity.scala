@@ -272,13 +272,7 @@ object Similarity {
     val lists = spark.read.parquet(s"$root/lists")
       .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cell").cast("long").as("cell"))
-    val wProbe = Window.partitionBy("qid").orderBy(desc("csim"), asc("cid"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(vec_cosine(col("qv"), col("cv")), 6).as("csim"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= IvfProbes)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val probes = probeCellsOf(q, cents).join(q, "qid")
     val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
     val cands = probes.join(lists, "cell")
     admitted.fold(cands)(keep =>
@@ -468,9 +462,19 @@ object Similarity {
     * — shared by ivf_pq_search and its spec. */
   private[graft] def ivfProbeCells(spark: SparkSession, dir: String): DataFrame = {
     val root = ivfIndexRoot(spark, dir)
-    val cents = spark.read.parquet(s"$root/centroids")
     val q = emb(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
+    probeCellsOf(q, spark.read.parquet(s"$root/centroids"))
+  }
+
+  /** The ONE probe-cell ranking under every IVF consumer — panel probes
+    * (ivfProbeCells → ivf_pq_search/ivf_pq_recall) and serving probes
+    * (ivfServeTopK → the search family + both hybrids + the streaming
+    * twin): rank `cents` per query by cosine, keep the top-`IvfProbes`
+    * cells. Tie-break (csim desc, cid asc) and the 6-dp rounding are
+    * part of the oracle contract; a forked copy diverging on either
+    * silently shifts which cells open. */
+  private def probeCellsOf(q: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy("qid").orderBy(desc("csim"), asc("cid"))
     q.join(broadcast(cents), lit(true))
       .select(col("qid"), col("cid"),

@@ -959,6 +959,13 @@ object TextAnalysis {
       .select(col("doc_id"), (col("s") / 32).cast("long").as("chunk_id"),
         explode(slice(col("tk"), col("s") + 1, lit(64))).as("word"))
 
+  /** THE word→bucket function of every bucketed lexical artifact
+    * (chunkidx and lexidx postings) AND every serving-side probe: it is
+    * a JOIN KEY, so build and probe sides forking on the modulus or
+    * hash would not merely lose pruning — rows whose buckets disagree
+    * would silently vanish from the join. One definition, no copies. */
+  private[graft] def wordBucket(w: Column): Column = pmod(xxhash64(w), lit(64))
+
   /** Persisted chunk-retrieval serving index — the artifact pair the
     * streaming retrieval twin answers from, on the shared-root protocol
     * (atomic build + marker + version/fingerprint path):
@@ -987,7 +994,7 @@ object TextAnalysis {
           Seq("postings", "model_df", "model_sc")) { stage =>
         chunkWordsFrame(spark, dir)
           .groupBy("word", "doc_id", "chunk_id").agg(count(lit(1)).as("cnt"))
-          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+          .withColumn("wb", wordBucket(col("word")))
           .write.partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
         val (_, dfm, dl) = bm25TfStages(
           Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -1022,7 +1029,7 @@ object TextAnalysis {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "lexidx", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("postings")) { stage =>
         bm25Scored(spark, dir)
-          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+          .withColumn("wb", wordBucket(col("word")))
           .write.partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
       }
     })

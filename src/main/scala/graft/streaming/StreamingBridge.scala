@@ -1239,7 +1239,7 @@ object StreamingBridge {
           .filter(col("rn") <= 3)
           .select(col("doc_id").as("qid"), col("word"),
             expr("bm25 div 1000").as("w"))
-          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+          .withColumn("wb", TextAnalysis.wordBucket(col("word")))
         val scored = postings.join(broadcast(qterms), Seq("wb", "word"))
           .filter(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id", "chunk_id")
@@ -1292,10 +1292,16 @@ object StreamingBridge {
     val (n, tl, maxdl) = (scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"),
       scRow.getAs[Long]("maxdl"))
     val lexPost = spark.read.parquet(s"$lexRoot/postings")
+    // FULL OUTER union of the two query domains: the batch oracle fuses
+    // the legs full_outer, so a query doc with text but no embedding
+    // row (or vice versa) still gets a one-leg fused ranking — an
+    // inner-joined panel would silently drop it from the stream while
+    // the oracle answers it (the current fixture aligns the two 1:1,
+    // which would mask the divergence until a generator change)
     val panel = graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id") < 10).select("doc_id", "text")
       .join(Similarity.emb(spark, dir).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("doc_id"), col("v")), "doc_id")
+        .select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"), "full_outer")
     val panelDir = stageRangedFiles(panel, 3, "doc_id",
       "graft_stream_hybrid_panel_")
     val schema = spark.read.parquet(panelDir).schema
@@ -1309,16 +1315,18 @@ object StreamingBridge {
         val wQt = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
         val qterms = TextAnalysis.bm25ScoreAgainstModel(
-            batch.select("doc_id", "text"), modelDf, n, tl, maxdl)
+            batch.filter(col("text").isNotNull).select("doc_id", "text"),
+            modelDf, n, tl, maxdl)
           .withColumn("rn", row_number().over(wQt))
           .filter(col("rn") <= 3)
           .select(col("doc_id").as("qid"), col("word"))
-          .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+          .withColumn("wb", TextAnalysis.wordBucket(col("word")))
         val lex = Similarity.lexTopK(
           lexPost.join(broadcast(qterms), Seq("wb", "word"))
             .filter(col("doc_id") =!= col("qid")), depth)
         val ann = Similarity.ivfServeTopK(spark, ivfRoot,
-            batch.select(col("doc_id").as("qid"), col("v").as("qv")),
+            batch.filter(col("v").isNotNull)
+              .select(col("doc_id").as("qid"), col("v").as("qv")),
             depth, admitted = None)
           .select(col("qid"), col("cand_id"), col("rn").as("ar"))
         Similarity.rrfFuse(ann, lex)

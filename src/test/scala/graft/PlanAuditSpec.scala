@@ -543,7 +543,7 @@ class PlanAuditSpec extends SparkSpec {
     // query side broadcasts with wb in the join key, so the corpus-sized
     // grid scan must carry dynamic partition pruning — a serving path
     // that scans the whole grid per trigger is not a serving path
-    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, row_number}
     val root = graft.sources.ArtifactRoots.assertComplete(
       graft.operators.TextAnalysis.chunkIndexRoot(spark, sf))
     val postings = spark.read.parquet(s"$root/postings")
@@ -553,9 +553,15 @@ class PlanAuditSpec extends SparkSpec {
           .filter(col("doc_id") < 10).select("doc_id", "text"),
         spark.read.parquet(s"$root/model_df"),
         scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"), scRow.getAs[Long]("maxdl"))
-      .limit(30)
+      // the REAL serving shape: the per-doc top-3 window the twins run,
+      // not a limit approximation — a regression that breaks DPP only
+      // under the window would otherwise sail past this guard
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))))
+      .filter(col("rn") <= 3)
       .select(col("doc_id").as("qid"), col("word"))
-      .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+      .withColumn("wb", graft.operators.TextAnalysis.wordBucket(col("word")))
     val probe = postings.join(broadcast(qterms), Seq("wb", "word"))
     val p = plan(probe)
     assert(p.contains("dynamicpruning"),
@@ -565,7 +571,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("stream_hybrid serving legs ride pruned artifact scans: lexical buckets + IVF cells") {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, row_number}
     // lexical leg: the per-trigger postings probe must be partition-
     // pruned to the batch's term buckets, exactly like the chunk probe
     val lexRoot = graft.sources.ArtifactRoots.assertComplete(
@@ -578,9 +584,15 @@ class PlanAuditSpec extends SparkSpec {
           .filter(col("doc_id") < 10).select("doc_id", "text"),
         spark.read.parquet(s"$chunkRoot/model_df"),
         scRow.getAs[Long]("n"), scRow.getAs[Long]("tl"), scRow.getAs[Long]("maxdl"))
-      .limit(30)
+      // the REAL serving shape: the per-doc top-3 window the twins run,
+      // not a limit approximation — a regression that breaks DPP only
+      // under the window would otherwise sail past this guard
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))))
+      .filter(col("rn") <= 3)
       .select(col("doc_id").as("qid"), col("word"))
-      .withColumn("wb", pmod(xxhash64(col("word")), lit(64)))
+      .withColumn("wb", graft.operators.TextAnalysis.wordBucket(col("word")))
     val lexProbe = spark.read.parquet(s"$lexRoot/postings")
       .join(broadcast(qterms), Seq("wb", "word"))
     val pl = plan(lexProbe)
