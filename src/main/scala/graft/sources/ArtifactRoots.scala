@@ -393,6 +393,31 @@ object ArtifactRoots {
     }
   }
 
+  /** Sweep phase: delete what the mark phase classifies reclaimable —
+    * `stale_version` and `stale_fingerprint` dirs only; `live` and
+    * `incomplete` are never touched. The marks are computed fresh at
+    * sweep time, and each dir is additionally skipped if a `.build`
+    * claim exists at delete time: a session pinned to a retired version
+    * (side-by-side migration) could be REBUILDING the dir right now,
+    * and the claim — not the marker — is what signals that. Between
+    * that check and the delete the usual lease caveat applies; the
+    * defense in depth is that any such builder's readers still gate on
+    * the marker, so the worst case is its rebuild, never a half-read.
+    * Returns the marks actually deleted. */
+  def gcSweep(root: String, liveVersion: String,
+      liveFingerprints: Set[String]): Seq[GcMark] =
+    gcMark(root, liveVersion, liveFingerprints)
+      .filter(m => m.status == "stale_version" || m.status == "stale_fingerprint")
+      .flatMap { m =>
+        val dir = java.nio.file.Paths.get(root, m.kind, s"v${m.version}",
+          m.fingerprint)
+        if (java.nio.file.Files.exists(dir.resolve(".build"))) None
+        else {
+          try { deleteRecursively(dir); Some(m) }
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+
   /** Reader-side protocol check: the artifact at `root` must carry the
     * `.complete` marker. Failing loudly here is what makes a killed
     * build "unreadable rather than half-read" — without this, the

@@ -269,6 +269,45 @@ class ArtifactProtocolSpec extends SparkSpec {
     }
   }
 
+  test("gcSweep deletes only the reclaimable: live, in-flight, and claimed dirs survive") {
+    val shared = graft.sources.TempDirs.create("graft_sweep_shared_")
+    spark.conf.set("spark.graft.artifactRoot", shared)
+    try {
+      spark.conf.set("spark.graft.artifactVersion", "sw-live")
+      graft.operators.Dedup.benchGramRoot(spark, sf)
+      spark.conf.set("spark.graft.artifactVersion", "sw-old")
+      graft.operators.Dedup.benchGramRoot(spark, sf)
+      spark.conf.set("spark.graft.artifactVersion", "sw-claimed")
+      val claimed = graft.operators.Dedup.benchGramRoot(spark, sf)
+      // an old-version dir UNDER AN ACTIVE CLAIM — a migration session
+      // rebuilding it right now — must survive the sweep
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(claimed, ".build"))
+      val half = java.nio.file.Paths.get(shared, "benchgrams", "vsw-live", "0000inflight")
+      java.nio.file.Files.createDirectories(half)
+      java.nio.file.Files.write(half.resolve("part"), Array[Byte](1))
+      val fp = graft.sources.DatasetId.fingerprint(sf)
+      val deleted = ArtifactRoots.gcSweep(shared, "sw-live", Set(fp))
+      assert(deleted.map(m => (m.version, m.status)) ===
+        Seq(("sw-old", "stale_version")),
+        "exactly the unclaimed retired version must be swept")
+      val left = ArtifactRoots.gcMark(shared, "sw-live", Set(fp))
+        .map(m => (m.version, m.fingerprint, m.status)).toSet
+      assert(left === Set(
+        ("sw-live", fp, "live"),
+        ("sw-live", "0000inflight", "incomplete"),
+        ("sw-claimed", fp, "stale_version")),
+        s"live, in-flight, and claimed dirs must survive, got $left")
+      // the claimed dir still MARKS reclaimable (marker present, retired
+      // version) — it is the SWEEP's claim check that protects it while
+      // the rebuild is in flight; a later sweep after the claim clears
+      // may collect it
+    } finally {
+      spark.conf.unset("spark.graft.artifactVersion")
+      spark.conf.unset("spark.graft.artifactRoot")
+    }
+  }
+
   test("shared root config keys artifacts by dataset fingerprint") {
     val shared = graft.sources.TempDirs.create("graft_shared_root_")
     spark.conf.set("spark.graft.artifactRoot", shared)
