@@ -1080,6 +1080,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Window size for the duplicated-substring coverage audit: a span
+    * must repeat verbatim for at least this many characters to count.
+    * 40 chars ≈ 6–8 words — long enough that chance n-gram collisions
+    * in natural text are negligible, short enough to catch boilerplate
+    * sentences (the published ExactSubstr threshold is 50 BPE tokens at
+    * web scale; this corpus's documents are 100–500 chars). */
+  private val SubK = 40
+
+  /** ExactSubstr-style duplicated-span coverage — the position-level
+    * dedup modality the document-level family (exact/minhash/simhash)
+    * cannot express: a document that is 95% unique but embeds one
+    * boilerplate paragraph verbatim from another document scores ~0 on
+    * document Jaccard yet carries real duplicated training mass. Lee et
+    * al.'s ExactSubstr finds such spans with a corpus-global suffix
+    * array — inherently sequential and memory-resident, the wrong shape
+    * for a cluster. The Spark-native equivalent: anchor a `SubK`-char
+    * window at EVERY character position (any duplicated run of length
+    * ≥ SubK contains at least one fully-duplicated window, so detection
+    * is exact, not sampled), hash each window to 56 bits, keep positions
+    * whose window recurs in ≥2 distinct documents, and merge each
+    * document's surviving [i, i+SubK-1] intervals into maximal spans
+    * (gaps-and-islands over a running max-end). Output per doc: span
+    * count, duplicated chars (union of spans), and floor-ppm coverage —
+    * the audit that decides whether position-level dedup is worth
+    * running on a corpus at all.
+    *
+    * Scale shape: corpus-LINEAR, not quadratic — one (hash, doc, pos)
+    * row per character (~20 bytes/char, the honest amplification of
+    * stride-1 anchoring) through ONE shuffle on the 56-bit hash; the
+    * recurring-hash set joins back by hash equi-join, and the island
+    * merge windows partition by doc_id — per-document work bounded by
+    * document length, never a corpus-wide sort. Same cost class as the
+    * other corpus-linear kernels (char_entropy, ngram_novelty). The
+    * hash is md5-derived on both engines, so the oracle replays it
+    * exactly; 56 bits keeps false-positive hash collisions below 1e-5
+    * even at 10^12 positions per shuffle partition group. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringCoverage(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The coverage kernel over any (doc_id, text) frame — split from the
+    * registered query so specs can drive synthetic fixtures through the
+    * exact production path (the minhashLshPairs pattern). */
+  private[graft] def substringCoverage(input: DataFrame): DataFrame = {
+    val docs = input
+      .filter(length(col("text")) >= SubK)
+      .select(col("doc_id"), col("text"))
+    val pos = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(SubK - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"cast(conv(substring(md5(substring(text, cast(i as int), $SubK)), 1, 14), 16, 10) as bigint)").as("h"))
+    val dupH = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wRun = W.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val spans = pos.join(dupH, "h")
+      .select(col("doc_id"), col("i"))
+      .withColumn("pe", max(col("i") + lit(SubK - 1)).over(wPrev))
+      .withColumn("ni", when(col("pe").isNull || col("i") > col("pe"), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("i") + lit(SubK - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s") + 1).cast("long")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"))
+      .withColumn("coverage_ppm", expr("(1000000 * dup_chars) div total_chars"))
+  }
+
   /** Asymmetric containment on the verified candidate pairs:
     * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication
     * (a short doc quoted whole inside a long one) which symmetric
@@ -1155,6 +1234,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ngram_jaccard_sampled" -> dedupNgramJaccardSampled,
+    "dedup_substring" -> dedupSubstring,
     "lsh_recall_audit" -> lshRecallAudit,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
@@ -1240,6 +1320,25 @@ object Dedup {
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
         "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
     },
+    "dedup_substring" ->
+      // positional 40-char windows hashed to the same md5-56 both
+      // engines; recurring-window positions merged gaps-and-islands
+      (s"WITH d AS (SELECT doc_id, text, len(text) AS total_chars FROM documents WHERE len(text) >= $SubK), " +
+        s"p AS (SELECT doc_id, text, unnest(generate_series(1, total_chars - ${SubK - 1})) AS i FROM d), " +
+        s"ph AS (SELECT doc_id, i, CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubK)), 1, 14) AS BIGINT) AS h FROM p), " +
+        "duph AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+        "dp AS (SELECT doc_id, i FROM ph JOIN duph USING (h)), " +
+        s"fl AS (SELECT doc_id, i, max(i + ${SubK - 1}) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dp), " +
+        "isl AS (SELECT doc_id, i, sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
+        s"sp AS (SELECT doc_id, island, min(i) AS s, max(i + ${SubK - 1}) AS e FROM isl GROUP BY 1, 2), " +
+        "ag AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars FROM sp GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, " +
+        "CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars, " +
+        "CAST(d.total_chars AS BIGINT) AS total_chars, " +
+        "(1000000 * CAST(coalesce(a.dup_chars, 0) AS BIGINT)) // CAST(d.total_chars AS BIGINT) AS coverage_ppm " +
+        "FROM d LEFT JOIN ag a USING (doc_id) ORDER BY doc_id"),
     "dedup_normalized" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp, " +
         "min(doc_id) AS keep_id, count(*) AS n_docs, " +

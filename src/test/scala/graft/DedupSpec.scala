@@ -232,6 +232,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring: shared span localized exactly; doc-level invariants hold") {
+    // two docs embed the same 60-char run inside otherwise-unique text:
+    // document-level Jaccard is low, but the position audit must report
+    // exactly that run — one span, 60 chars — in BOTH docs, and nothing
+    // in the unique third doc
+    val shared = "the quick brown fox jumps over the lazy dog again and now once"
+    val L = shared.length.toLong
+    assert(L >= 40, "shared run must span at least one full window")
+    val total = 100L + L
+    val d1 = ("A" * 50) + shared + ("B" * 50)
+    val d2 = ("C" * 50) + shared + ("D" * 50)
+    val d3 = "E" * total.toInt
+    val got = Dedup.substringCoverage(
+        Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1)).toDF("doc_id", "text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // docs 1 and 4 are EXACT duplicates: every window recurs cross-doc,
+    // so position-level coverage must agree with document-level exact
+    // dedup and report 100%; docs 1/2 share only the embedded run
+    assert(got == Seq(
+      (1L, 1L, total, total, 1000000L),
+      (2L, 1L, L, total, 1000000L * L / total),
+      (3L, 0L, 0L, total, 0L),
+      (4L, 1L, total, total, 1000000L)))
+    // real corpus: coverage must be a true union (never exceeds the doc),
+    // every span carries at least one full window, and document-level
+    // exact dups are fully covered at position level (cross-operator
+    // consistency with dedup_exact)
+    val rows = Dedup.dedupSubstring(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.forall { case (_, ns, dc, tc, _) =>
+      dc <= tc && (ns == 0L) == (dc == 0L) && (ns == 0L || dc >= 40L) })
+    assert(rows.exists { case (_, _, dc, tc, _) => dc > 0 && dc < tc },
+      "fixture corpus should contain PARTIAL duplication — the case " +
+        "document-level dedup misses")
+  }
+
   test("ngram_jaccard refuses loudly past the per-block pair budget") {
     // with a budget no real block fits under, the exhaustive audit must
     // fail with the remediation message instead of silently going
