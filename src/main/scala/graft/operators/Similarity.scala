@@ -355,6 +355,20 @@ object Similarity {
   private def hybridRrfImpl(spark: SparkSession, dir: String,
       admitted: Option[DataFrame]): DataFrame = {
     val depth = 10
+    val ann = bruteAnnTopK(spark, dir, depth, admitted)
+    rrfFuseWithLex(spark, dir, ann, admitted, depth)
+  }
+
+  /** The EXACT brute-force vector ranking — query panel broadcast
+    * against the full corpus scan, per-query top-`depth` by rounded
+    * cosine. One kernel under the batch hybrids' vector leg AND the
+    * ranking-quality eval's graded ground truth, so "the exact
+    * reference ranking" cannot fork between the surface being evaluated
+    * and the truth it is evaluated against. Eval/oracle shape only at
+    * corpus scale (the adjudicated ann_recall_report pattern) — the
+    * production serving leg is the IVF probe. */
+  private[graft] def bruteAnnTopK(spark: SparkSession, dir: String,
+      depth: Int, admitted: Option[DataFrame]): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -362,12 +376,11 @@ object Similarity {
     val annCands = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("qv"), col("v")), 6).as("cos"))
-    val ann = admitted.fold(annCands)(k =>
+    admitted.fold(annCands)(k =>
         annCands.join(k, col("cand_id") === col("doc_id"), "left_semi"))
       .withColumn("ar", row_number().over(wAnn))
       .filter(col("ar") <= depth)
       .select("qid", "cand_id", "ar")
-    rrfFuseWithLex(spark, dir, ann, admitted, depth)
   }
 
   /** Hybrid RRF retrieval with the PRODUCTION vector leg: the persisted
@@ -390,6 +403,67 @@ object Similarity {
     val ann = ivfProbeTopK(spark, dir, depth, admitted = None)
       .select(col("qid"), col("cand_id"), col("rn").as("ar"))
     rrfFuseWithLex(spark, dir, ann, admitted = None, depth)
+  }
+
+  /** Graded-relevance depth for the ranking eval: exact-cosine rank r
+    * (r ≤ RelDepth) grades a candidate rel = RelDepth+1-r; outside the
+    * exact top-RelDepth, rel = 0. */
+  private val RelDepth = 10
+
+  /** Floor-ppm DCG discounts 1/log2(p+1) for positions 1..5, computed
+    * ONCE here and interpolated as literals into BOTH engines — log2 is
+    * not guaranteed correctly-rounded across engines, a literal table
+    * is (the embed_project LCG-matrix pattern). */
+  private[graft] val ndcgDiscPpm: IndexedSeq[Long] =
+    (1 to 5).map(p => math.floor(1e6 / (math.log(p + 1.0) / math.log(2.0))).toLong)
+
+  /** IDCG@5 under rank-derived grading is constant: every query's ideal
+    * head is grades RelDepth..RelDepth-4 (the corpus always holds ≥
+    * RelDepth candidates), so nDCG differs from DCG by one global
+    * scale — kept anyway so the row reads in the standard [0, 1e6]. */
+  private[graft] val ndcgIdcgScaled: Long =
+    (1 to 5).map(p => (RelDepth + 1 - p).toLong * ndcgDiscPpm(p - 1)).sum
+
+  private def discCaseSql: String =
+    (1 to 5).map(p => s"WHEN $p THEN ${ndcgDiscPpm(p - 1)}")
+      .mkString("CASE rrf_rank ", " ", " ELSE 0 END")
+
+  /** Ranking-quality eval of the PRODUCTION serving ranking — the
+    * metrics layer the retrieval stack was still missing: recall rows
+    * (ann_recall_report, ivf_pq_recall, ivf_filtered_recall) ask "did
+    * the true neighbors surface at all"; this row asks "did they
+    * surface IN THE RIGHT ORDER", per query, over the end-to-end
+    * hybrid_rrf_ivf fused list. Ground truth grades each fused
+    * candidate by its EXACT brute-force cosine rank (rel = 11-rank for
+    * the exact top-10, via the same bruteAnnTopK kernel the batch
+    * hybrids rank with); emitted per query: hits-in-top-5 (n_rel),
+    * first relevant position and its reciprocal (MRR@5 numerator),
+    * DCG@5 and nDCG@5. Everything integer-exact: relevance grades are
+    * small ints, discounts are the floor-ppm literal table above, DCG
+    * is a BIGINT dot product, MRR and nDCG are floor-div ppm — no
+    * float ever crosses the engine boundary.
+    *
+    * Scale shape: the system side is hybrid_rrf_ivf's ≤ queries×5
+    * fused frame; the ground-truth side is the one corpus scan the
+    * adjudicated eval shape pays (broadcast query panel, no corpus
+    * shuffle); grading and the per-query fold are broadcast-sized. */
+  def retrievalRankEval(spark: SparkSession, dir: String): DataFrame = {
+    val sys = hybridRrfIvf(spark, dir)
+    val exact = bruteAnnTopK(spark, dir, RelDepth, admitted = None)
+    val graded = sys.join(exact, Seq("qid", "cand_id"), "left")
+      .select(col("qid"), col("rrf_rank"),
+        coalesce(lit(RelDepth + 1) - col("ar"), lit(0)).as("rel"))
+    graded.groupBy("qid")
+      .agg(
+        sum((col("rel") > 0).cast("long")).as("n_rel"),
+        coalesce(min(when(col("rel") > 0, col("rrf_rank"))), lit(0))
+          .cast("int").as("first_rel_rank"),
+        sum(col("rel").cast("long") * expr(discCaseSql)).as("dcg"))
+      .select(col("qid"), col("n_rel"), col("first_rel_rank"),
+        expr("case when first_rel_rank > 0 then 1000000 div first_rel_rank else cast(0 as bigint) end").as("rr_ppm"),
+        col("dcg"),
+        expr(s"(1000000 * dcg) div $ndcgIdcgScaled").as("ndcg_ppm"))
+      .orderBy("qid")
   }
 
   /** The lexical leg + RRF fusion shared by every hybrid variant: BM25
@@ -1189,6 +1263,7 @@ object Similarity {
     "hybrid_rrf" -> hybridRrf,
     "hybrid_rrf_filtered" -> hybridRrfFiltered,
     "hybrid_rrf_ivf" -> hybridRrfIvf,
+    "retrieval_rank_eval" -> retrievalRankEval,
     "ivf_pq_search" -> ivfPqSearch,
     "ivf_pq_recall" -> ivfPqRecall,
     "ivf_filtered_recall" -> ivfFilteredRecall,
@@ -1261,6 +1336,38 @@ object Similarity {
       "imean AS (SELECT cell, p.pos, CAST(sum(CAST(v[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
       s"FROM ia0 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p GROUP BY cell, p.pos), " +
       "c AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM imean GROUP BY cell)"
+
+  /** The full hybrid_rrf_ivf CTE chain through the fused top-5 list
+    * `hr` — shared by the hybrid_rrf_ivf oracle and the ranking eval's
+    * (which grades exactly this list), so the system-under-eval and its
+    * own gate can never diverge in SQL. */
+  private def hybridRrfIvfCtesSql: String =
+    s"$refinedCentroidCtesSql, " +
+      s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
+      "assign AS (SELECT vec_id AS cand_id, cid AS cell FROM " +
+      "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+      s"pscored AS (SELECT q.qid, q.qv, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
+      "probes AS (SELECT qid, qv, cid AS cell FROM " +
+      s"(SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
+      "cand AS (SELECT p.qid, p.qv, a.cand_id FROM probes p JOIN assign a ON p.cell = a.cell WHERE a.cand_id <> p.qid), " +
+      s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
+      "ann AS (SELECT qid, cand_id, ar FROM (SELECT qid, cand_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS ar FROM cscored) WHERE ar <= 10), " +
+      s"${TextAnalysis.bm25ScoredCteSql}, " +
+      "qt2 AS (SELECT doc_id AS qid, word FROM (SELECT doc_id, word, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +
+      "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
+      "lexs AS (SELECT qt2.qid, s.doc_id AS cand_id, CAST(sum(s.bm25) AS BIGINT) AS lex " +
+      "FROM qt2 JOIN bscored s USING (word) WHERE s.doc_id <> qt2.qid GROUP BY 1, 2), " +
+      "lex AS (SELECT qid, cand_id, lr FROM (SELECT qid, cand_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY lex DESC, cand_id) AS lr FROM lexs) WHERE lr <= 10), " +
+      "fused AS (SELECT coalesce(a.qid, l.qid) AS qid, coalesce(a.cand_id, l.cand_id) AS cand_id, " +
+      "coalesce(1000000000000 // (60 + a.ar), 0) + coalesce(1000000000000 // (60 + l.lr), 0) AS rrf " +
+      "FROM ann a FULL JOIN lex l ON a.qid = l.qid AND a.cand_id = l.cand_id), " +
+      "hr AS (SELECT qid, cand_id, CAST(rrf AS BIGINT) AS rrf, CAST(rrf_rank AS INT) AS rrf_rank FROM " +
+      "(SELECT qid, cand_id, rrf, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand_id) AS rrf_rank FROM fused) " +
+      "WHERE rrf_rank <= 5)"
 
   /** Resident-corpus twin of refinedCentroidCtesSql: seeds and the Lloyd
     * step use only vec_id ≢ 0 mod 10 (the corpus that built the
@@ -1556,32 +1663,23 @@ object Similarity {
     // IVF probe (top-10 by exact cosine within probed cells) instead of
     // the brute-force corpus scan
     "hybrid_rrf_ivf" ->
-      (s"WITH $refinedCentroidCtesSql, " +
-        s"ascored AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS sim FROM e CROSS JOIN c), " +
-        "assign AS (SELECT vec_id AS cand_id, cid AS cell FROM " +
-        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
-        s"pscored AS (SELECT q.qid, q.qv, c.cid, round(${cosSql("q.qv", "c.cv")}, 6) AS csim FROM q CROSS JOIN c), " +
-        "probes AS (SELECT qid, qv, cid AS cell FROM " +
-        s"(SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS pr FROM pscored) WHERE pr <= $IvfProbes), " +
-        "cand AS (SELECT p.qid, p.qv, a.cand_id FROM probes p JOIN assign a ON p.cell = a.cell WHERE a.cand_id <> p.qid), " +
-        s"cscored AS (SELECT qid, cand_id, round(${cosSql("qv", "e2.v")}, 6) AS cos FROM cand JOIN e e2 ON e2.vec_id = cand_id), " +
-        "ann AS (SELECT qid, cand_id, ar FROM (SELECT qid, cand_id, " +
-        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id) AS ar FROM cscored) WHERE ar <= 10), " +
-        s"${TextAnalysis.bm25ScoredCteSql}, " +
-        "qt2 AS (SELECT doc_id AS qid, word FROM (SELECT doc_id, word, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, word) AS rn " +
-        "FROM bscored WHERE doc_id < 10) WHERE rn <= 3), " +
-        "lexs AS (SELECT qt2.qid, s.doc_id AS cand_id, CAST(sum(s.bm25) AS BIGINT) AS lex " +
-        "FROM qt2 JOIN bscored s USING (word) WHERE s.doc_id <> qt2.qid GROUP BY 1, 2), " +
-        "lex AS (SELECT qid, cand_id, lr FROM (SELECT qid, cand_id, " +
-        "row_number() OVER (PARTITION BY qid ORDER BY lex DESC, cand_id) AS lr FROM lexs) WHERE lr <= 10), " +
-        "fused AS (SELECT coalesce(a.qid, l.qid) AS qid, coalesce(a.cand_id, l.cand_id) AS cand_id, " +
-        "coalesce(1000000000000 // (60 + a.ar), 0) + coalesce(1000000000000 // (60 + l.lr), 0) AS rrf " +
-        "FROM ann a FULL JOIN lex l ON a.qid = l.qid AND a.cand_id = l.cand_id) " +
-        "SELECT qid, cand_id, CAST(rrf AS BIGINT) AS rrf, CAST(rrf_rank AS INT) AS rrf_rank FROM " +
-        "(SELECT qid, cand_id, rrf, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cand_id) AS rrf_rank FROM fused) " +
-        "WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank"),
+      s"WITH $hybridRrfIvfCtesSql SELECT qid, cand_id, rrf, rrf_rank FROM hr ORDER BY qid, rrf_rank",
+    // the fused serving list `hr` graded by the exact brute-force
+    // cosine top-10 (xa); discounts/IDCG are the Scala-side literals
+    "retrieval_rank_eval" ->
+      (s"WITH $hybridRrfIvfCtesSql, " +
+        s"xs AS (SELECT q.qid, e.vec_id AS cand_id, round(${cosSql("q.qv", "e.v")}, 6) AS xcos " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+        "xa AS (SELECT qid, cand_id, xr FROM (SELECT qid, cand_id, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY xcos DESC, cand_id) AS xr FROM xs) WHERE xr <= $RelDepth), " +
+        s"gr AS (SELECT hr.qid, hr.rrf_rank, coalesce(${RelDepth + 1} - xa.xr, 0) AS rel " +
+        "FROM hr LEFT JOIN xa ON xa.qid = hr.qid AND xa.cand_id = hr.cand_id), " +
+        "ev AS (SELECT qid, CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel, " +
+        "CAST(coalesce(min(CASE WHEN rel > 0 THEN rrf_rank END), 0) AS INT) AS first_rel_rank, " +
+        s"CAST(sum(CAST(rel AS BIGINT) * ($discCaseSql)) AS BIGINT) AS dcg FROM gr GROUP BY qid) " +
+        "SELECT qid, n_rel, first_rel_rank, " +
+        "CASE WHEN first_rel_rank > 0 THEN CAST(1000000 AS BIGINT) // first_rel_rank ELSE CAST(0 AS BIGINT) END AS rr_ppm, " +
+        s"dcg, (1000000 * dcg) // $ndcgIdcgScaled AS ndcg_ppm FROM ev ORDER BY qid"),
     // identical to hybrid_rrf except both legs admit only keep docs
     // BEFORE their rankings (filter-then-rank)
     "hybrid_rrf_filtered" ->

@@ -344,6 +344,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == 50 && exact.size == 50)
   }
 
+  test("retrieval_rank_eval: metric invariants hold and re-derive from the graded inputs") {
+    val rows = Similarity.retrievalRankEval(spark, sf)
+      .as[(Long, Long, Int, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == (0L until 10L).toSet, "one metrics row per panel query")
+    rows.foreach { case (qid, nRel, first, rr, dcg, ndcg) =>
+      assert(nRel >= 0 && nRel <= 5, s"q$qid n_rel $nRel out of [0,5]")
+      assert((nRel == 0) == (first == 0), s"q$qid first_rel_rank/n_rel disagree")
+      assert(rr == (if (first > 0) 1000000L / first else 0L), s"q$qid rr_ppm mismatch")
+      assert(dcg >= 0 && dcg <= Similarity.ndcgIdcgScaled, s"q$qid DCG above ideal")
+      assert(ndcg == 1000000L * dcg / Similarity.ndcgIdcgScaled, s"q$qid ndcg scaling")
+    }
+    assert(rows.exists(_._2 > 0), "panel should surface at least one true neighbor")
+    // independent re-derivation for every query from the two public
+    // stages the eval composes: grade the fused list by the exact
+    // ranking and recount
+    val sys = Similarity.hybridRrfIvf(spark, sf)
+      .select($"qid", $"cand_id", $"rrf_rank").as[(Long, Long, Int)].collect()
+    val exact = Similarity.cosineTopk(spark, sf)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    // cosine_topk is top-5; a fused hit in the exact top-5 must carry
+    // rel >= 6, so n_rel from the row must be >= the top-5 overlap
+    val inTop5 = sys.filter(t => exact.contains((t._1, t._2)))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    rows.foreach { case (qid, nRel, _, _, _, _) =>
+      assert(nRel >= inTop5.getOrElse(qid, 0),
+        s"q$qid reports fewer relevant hits than its exact-top-5 overlap")
+    }
+  }
+
   test("embed_prefix_recall: 3 prefixes x 10 queries, recall bounded, improves with dims on aggregate") {
     val rows = Similarity.embedPrefixRecall(spark, sf)
       .as[(Long, Int, Long, Long, Long)].collect()
