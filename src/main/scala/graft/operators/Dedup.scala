@@ -1131,17 +1131,21 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - lit(SubK - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         expr(s"cast(conv(substring(md5(substring(text, cast(i as int), $SubK)), 1, 14), 16, 10) as bigint)").as("h"))
-    val dupH = pos.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("h")
     val W = org.apache.spark.sql.expressions.Window
     val wPrev = W.partitionBy("doc_id").orderBy("i")
       .rowsBetween(W.unboundedPreceding, -1)
     val wRun = W.partitionBy("doc_id").orderBy("i")
       .rowsBetween(W.unboundedPreceding, 0)
-    val spans = pos.join(dupH, "h")
-      .select(col("doc_id"), col("i"))
+    // single pass over the hashed positions: collapse to one row per
+    // (window, doc) carrying that doc's anchor positions, then a
+    // whole-partition count over the window hash IS the distinct-doc
+    // recurrence count — the corpus-sized frame is hashed and shuffled
+    // once, never recomputed for the join-back
+    val spans = pos.groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("i")).as("is"))
+      .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id"), explode(col("is")).as("i"))
       .withColumn("pe", max(col("i") + lit(SubK - 1)).over(wPrev))
       .withColumn("ni", when(col("pe").isNull || col("i") > col("pe"), 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(wRun))
