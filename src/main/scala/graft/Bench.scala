@@ -112,7 +112,7 @@ object Bench {
         () => { operators.Similarity.scoredLshPairs(spark, sfDir).count(); () }),
       ("chain_ivf_index", Set("ivf_assign", "ivf_search", "ivf_search_filtered",
           "ivf_pq_search", "ivf_pq_recall", "ivf_filtered_recall", "hybrid_rrf_ivf",
-          "stream_hybrid_rrf_eq"),
+          "retrieval_rank_eval", "stream_hybrid_rrf_eq"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
       ("chain_ivf_incr", Set("ivf_incremental"),
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
@@ -122,10 +122,12 @@ object Bench {
         () => { operators.TextAnalysis.scoredDocs(spark, sfDir).count(); () }),
       ("chain_bpe_merges", Set("bpe_learn_merges", "bpe_encode"),
         () => { operators.TextAnalysis.bpeMergeTable(spark, sfDir); () }),
-      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf", "hybrid_rrf_filtered", "hybrid_rrf_ivf", "chunk_retrieval", "stream_hybrid_rrf_eq"),
+      ("chain_bm25_scored", Set("bm25_top_terms", "hybrid_rrf", "hybrid_rrf_filtered", "hybrid_rrf_ivf", "retrieval_rank_eval", "chunk_retrieval", "stream_hybrid_rrf_eq"),
         () => { operators.TextAnalysis.bm25Scored(spark, sfDir).count(); () }),
       ("chain_bench_grams", Set("stream_decontaminate_eq"),
         () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),
+      ("chain_win_index", Set("substring_dedup_incr"),
+        () => { operators.Dedup.winIndexWarm(spark, sfDir); () }),
       ("chain_chunk_index", Set("stream_chunk_retrieval_eq", "stream_hybrid_rrf_eq"),
         () => { operators.TextAnalysis.chunkIndexWarm(spark, sfDir); () }),
       ("chain_lex_index", Set("stream_hybrid_rrf_eq"),

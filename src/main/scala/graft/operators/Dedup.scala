@@ -1119,33 +1119,36 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
     substringCoverage(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  /** The coverage kernel over any (doc_id, text) frame — split from the
-    * registered query so specs can drive synthetic fixtures through the
-    * exact production path (the minhashLshPairs pattern). */
-  private[graft] def substringCoverage(input: DataFrame): DataFrame = {
-    val docs = input
+  /** Positional window hashes of a (doc_id, text) frame: one
+    * (doc_id, anchor position, md5-56 of the SubK-char window) row per
+    * character position — the shared first stage of the batch audit,
+    * the winidx artifact build, and the incremental screen. */
+  private def winHashes(input: DataFrame): DataFrame =
+    input
       .filter(length(col("text")) >= SubK)
-      .select(col("doc_id"), col("text"))
-    val pos = docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - lit(SubK - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         expr(s"cast(conv(substring(md5(substring(text, cast(i as int), $SubK)), 1, 14), 16, 10) as bigint)").as("h"))
+
+  /** One row per (window hash, doc) carrying that doc's anchor
+    * positions — the frame both recurrence tests run over. */
+  private def winByDoc(input: DataFrame): DataFrame =
+    winHashes(input).groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("i")).as("is"))
+
+  /** Island-merge + per-doc packaging: duplicated anchor positions →
+    * maximal spans → (doc_id, n_spans, dup_chars, total_chars,
+    * coverage_ppm), zero-filled over every doc long enough to carry a
+    * window. Shared by the batch audit and the incremental screen so
+    * the span semantics cannot fork. */
+  private def coverageFrom(input: DataFrame, dupPos: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val wPrev = W.partitionBy("doc_id").orderBy("i")
       .rowsBetween(W.unboundedPreceding, -1)
     val wRun = W.partitionBy("doc_id").orderBy("i")
       .rowsBetween(W.unboundedPreceding, 0)
-    // single pass over the hashed positions: collapse to one row per
-    // (window, doc) carrying that doc's anchor positions, then a
-    // whole-partition count over the window hash IS the distinct-doc
-    // recurrence count — the corpus-sized frame is hashed and shuffled
-    // once, never recomputed for the join-back
-    val spans = pos.groupBy(col("h"), col("doc_id"))
-      .agg(collect_list(col("i")).as("is"))
-      .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
-      .filter(col("nd") >= 2)
-      .select(col("doc_id"), explode(col("is")).as("i"))
+    val spans = dupPos
       .withColumn("pe", max(col("i") + lit(SubK - 1)).over(wPrev))
       .withColumn("ni", when(col("pe").isNull || col("i") > col("pe"), 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(wRun))
@@ -1154,13 +1157,98 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("e") - col("s") + 1).cast("long")).as("dup_chars"))
-    docs.select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+    input
+      .filter(length(col("text")) >= SubK)
+      .select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         col("total_chars"))
       .withColumn("coverage_ppm", expr("(1000000 * dup_chars) div total_chars"))
+  }
+
+  /** The coverage kernel over any (doc_id, text) frame — split from the
+    * registered query so specs can drive synthetic fixtures through the
+    * exact production path (the minhashLshPairs pattern). */
+  private[graft] def substringCoverage(input: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // single pass over the hashed positions: collapse to one row per
+    // (window, doc) carrying that doc's anchor positions, then a
+    // whole-partition count over the window hash IS the distinct-doc
+    // recurrence count — the corpus-sized frame is hashed and shuffled
+    // once, never recomputed for the join-back
+    val dupPos = winByDoc(input)
+      .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id"), explode(col("is")).as("i"))
+    coverageFrom(input, dupPos)
+  }
+
+  /** Persisted resident-corpus window-hash index (shared-root protocol):
+    * the DISTINCT md5-56 window hashes of every resident document, one
+    * BIGINT column — ~8 bytes per corpus character before dedup, a few
+    * percent of corpus bytes on disk. This is the artifact that makes
+    * position-level dedup INCREMENTAL: an arriving batch is screened
+    * against it instead of re-running the corpus-global audit. */
+  private val winIdxMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]
+
+  private[graft] def winIndexRoot(spark: SparkSession, dir: String): String = {
+    winIdxMemo.keys.filter(_._1.sparkContext.isStopped).foreach(winIdxMemo.remove)
+    winIdxMemo.getOrElseUpdate((spark,
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "winidx", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root, Seq("hashes")) { stage =>
+        winHashes(Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0))
+          .select("h").distinct()
+          .write.mode("overwrite").parquet(s"$stage/hashes")
+      }
+    })
+  }
+
+  /** Public warm-up for Bench: bill the one-time index build separately
+    * from the per-batch screening cost. */
+  def winIndexWarm(spark: SparkSession, dir: String): String =
+    winIndexRoot(spark, dir)
+
+  /** Incremental duplicated-span coverage — dedup_substring as the
+    * O(delta) screen a production ingest runs: only the ARRIVING docs
+    * (doc_id ≡ 0 mod 10, the dedup_incremental fixture split) are
+    * hashed and scored; a window counts as duplicated if it recurs in
+    * the resident corpus (probe of the persisted winidx artifact) or in
+    * ≥2 distinct docs of the arriving batch itself (batch-local
+    * recurrence — new boilerplate entering in bulk must not slip the
+    * screen just because the index predates it). Result: exactly the
+    * corpus-global audit's rows restricted to the arrivals — the oracle
+    * replays THAT definition, so the two recurrence paths must
+    * reproduce global recurrence bit-exactly.
+    *
+    * Scale shape: the batch side is delta-sized end to end (hashing,
+    * the batch-local window count, the island merge); the resident
+    * corpus appears ONLY as one map-side probe of the index's single
+    * BIGINT column against the broadcast batch hash set — the arriving
+    * batch is panel-bounded, so its distinct hashes broadcast; a bulk
+    * backfill would drop the broadcast hint and take the shuffle join.
+    * No corpus text is ever re-read, re-hashed, or shuffled. */
+  def substringDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val root = winIndexRoot(spark, dir)
+    val idx = spark.read.parquet(s"$root/hashes")
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val W = org.apache.spark.sql.expressions.Window
+    val byDoc = winByDoc(arrivals)
+    // delta-bounded: the index rows whose hash occurs in this batch
+    val hits = idx
+      .join(broadcast(byDoc.select("h").distinct()), "h")
+      .withColumn("hit", lit(1))
+    val dupPos = byDoc
+      .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
+      .join(hits, Seq("h"), "left")
+      .filter(col("nd") >= 2 || col("hit") === 1)
+      .select(col("doc_id"), explode(col("is")).as("i"))
+    coverageFrom(arrivals, dupPos).orderBy("doc_id")
   }
 
   /** Asymmetric containment on the verified candidate pairs:
@@ -1239,6 +1327,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ngram_jaccard_sampled" -> dedupNgramJaccardSampled,
     "dedup_substring" -> dedupSubstring,
+    "substring_dedup_incr" -> substringDedupIncr,
     "lsh_recall_audit" -> lshRecallAudit,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
@@ -1292,6 +1381,29 @@ object Dedup {
       "cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"
 
+  /** Duplicated-span coverage oracle: positional 40-char windows hashed
+    * to the same md5-56 both engines; recurring-window positions merged
+    * gaps-and-islands. `finalWhere` restricts the OUTPUT rows only —
+    * recurrence is always judged corpus-globally, which is exactly the
+    * equivalence the incremental row's two-path screen must hit. */
+  private def substringOracleSql(finalWhere: String): String =
+    s"WITH d AS (SELECT doc_id, text, len(text) AS total_chars FROM documents WHERE len(text) >= $SubK), " +
+      s"p AS (SELECT doc_id, text, unnest(generate_series(1, total_chars - ${SubK - 1})) AS i FROM d), " +
+      s"ph AS (SELECT doc_id, i, CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubK)), 1, 14) AS BIGINT) AS h FROM p), " +
+      "duph AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+      "dp AS (SELECT doc_id, i FROM ph JOIN duph USING (h)), " +
+      s"fl AS (SELECT doc_id, i, max(i + ${SubK - 1}) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dp), " +
+      "isl AS (SELECT doc_id, i, sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
+      s"sp AS (SELECT doc_id, island, min(i) AS s, max(i + ${SubK - 1}) AS e FROM isl GROUP BY 1, 2), " +
+      "ag AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars FROM sp GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, " +
+      "CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars, " +
+      "CAST(d.total_chars AS BIGINT) AS total_chars, " +
+      "(1000000 * CAST(coalesce(a.dup_chars, 0) AS BIGINT)) // CAST(d.total_chars AS BIGINT) AS coverage_ppm " +
+      s"FROM d LEFT JOIN ag a USING (doc_id) ${finalWhere}ORDER BY doc_id"
+
   val oracle: Map[String, String] = Map(
     "decontaminate" -> {
       // base-31 char-8-gram polynomial, the SQL twin of gramHash(_, _, 8)
@@ -1324,25 +1436,11 @@ object Dedup {
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d " +
         "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
     },
-    "dedup_substring" ->
-      // positional 40-char windows hashed to the same md5-56 both
-      // engines; recurring-window positions merged gaps-and-islands
-      (s"WITH d AS (SELECT doc_id, text, len(text) AS total_chars FROM documents WHERE len(text) >= $SubK), " +
-        s"p AS (SELECT doc_id, text, unnest(generate_series(1, total_chars - ${SubK - 1})) AS i FROM d), " +
-        s"ph AS (SELECT doc_id, i, CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubK)), 1, 14) AS BIGINT) AS h FROM p), " +
-        "duph AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
-        "dp AS (SELECT doc_id, i FROM ph JOIN duph USING (h)), " +
-        s"fl AS (SELECT doc_id, i, max(i + ${SubK - 1}) OVER (PARTITION BY doc_id ORDER BY i " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dp), " +
-        "isl AS (SELECT doc_id, i, sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END) " +
-        "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
-        s"sp AS (SELECT doc_id, island, min(i) AS s, max(i + ${SubK - 1}) AS e FROM isl GROUP BY 1, 2), " +
-        "ag AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars FROM sp GROUP BY 1) " +
-        "SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, " +
-        "CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars, " +
-        "CAST(d.total_chars AS BIGINT) AS total_chars, " +
-        "(1000000 * CAST(coalesce(a.dup_chars, 0) AS BIGINT)) // CAST(d.total_chars AS BIGINT) AS coverage_ppm " +
-        "FROM d LEFT JOIN ag a USING (doc_id) ORDER BY doc_id"),
+    "dedup_substring" -> substringOracleSql(""),
+    // the SAME corpus-global definition restricted to the arrivals: the
+    // Spark side's two-path recurrence (index probe + batch-local) must
+    // reproduce global recurrence exactly for the screened split
+    "substring_dedup_incr" -> substringOracleSql("WHERE d.doc_id % 10 = 0 "),
     "dedup_normalized" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp, " +
         "min(doc_id) AS keep_id, count(*) AS n_docs, " +

@@ -269,6 +269,27 @@ class DedupSpec extends SparkSpec {
         "document-level dedup misses")
   }
 
+  test("substring_dedup_incr equals the corpus-global audit on the arrival split") {
+    // the contract the O(delta) screen must hit: index-probe recurrence
+    // (resident corpus) plus batch-local recurrence together reproduce
+    // GLOBAL cross-doc recurrence exactly for the screened docs
+    val incr = Dedup.substringDedupIncr(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val global = Dedup.dedupSubstring(spark, sf)
+      .filter($"doc_id" % 10 === 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(incr == global,
+      "incremental screen diverges from the corpus-global definition")
+    assert(incr.nonEmpty && incr.exists(_._3 > 0),
+      "arrival split should carry at least one duplicated span")
+    // the screen's probe side must be the broadcast batch (index never
+    // shuffles): the executed plan carries a broadcast join on h
+    val plan = Dedup.substringDedupIncr(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "winidx probe should be a map-side broadcast join, not a shuffle of the index")
+  }
+
   test("ngram_jaccard refuses loudly past the per-block pair budget") {
     // with a budget no real block fits under, the exhaustive audit must
     // fail with the remediation message instead of silently going
