@@ -126,7 +126,7 @@ object Bench {
         () => { operators.TextAnalysis.bm25Scored(spark, sfDir).count(); () }),
       ("chain_bench_grams", Set("stream_decontaminate_eq"),
         () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),
-      ("chain_win_index", Set("substring_dedup_incr"),
+      ("chain_win_index", Set("substring_dedup_incr", "stream_substring_dedup_eq"),
         () => { operators.Dedup.winIndexWarm(spark, sfDir); () }),
       ("chain_chunk_index", Set("stream_chunk_retrieval_eq", "stream_hybrid_rrf_eq"),
         () => { operators.TextAnalysis.chunkIndexWarm(spark, sfDir); () }),

@@ -1233,23 +1233,41 @@ object Dedup {
     * No corpus text is ever re-read, re-hashed, or shuffled. */
   def substringDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val root = winIndexRoot(spark, dir)
-    val idx = spark.read.parquet(s"$root/hashes")
     val arrivals = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
+    screenArrivalsAgainst(arrivals, spark.read.parquet(s"$root/hashes"))
+      .orderBy("doc_id")
+  }
+
+  /** THE screening kernel under both the incremental row and its
+    * streaming twin (one per-trigger invocation there): coverage of the
+    * arriving (doc_id, text) frame where a window counts as duplicated
+    * if its hash occurs in `prior` (a hash frame — the resident winidx,
+    * optionally unioned with previously-arrived hashes) or in ≥2
+    * distinct docs of the batch itself. Shared so the twin's equality
+    * claim rests on shared code, not a hand-kept copy. */
+  private[graft] def screenArrivalsAgainst(arrivals: DataFrame,
+      prior: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byDoc = winByDoc(arrivals)
-    // delta-bounded: the index rows whose hash occurs in this batch
-    val hits = idx
+    // delta-bounded: the prior rows whose hash occurs in this batch
+    val hits = prior.select(col("h"))
       .join(broadcast(byDoc.select("h").distinct()), "h")
+      .distinct()
       .withColumn("hit", lit(1))
     val dupPos = byDoc
       .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
       .join(hits, Seq("h"), "left")
       .filter(col("nd") >= 2 || col("hit") === 1)
       .select(col("doc_id"), explode(col("is")).as("i"))
-    coverageFrom(arrivals, dupPos).orderBy("doc_id")
+    coverageFrom(arrivals, dupPos)
   }
+
+  /** The distinct window-hash set of a (doc_id, text) frame — the state
+    * delta the streaming twin folds per trigger. */
+  private[graft] def windowHashSet(docs: DataFrame): DataFrame =
+    winHashes(docs).select("h").distinct()
 
   /** Asymmetric containment on the verified candidate pairs:
     * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication

@@ -1339,6 +1339,99 @@ object StreamingBridge {
       .orderBy("qid", "rrf_rank")
   }
 
+  /** Streaming position-level dedup screen — substring_dedup_incr run
+    * as the ingest service it models: arriving documents (the
+    * doc_id ≡ 0 mod 10 split) stream in five deterministic ntile
+    * micro-batches, and each trigger is screened by the ONE kernel the
+    * batch row uses (`Dedup.screenArrivalsAgainst`) against the
+    * persisted resident window-hash index UNIONED with the versioned
+    * arrival-hash state — so boilerplate entering across triggers is
+    * still caught once its first carrier has arrived. State is the
+    * distinct window-hash set of prior arrivals, folded per trigger and
+    * keyed by batchId (v = batchId+1 overwrites on retry — the BM25
+    * refresh discipline), per-trigger output overwritten at b<batchId>:
+    * at-least-once safe end to end.
+    *
+    * Stream-vs-batch semantics, stated honestly: the batch row judges
+    * recurrence over the WHOLE arrival split at once, the stream can
+    * only know arrivals up to the current trigger — an arrival-only
+    * duplicate pair split across triggers is flagged on the LATER
+    * carrier only (first-wins, the dedup_incremental discipline). The
+    * oracle encodes exactly that trigger-aware rule (b.trg <= a.trg
+    * over the same ntile(5) assignment staged here). On the current
+    * corpus every recurring arrival window is also resident-backed, so
+    * oracle-level divergence from the batch rule is fixture-vacuous;
+    * the divergence cases are therefore pinned SYNTHETICALLY in
+    * StreamingSpec (same-trigger pair → both flagged, cross-trigger →
+    * later only) so a generator change cannot silently mask a fork.
+    *
+    * Scale shape per trigger: delta-sized hashing + island merge, one
+    * broadcast-probe of the index/state hash columns — the corpus text
+    * is never re-read; state grows with DISTINCT arrival hashes only. */
+  def streamSubstringDedupEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val winRoot = graft.sources.ArtifactRoots.assertComplete(
+      Dedup.winIndexRoot(spark, dir))
+    val arrivals = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val docsDir = stageSubstrArrivals(spark, dir, arrivals)
+    val stateRoot = graft.sources.TempDirs.create("graft_stream_substr_state_")
+    spark.range(0).select(col("id").as("h"))
+      .write.mode("overwrite").parquet(s"$stateRoot/v0")
+    val outDir = graft.sources.TempDirs.create("graft_stream_substr_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_substr_ck_")
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        val prior = session.read.parquet(s"$winRoot/hashes")
+          .unionByName(session.read.parquet(s"$stateRoot/v$batchId"))
+        Dedup.screenArrivalsAgainst(batch, prior)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        session.read.parquet(s"$stateRoot/v$batchId")
+          .unionByName(Dedup.windowHashSet(batch)).distinct()
+          .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy("doc_id")
+  }
+
+  private val substrStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Stage the arrival split as 5 EXPLICIT ntile(doc_id) files — not
+    * stageRangedFiles: repartitionByRange draws sampled boundaries, and
+    * this twin's oracle must reproduce the trigger assignment exactly,
+    * so the split is pinned to ntile(5) OVER (ORDER BY doc_id) on both
+    * sides. The window is arrival-sized (staging fixture, not the
+    * operator path). */
+  private def stageSubstrArrivals(spark: SparkSession, dir: String,
+      arrivals: DataFrame): String =
+    substrStageMemo.computeIfAbsent(graft.sources.DatasetId.key(dir), { _ =>
+      val wNt = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val withT = arrivals.withColumn("trg", ntile(5).over(wNt))
+      val build = graft.sources.TempDirs.create("graft_stream_substr_build_")
+      withT.coalesce(1).write.partitionBy("trg").mode("overwrite").parquet(build)
+      val out = graft.sources.TempDirs.create("graft_stream_substr_docs_")
+      val tsBase = System.currentTimeMillis() - 6000L
+      (1 to 5).foreach { t =>
+        val partDir = new java.io.File(s"$build/trg=$t")
+        val src = partDir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).head
+        val dst = java.nio.file.Paths.get(out, f"batch_$t%05d.parquet")
+        java.nio.file.Files.copy(src.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(tsBase + t * 1000L))
+      }
+      out
+    })
+
   /** Scope the state-partition count to the bridge call: stateful
     * operators bind `spark.sql.shuffle.partitions` into the checkpoint at
     * query start, and each state partition is a live store instance
@@ -1411,6 +1504,7 @@ object StreamingBridge {
     "stream_bm25_refresh_eq" -> scoped(streamBm25RefreshEq),
     "stream_chunk_retrieval_eq" -> scoped(streamChunkRetrievalEq),
     "stream_hybrid_rrf_eq" -> scoped(streamHybridRrfEq),
+    "stream_substring_dedup_eq" -> scoped(streamSubstringDedupEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1442,6 +1536,30 @@ object StreamingBridge {
     // persisted IVF index + BM25 model + lexical postings must land on
     // the exact batch fusion
     "stream_hybrid_rrf_eq" -> graft.operators.Similarity.oracle("hybrid_rrf_ivf"),
+    // trigger-aware duplicated-span coverage: recurrence = resident
+    // corpus, or an arrival whose ntile(5) trigger is <= the doc's own
+    // (the stream can only know arrivals up to the current trigger)
+    "stream_substring_dedup_eq" ->
+      ("WITH d AS (SELECT doc_id, text, len(text) AS total_chars FROM documents WHERE len(text) >= 40), " +
+        "p AS (SELECT doc_id, text, unnest(generate_series(1, total_chars - 39)) AS i FROM d), " +
+        "ph AS (SELECT doc_id, i, CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 40)), 1, 14) AS BIGINT) AS h FROM p), " +
+        "at AS (SELECT doc_id, ntile(5) OVER (ORDER BY doc_id) AS trg FROM documents WHERE doc_id % 10 = 0), " +
+        "arr AS (SELECT ph.doc_id, ph.i, ph.h, at.trg FROM ph JOIN at ON ph.doc_id = at.doc_id), " +
+        "res AS (SELECT DISTINCT h FROM ph WHERE doc_id % 10 <> 0), " +
+        "dp AS (SELECT DISTINCT a.doc_id, a.i FROM arr a WHERE " +
+        "EXISTS (SELECT 1 FROM res r WHERE r.h = a.h) OR " +
+        "EXISTS (SELECT 1 FROM arr b WHERE b.h = a.h AND b.doc_id <> a.doc_id AND b.trg <= a.trg)), " +
+        "fl AS (SELECT doc_id, i, max(i + 39) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dp), " +
+        "isl AS (SELECT doc_id, i, sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
+        "sp AS (SELECT doc_id, island, min(i) AS s, max(i + 39) AS e FROM isl GROUP BY 1, 2), " +
+        "ag AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars FROM sp GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, " +
+        "CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars, " +
+        "CAST(d.total_chars AS BIGINT) AS total_chars, " +
+        "(1000000 * CAST(coalesce(a.dup_chars, 0) AS BIGINT)) // CAST(d.total_chars AS BIGINT) AS coverage_ppm " +
+        "FROM d LEFT JOIN ag a USING (doc_id) WHERE d.doc_id % 10 = 0 ORDER BY doc_id"),
     // identical to batch session_attribution: per-purchase first/last
     // touch decided by streaming state must equal the window derivation
     "stream_attribution_eq" -> graft.operators.Analytics.oracle("session_attribution"),

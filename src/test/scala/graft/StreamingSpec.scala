@@ -547,4 +547,35 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(providerKey)
     }
   }
+  test("substring stream screen: trigger semantics pinned synthetically") {
+    // the corpus cannot exercise these cases (every recurring arrival
+    // window there is also resident-backed — PLANS round-15b), so the
+    // per-trigger kernel is driven directly with controlled batches:
+    //  - a same-trigger arrival-only pair flags BOTH carriers
+    //  - a cross-trigger arrival-only pair flags only the LATER carrier
+    //  - a resident-backed run flags in any trigger
+    import graft.operators.Dedup
+    val a1 = (1L, ("a" * 30) + ("p" * 50) + ("b" * 30) + ("x" * 50) + ("c" * 30))
+    val a2 = (2L, ("d" * 30) + ("p" * 50) + ("e" * 30))
+    val b  = (3L, ("f" * 30) + ("x" * 50) + ("g" * 30) + ("r" * 50) + ("h" * 30))
+    val resident = Seq((100L, ("i" * 30) + ("r" * 50) + ("j" * 30))).toDF("doc_id", "text")
+    val residentIdx = Dedup.windowHashSet(resident)
+    val batch0 = Seq(a1, a2).toDF("doc_id", "text")
+    val batch1 = Seq(b).toDF("doc_id", "text")
+    val state0 = spark.range(0).select($"id".as("h"))
+    val out0 = Dedup.screenArrivalsAgainst(batch0, residentIdx.unionByName(state0))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // t0: the shared p-run flags both docs; A1's x-run has no second
+    // carrier yet — it must NOT be flagged retroactively-in-advance
+    assert(out0 == Seq(
+      (1L, 1L, 50L, 190L, 1000000L * 50 / 190),
+      (2L, 1L, 50L, 110L, 1000000L * 50 / 110)))
+    val state1 = state0.unionByName(Dedup.windowHashSet(batch0)).distinct()
+    val out1 = Dedup.screenArrivalsAgainst(batch1, residentIdx.unionByName(state1))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // t1: B's x-run is caught by the arrival-hash STATE (cross-trigger),
+    // its r-run by the resident index — two disjoint spans
+    assert(out1 == Seq((3L, 2L, 100L, 190L, 1000000L * 100 / 190)))
+  }
+
 }
