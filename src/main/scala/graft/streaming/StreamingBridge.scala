@@ -1347,10 +1347,10 @@ object StreamingBridge {
     * persisted resident window-hash index UNIONED with the versioned
     * arrival-hash state — so boilerplate entering across triggers is
     * still caught once its first carrier has arrived. State is the
-    * distinct window-hash set of prior arrivals, folded per trigger and
-    * keyed by batchId (v = batchId+1 overwrites on retry — the BM25
-    * refresh discipline), per-trigger output overwritten at b<batchId>:
-    * at-least-once safe end to end.
+    * arrival window-hash set as per-trigger DELTA dirs keyed by batchId
+    * (d<batchId> overwrites on retry), per-trigger output overwritten
+    * at b<batchId>: at-least-once safe end to end, O(batch) state write
+    * per trigger.
     *
     * Stream-vs-batch semantics, stated honestly: the batch row judges
     * recurrence over the WHOLE arrival split at once, the stream can
@@ -1375,9 +1375,14 @@ object StreamingBridge {
     val arrivals = graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
     val docsDir = stageSubstrArrivals(spark, dir, arrivals)
+    // arrival-hash state as per-trigger DELTA dirs, not a folded
+    // snapshot: writing d<batchId> (overwrite — retry-idempotent) costs
+    // O(batch) per trigger, where a snapshot fold would rewrite the
+    // whole accumulated set every trigger (O(arrivals·triggers) total);
+    // the prior-state read unions d0..d<batchId-1>, and duplicate
+    // hashes across deltas are harmless — the screen kernel distincts
+    // its probe result
     val stateRoot = graft.sources.TempDirs.create("graft_stream_substr_state_")
-    spark.range(0).select(col("id").as("h"))
-      .write.mode("overwrite").parquet(s"$stateRoot/v0")
     val outDir = graft.sources.TempDirs.create("graft_stream_substr_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_substr_ck_")
     val schema = spark.read.parquet(docsDir).schema
@@ -1386,13 +1391,15 @@ object StreamingBridge {
       .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
-        val prior = session.read.parquet(s"$winRoot/hashes")
-          .unionByName(session.read.parquet(s"$stateRoot/v$batchId"))
+        val priorDeltas = (0L until batchId).map(i => s"$stateRoot/d$i")
+        val prior =
+          if (priorDeltas.isEmpty) session.read.parquet(s"$winRoot/hashes")
+          else session.read.parquet(s"$winRoot/hashes")
+            .unionByName(session.read.parquet(priorDeltas: _*))
         Dedup.screenArrivalsAgainst(batch, prior)
           .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-        session.read.parquet(s"$stateRoot/v$batchId")
-          .unionByName(Dedup.windowHashSet(batch)).distinct()
-          .write.mode("overwrite").parquet(s"$stateRoot/v${batchId + 1}")
+        Dedup.windowHashSet(batch)
+          .write.mode("overwrite").parquet(s"$stateRoot/d$batchId")
         ()
       }
       .start()
