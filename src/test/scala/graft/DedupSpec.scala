@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
       sig.forall(h => h >= 0 && h < graft.functions.TextFunctions.MinhashP))
   }
 
+  test("setsim join: prefix filter is lossless vs brute force; threshold holds") {
+    val got = Dedup.dedupSetsimJoin(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.forall { case (a, b, j) => a < b && j >= 0.5 && j <= 1.0 })
+    // brute-force all-pairs over the same shingle universe — the in-suite
+    // proof that the prefix filter dropped no admissible pair
+    val grams = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", array_distinct(graft.functions.TextFunctions.minhashBases(
+        array_distinct(graft.functions.TextFunctions.wordShinglesFromTokens($"toks", 3)))).as("g"))
+    val brute = grams.as("a").join(grams.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2"),
+        size(array_intersect($"a.g", $"b.g")).as("inter"),
+        (size($"a.g") + size($"b.g")).as("tot"))
+      .filter($"inter" * 3 >= $"tot")
+      .select($"id1", $"id2", round($"inter" / ($"tot" - $"inter"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got.sorted == brute)
+    assert(brute.nonEmpty) // the corpus seeds near-dups; empty would be a vacuous pass
+  }
+
   test("simhash: 32-bit range, deterministic, identical text => identical hash") {
     val s1 = Dedup.dedupSimhash(spark, sf).as[(Long, Long)].collect()
     assert(s1.forall { case (_, h) => h >= 0 && h < (1L << 32) })
