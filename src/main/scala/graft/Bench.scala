@@ -104,8 +104,13 @@ object Bench {
     val chainDefs: Seq[(String, Set[String], () => Unit)] = Seq(
       ("chain_dedup_sigs", dedupChainConsumers + "lsh_recall_audit",
         () => { operators.Dedup.cachedSignatures(spark, sfDir).count(); () }),
+      ("chain_shingle_grams", dedupChainConsumers ++
+          Set("dedup_setsim_join", "dedup_setsim_incr"),
+        () => { operators.Dedup.shingleGramSets(spark, sfDir).count(); () }),
       ("chain_dedup_verified", dedupChainConsumers,
         () => { operators.Dedup.verifiedCandidates(spark, sfDir).count(); () }),
+      ("chain_setsim_index", Set("dedup_setsim_incr"),
+        () => { operators.Dedup.setsimIndexWarm(spark, sfDir); () }),
       ("chain_dedup_clusters", Set("dedup_clusters", "dedup_apply", "dedup_cluster_sizes"),
         () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),
       ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),

@@ -196,14 +196,20 @@ object Dedup {
     * per pair. */
   def shingleGramSets(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "shinglegrams") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), array_sort(array_distinct(TextFunctions.minhashBases(
-          array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3))))).as("g"))
-        .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
-        .persist()
+      gramSetsOf(Tables.documents(spark, dir)).persist()
     }
+
+  /** The sorted shingle-gram set of ANY (doc_id, text) frame — the one
+    * tokenize→shingle→hash→sort definition under the corpus memo above,
+    * the setsim index build, and the incremental screen's arrival side,
+    * shared so the incremental equality claims rest on one kernel. */
+  private[graft] def gramSetsOf(input: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(TextFunctions.minhashBases(
+        array_distinct(TextFunctions.wordShinglesFromTokens(col("toks"), 3))))).as("g"))
+      .select(col("doc_id"), col("g"), size(col("g")).as("sz"))
 
   /** Memoized verify stage: LSH candidates scored with exact Jaccard,
     * computed once per (session, dataset) and persisted — every chain
@@ -259,14 +265,7 @@ object Dedup {
     * scores each candidate without a per-pair hash set. */
   def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
     val grams = shingleGramSets(spark, dir)
-    val tok = grams.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
-    val docFreq = tok.groupBy("gram").agg(count(lit(1)).as("cnt"))
-    val ranked = tok.join(docFreq, "gram")
-      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("cnt"), col("gram"))))
-    // p = sz − ⌈sz/2⌉ + 1 = ⌊sz/2⌋ + 1 (t = 1/2), integer arithmetic
-    val prefix = ranked.filter(col("r") <= floor(col("sz") / lit(2)) + 1)
-      .select(col("doc_id"), col("sz"), col("gram"))
+    val (_, prefix, _) = setsimIndexFrames(grams)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
@@ -274,9 +273,50 @@ object Dedup {
           least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct() // a pair may share several prefix grams
-    cands
-      .join(grams.select(col("doc_id").as("id1"), col("g").as("g1"), col("sz").as("sz1")), "id1")
-      .join(grams.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
+    verifySetsimCands(cands, grams, broadcastCands = false)
+      .orderBy("id1", "id2")
+  }
+
+  /** Prefix cut of a ranked (doc_id, sz, gram, cnt) frame under the
+    * global rarest-first (df, gram) order: the first
+    * p = sz − ⌈sz/2⌉ + 1 = ⌊sz/2⌋ + 1 grams (t = 1/2), integer
+    * arithmetic throughout. The rank window partitions by doc —
+    * doc-sized state, no global sort. */
+  private def prefixOf(ranked: DataFrame): DataFrame =
+    ranked
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("cnt"), col("gram"))))
+      .filter(col("r") <= floor(col("sz") / lit(2)) + 1)
+      .select(col("doc_id"), col("sz"), col("gram"))
+
+  /** The three frames a setsim prefix index consists of, from a sorted
+    * gram-set frame: (df, prefix postings, gram sets). One definition
+    * under the batch self-join, the persisted setsimidx artifact, and
+    * the spec fixtures — the candidate-generation order cannot fork
+    * between build and probe. */
+  private[graft] def setsimIndexFrames(gramSets: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tok = gramSets.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
+    val docFreq = tok.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    (docFreq, prefixOf(tok.join(docFreq, "gram")), gramSets)
+  }
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs against a
+    * gram-set lookup: the merge-scan intersect kernel, the J ≥ 1/2
+    * threshold in its cross-multiplied integer form, gram arrays joined
+    * by doc_id so full sets travel once per doc. `broadcastCands` marks
+    * the delta-bounded incremental path, where the pair set broadcasts
+    * and the corpus-sized lookup is never shuffled. */
+  private def verifySetsimCands(cands: DataFrame, lookup: DataFrame,
+      broadcastCands: Boolean): DataFrame = {
+    val c = if (broadcastCands) broadcast(cands) else cands
+    val j1 = c.join(lookup.select(col("doc_id").as("id1"),
+      col("g").as("g1"), col("sz").as("sz1")), "id1")
+    // the id1-joined frame is still candidate-bounded — re-hint it so the
+    // second lookup join stays a broadcast probe of the corpus side too
+    val j1h = if (broadcastCands) broadcast(j1) else j1
+    j1h
+      .join(lookup.select(col("doc_id").as("id2"), col("g").as("g2"), col("sz").as("sz2")), "id2")
       .select(col("id1"), col("id2"),
         graft.plans.VectorExpressions.sorted_intersect_count(col("g1"), col("g2")).as("inter"),
         (col("sz1") + col("sz2")).as("tot"))
@@ -284,6 +324,103 @@ object Dedup {
       .filter(col("inter") * 3 >= col("tot"))
       .select(col("id1"), col("id2"),
         round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Persisted resident-corpus setsim prefix index (shared-root
+    * protocol): document frequencies, rarest-first prefix postings, and
+    * sorted gram sets of every resident document (the doc_id ≢ 0 mod 10
+    * split — the dedup_incremental fixture discipline). This is the
+    * artifact that makes the exact set-similarity screen INCREMENTAL:
+    * an arriving batch is prefix-probed against it instead of re-running
+    * the corpus-wide self-join. */
+  private val setsimIdxMemo = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]
+
+  private[graft] def setsimIndexRoot(spark: SparkSession, dir: String): String = {
+    setsimIdxMemo.keys.filter(_._1.sparkContext.isStopped).foreach(setsimIdxMemo.remove)
+    setsimIdxMemo.getOrElseUpdate((spark,
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "setsimidx", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root,
+          Seq("df", "prefix", "grams")) { stage =>
+        val (df, prefix, grams) = setsimIndexFrames(
+          shingleGramSets(spark, dir).filter(col("doc_id") % 10 =!= 0))
+        df.write.mode("overwrite").parquet(s"$stage/df")
+        prefix.write.mode("overwrite").parquet(s"$stage/prefix")
+        grams.write.mode("overwrite").parquet(s"$stage/grams")
+      }
+    })
+  }
+
+  /** Public warm-up for Bench: bill the one-time index build separately
+    * from the per-batch screening cost. */
+  def setsimIndexWarm(spark: SparkSession, dir: String): String =
+    setsimIndexRoot(spark, dir)
+
+  /** THE incremental screening kernel: every J ≥ 1/2 pair touching the
+    * arriving (doc_id, text) frame — against the resident index
+    * (`df`/`residentPrefix`/`residentGrams`, the setsimidx parts,
+    * optionally unioned with previously-arrived state) AND within the
+    * batch itself. Shared by the batch row and its streaming twin.
+    *
+    * Losslessness in the incremental setting: PPJoin Lemma 1 needs both
+    * sides of a pair ranked under ONE total order. That order is
+    * f(gram) = (resident df count, gram) with grams the index has never
+    * seen ranked rarest (cnt 0) — the arrival side left-joins the df and
+    * coalesces to 0, so arrival prefixes and index prefixes agree on f
+    * by construction, and batch-local pairs (both sides ranked under the
+    * same f) are covered by the same lemma.
+    *
+    * Scale shape: everything arrival-sided is delta-bounded (gram sets,
+    * the rank window, both broadcast hints); the corpus appears only as
+    * (a) one semi-restricted probe of the df's (gram, cnt) columns
+    * against the broadcast batch gram set, (b) one scan of the prefix
+    * postings' three int/long columns joined to the broadcast arrival
+    * prefix, and (c) the verify join of the candidate-restricted gram
+    * arrays — no corpus text is re-read, re-tokenized, or shuffled. A
+    * bulk backfill (delta no longer panel-bounded) would drop the
+    * broadcast hints and take the shuffle joins. */
+  private[graft] def setsimScreenAgainst(arrivals: DataFrame, df: DataFrame,
+      residentPrefix: DataFrame, residentGrams: DataFrame): DataFrame = {
+    val ag = gramSetsOf(arrivals)
+    val atok = ag.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
+    // delta-bounded: the df rows whose gram occurs in this batch
+    val dfHit = df.join(broadcast(atok.select("gram").distinct()), "gram")
+    val aprefix = prefixOf(
+      atok.join(broadcast(dfHit), Seq("gram"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
+    val vsResident = residentPrefix
+      .join(broadcast(aprefix.select(col("doc_id").as("adoc"),
+        col("sz").as("asz"), col("gram"))), "gram")
+      .filter(least(col("sz"), col("asz")) * 2 >= greatest(col("sz"), col("asz")))
+      .select(least(col("doc_id"), col("adoc")).as("id1"),
+        greatest(col("doc_id"), col("adoc")).as("id2"))
+    val vsBatch = aprefix.as("a")
+      .join(broadcast(aprefix.as("b")),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val cands = vsResident.unionByName(vsBatch).distinct()
+    verifySetsimCands(cands, ag.unionByName(residentGrams),
+      broadcastCands = true)
+  }
+
+  /** Incremental exact set-similarity screen — dedup_setsim_join as the
+    * O(delta) operation a production ingest runs: only the ARRIVING
+    * docs (doc_id ≡ 0 mod 10) are tokenized and prefix-ranked, and the
+    * result is exactly the corpus-wide join's rows restricted to pairs
+    * touching an arrival — the oracle replays THAT definition
+    * (brute-force all-pairs with an at-least-one-arrival condition), so
+    * the hash-green row proves the incremental screen loses nothing the
+    * batch join would have found. */
+  def dedupSetsimIncr(spark: SparkSession, dir: String): DataFrame = {
+    val root = setsimIndexRoot(spark, dir)
+    val arrivals = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    setsimScreenAgainst(arrivals,
+      spark.read.parquet(s"$root/df"),
+      spark.read.parquet(s"$root/prefix"),
+      spark.read.parquet(s"$root/grams"))
       .orderBy("id1", "id2")
   }
 
@@ -1414,6 +1551,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_setsim_join" -> dedupSetsimJoin,
+    "dedup_setsim_incr" -> dedupSetsimIncr,
     "dedup_verify_candidates" -> dedupVerifyCandidates,
     "dedup_clusters" -> dedupClusters,
     "dedup_apply" -> dedupApply,
@@ -1555,6 +1693,19 @@ object Dedup {
         "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
         "FROM grams a JOIN grams b ON a.doc_id < b.doc_id) " +
         "WHERE inter * 3 >= tot ORDER BY id1, id2"),
+    // the SAME corpus-wide definition restricted to pairs touching an
+    // arrival: the incremental screen's three candidate paths (index
+    // probe, batch-local self-join, unseen-gram cnt-0 ranking) must
+    // reproduce the batch join exactly for the screened split
+    "dedup_setsim_incr" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh) " +
+        "SELECT id1, id2, round(inter / (tot - inter), 6) AS jaccard FROM " +
+        "(SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
+        "FROM grams a JOIN grams b ON a.doc_id < b.doc_id) " +
+        "WHERE inter * 3 >= tot AND (id1 % 10 = 0 OR id2 % 10 = 0) " +
+        "ORDER BY id1, id2"),
     "cross_split_leakage" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

@@ -67,6 +67,35 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus seeds near-dups; empty would be a vacuous pass
   }
 
+  test("setsim incr: screen equals the batch join restricted to arrival pairs") {
+    val got = Dedup.dedupSetsimIncr(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expect = Dedup.dedupSetsimJoin(spark, sf)
+      .filter($"id1" % 10 === 0 || $"id2" % 10 === 0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    assert(expect.nonEmpty) // the corpus seeds arrival-side near-dups
+  }
+
+  test("setsim incr: unseen-gram ranking and all three candidate paths (fixture)") {
+    // residents 1, 3 share nothing; arrival 10 copies resident 1 (index
+    // path), arrivals 20/30 copy each other using vocabulary the index
+    // has NEVER seen (batch-local path under the cnt-0 rank rule);
+    // arrival 40 is unrelated
+    val resident = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "quux corge grault garply waldo fred"),
+      (30L, "quux corge grault garply waldo fred"),
+      (40L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val (df, prefix, grams) = Dedup.setsimIndexFrames(Dedup.gramSetsOf(resident))
+    val got = Dedup.setsimScreenAgainst(arrivals, df, prefix, grams)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.0), (20L, 30L, 1.0)))
+  }
+
   test("simhash: 32-bit range, deterministic, identical text => identical hash") {
     val s1 = Dedup.dedupSimhash(spark, sf).as[(Long, Long)].collect()
     assert(s1.forall { case (_, h) => h >= 0 && h < (1L << 32) })

@@ -629,4 +629,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
       s"TopK folds not partially aggregated:\n$p")
   }
+
+  test("dedup_setsim_incr: every corpus-side join is a broadcast probe; rank window is arrival-only") {
+    val df = graft.operators.Dedup.dedupSetsimIncr(spark, sf)
+    val p = plan(df)
+    // the delta-bounded arrival side broadcasts into every join against a
+    // setsimidx part (df probe, prefix probe, both verify lookups) — a
+    // sort-merge join here means the corpus-sized index got shuffled for
+    // a panel-sized batch
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side index shuffled instead of broadcast-probed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe in plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected pair materialization:\n$p")
+    // the only row_number window is the arrival prefix rank, partitioned
+    // by doc_id over the delta — never a corpus-sized or global window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(
+      _.partitionSpec.exists(_.toString.contains("doc_id"))),
+      "prefix rank window not partitioned by doc_id")
+    // the arrival split predicate reaches the documents parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)") ||
+      p.contains("(doc_id#") && p.contains("% 10)"),
+      s"arrival split not pushed to the documents scan:\n$p")
+  }
 }
