@@ -382,13 +382,19 @@ object Dedup {
     * broadcast hints and take the shuffle joins. */
   private[graft] def setsimScreenAgainst(arrivals: DataFrame, df: DataFrame,
       residentPrefix: DataFrame, residentGrams: DataFrame): DataFrame = {
-    val ag = gramSetsOf(arrivals)
+    // persist() is a correctness-of-scale barrier here, not a cache nicety:
+    // without it, CollapseProject + InferFiltersFromGenerate inline the
+    // whole tokenize→shingle→md5→sort pipeline into the explode's inferred
+    // filter and every downstream projection — measured ~12 evaluations
+    // per row, a 40× wall blowup at 10× data. Both persisted frames are
+    // O(batch); the corpus stays behind the artifact reads.
+    val ag = gramSetsOf(arrivals).persist()
     val atok = ag.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
     // delta-bounded: the df rows whose gram occurs in this batch
     val dfHit = df.join(broadcast(atok.select("gram").distinct()), "gram")
     val aprefix = prefixOf(
       atok.join(broadcast(dfHit), Seq("gram"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))).persist()
     val vsResident = residentPrefix
       .join(broadcast(aprefix.select(col("doc_id").as("adoc"),
         col("sz").as("asz"), col("gram"))), "gram")

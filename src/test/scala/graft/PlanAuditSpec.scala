@@ -643,9 +643,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unexpected pair materialization:\n$p")
     // the only row_number window is the arrival prefix rank, partitioned
-    // by doc_id over the delta — never a corpus-sized or global window
+    // by doc_id over the delta — never a corpus-sized or global window.
+    // Collected from the ANALYZED plan: the optimized plan hides it inside
+    // the delta-sized persist barrier's InMemoryRelation.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val windows = df.queryExecution.analyzed.collect { case w: LWindow => w }
     assert(windows.nonEmpty && windows.forall(
       _.partitionSpec.exists(_.toString.contains("doc_id"))),
       "prefix rank window not partitioned by doc_id")
