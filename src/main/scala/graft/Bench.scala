@@ -109,7 +109,7 @@ object Bench {
         () => { operators.Dedup.shingleGramSets(spark, sfDir).count(); () }),
       ("chain_dedup_verified", dedupChainConsumers,
         () => { operators.Dedup.verifiedCandidates(spark, sfDir).count(); () }),
-      ("chain_setsim_index", Set("dedup_setsim_incr"),
+      ("chain_setsim_index", Set("dedup_setsim_incr", "stream_setsim_dedup_eq"),
         () => { operators.Dedup.setsimIndexWarm(spark, sfDir); () }),
       ("chain_dedup_clusters", Set("dedup_clusters", "dedup_apply", "dedup_cluster_sizes"),
         () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),

@@ -389,13 +389,32 @@ object Dedup {
     // per row, a 40× wall blowup at 10× data. Both persisted frames are
     // O(batch); the corpus stays behind the artifact reads.
     val ag = gramSetsOf(arrivals).persist()
+    val aprefix = arrivalPrefix(ag, df).persist()
+    setsimScreenWith(ag, aprefix, residentPrefix, residentGrams)
+  }
+
+  /** Prefix postings of a persisted arrival gram-set frame under the
+    * resident-df order (unseen grams rank rarest, cnt 0). Split from the
+    * screen so the streaming twin can write it as per-trigger state
+    * without recomputing it. `ag` MUST be persisted/materialized by the
+    * caller (see the barrier note above). */
+  private[graft] def arrivalPrefix(ag: DataFrame, df: DataFrame): DataFrame = {
     val atok = ag.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
     // delta-bounded: the df rows whose gram occurs in this batch
     val dfHit = df.join(broadcast(atok.select("gram").distinct()), "gram")
-    val aprefix = prefixOf(
+    prefixOf(
       atok.join(broadcast(dfHit), Seq("gram"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))).persist()
-    val vsResident = residentPrefix
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
+  }
+
+  /** The candidate-generation + verify tail of the screen, over
+    * already-materialized arrival frames: `priorPrefix`/`priorGrams` are
+    * everything the pair universe may touch besides the batch itself
+    * (the resident index, optionally unioned with previously-arrived
+    * state in the streaming twin). */
+  private[graft] def setsimScreenWith(ag: DataFrame, aprefix: DataFrame,
+      priorPrefix: DataFrame, priorGrams: DataFrame): DataFrame = {
+    val vsPrior = priorPrefix
       .join(broadcast(aprefix.select(col("doc_id").as("adoc"),
         col("sz").as("asz"), col("gram"))), "gram")
       .filter(least(col("sz"), col("asz")) * 2 >= greatest(col("sz"), col("asz")))
@@ -406,8 +425,8 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-    val cands = vsResident.unionByName(vsBatch).distinct()
-    verifySetsimCands(cands, ag.unionByName(residentGrams),
+    val cands = vsPrior.unionByName(vsBatch).distinct()
+    verifySetsimCands(cands, ag.unionByName(priorGrams),
       broadcastCands = true)
   }
 

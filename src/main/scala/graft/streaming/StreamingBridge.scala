@@ -1408,6 +1408,74 @@ object StreamingBridge {
       .orderBy("doc_id")
   }
 
+  /** Streaming exact set-similarity screen — dedup_setsim_incr run as
+    * the ingest service it models: the arriving split streams in the
+    * same five ntile micro-batches the substring twin uses, and each
+    * trigger runs the ONE candidate+verify tail the batch row uses
+    * (`Dedup.setsimScreenWith`) against the persisted setsimidx prefix
+    * postings + gram sets UNIONED with the per-trigger arrival state —
+    * so a near-dup pair split across triggers is caught when its later
+    * carrier arrives. Unlike the substring twin there is NO
+    * trigger-aware semantics fork: the output is pairwise and each
+    * qualifying pair is emitted exactly once (within-batch pairs by the
+    * self-join, cross-trigger and vs-resident pairs by the prefix probe
+    * when the later doc arrives), with trigger-independent values — so
+    * the accumulated union equals the batch row bit-exactly and the
+    * oracle IS dedup_setsim_incr's.
+    *
+    * State per trigger: the batch's gram sets (g<batchId>) and prefix
+    * postings (p<batchId>) as delta dirs, overwritten by batchId —
+    * retry-idempotent, O(batch) written per trigger; ranking uses the
+    * resident df only (unseen grams rank cnt-0), so a doc's prefix is
+    * IDENTICAL whichever trigger carries it — the Lemma-1 total order
+    * never shifts with arrival history. The screen reads the state back
+    * rather than recomputing lineage, and the one persisted frame per
+    * trigger (the gram barrier, see Dedup.setsimScreenAgainst) is
+    * unpersisted before the trigger returns. */
+  def streamSetsimDedupEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val root = graft.sources.ArtifactRoots.assertComplete(
+      Dedup.setsimIndexRoot(spark, dir))
+    val arrivals = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val docsDir = stageSubstrArrivals(spark, dir, arrivals)
+    val stateRoot = graft.sources.TempDirs.create("graft_stream_setsim_state_")
+    val outDir = graft.sources.TempDirs.create("graft_stream_setsim_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_setsim_ck_")
+    val schema = spark.read.parquet(docsDir).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        val df = session.read.parquet(s"$root/df")
+        val ag = Dedup.gramSetsOf(batch.select("doc_id", "text")).persist()
+        ag.write.mode("overwrite").parquet(s"$stateRoot/g$batchId")
+        Dedup.arrivalPrefix(ag, df)
+          .write.mode("overwrite").parquet(s"$stateRoot/p$batchId")
+        ag.unpersist()
+        val agW = session.read.parquet(s"$stateRoot/g$batchId")
+        val apW = session.read.parquet(s"$stateRoot/p$batchId")
+        val priorP = (0L until batchId).map(i => s"$stateRoot/p$i")
+        val priorG = (0L until batchId).map(i => s"$stateRoot/g$i")
+        val prefixAll =
+          if (priorP.isEmpty) session.read.parquet(s"$root/prefix")
+          else session.read.parquet(s"$root/prefix")
+            .unionByName(session.read.parquet(priorP: _*))
+        val gramsAll =
+          if (priorG.isEmpty) session.read.parquet(s"$root/grams")
+          else session.read.parquet(s"$root/grams")
+            .unionByName(session.read.parquet(priorG: _*))
+        Dedup.setsimScreenWith(agW, apW, prefixAll, gramsAll)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy("id1", "id2")
+  }
+
   private val substrStageMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -1512,6 +1580,7 @@ object StreamingBridge {
     "stream_chunk_retrieval_eq" -> scoped(streamChunkRetrievalEq),
     "stream_hybrid_rrf_eq" -> scoped(streamHybridRrfEq),
     "stream_substring_dedup_eq" -> scoped(streamSubstringDedupEq),
+    "stream_setsim_dedup_eq" -> scoped(streamSetsimDedupEq),
   )
 
   // Oracles are the batch twins' SQL (graft.operators.Analytics): streaming
@@ -1543,6 +1612,10 @@ object StreamingBridge {
     // persisted IVF index + BM25 model + lexical postings must land on
     // the exact batch fusion
     "stream_hybrid_rrf_eq" -> graft.operators.Similarity.oracle("hybrid_rrf_ivf"),
+    // identical to batch dedup_setsim_incr: pairwise output, each
+    // qualifying pair emitted exactly once with trigger-independent
+    // values, so the accumulated stream union IS the batch screen
+    "stream_setsim_dedup_eq" -> graft.operators.Dedup.oracle("dedup_setsim_incr"),
     // trigger-aware duplicated-span coverage: recurrence = resident
     // corpus, or an arrival whose ntile(5) trigger is <= the doc's own
     // (the stream can only know arrivals up to the current trigger)

@@ -578,4 +578,34 @@ class StreamingSpec extends SparkSpec {
     assert(out1 == Seq((3L, 2L, 100L, 190L, 1000000L * 100 / 190)))
   }
 
+  test("setsim stream screen: exactly-once pair emission across triggers (synthetic)") {
+    // the per-trigger kernel driven directly with controlled batches:
+    //  - vs-resident pair emitted in its carrier's trigger
+    //  - cross-trigger arrival pair emitted exactly once, on the LATER
+    //    carrier (prior-state prefix probe), never re-emitted
+    import graft.operators.Dedup
+    val resident = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val (df, prefix, grams) = Dedup.setsimIndexFrames(Dedup.gramSetsOf(resident))
+    val batch0 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "quux corge grault garply waldo fred")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (30L, "quux corge grault garply waldo fred")).toDF("doc_id", "text")
+    val ag0 = Dedup.gramSetsOf(batch0).persist()
+    val ap0 = Dedup.arrivalPrefix(ag0, df).persist()
+    val out0 = Dedup.setsimScreenWith(ag0, ap0, prefix, grams)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(out0 == Seq((10L, 100L, 1.0))) // doc 20's twin hasn't arrived
+    val ag1 = Dedup.gramSetsOf(batch1).persist()
+    val ap1 = Dedup.arrivalPrefix(ag1, df).persist()
+    val out1 = Dedup.setsimScreenWith(ag1, ap1,
+        prefix.unionByName(ap0), grams.unionByName(ag0))
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    // t1: the cross-trigger pair surfaces via the state probe; the
+    // already-emitted (10, 100) pair does NOT reappear
+    assert(out1 == Seq((20L, 30L, 1.0)))
+    Seq(ag0, ap0, ag1, ap1).foreach(_.unpersist())
+  }
+
 }
