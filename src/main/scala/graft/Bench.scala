@@ -100,7 +100,7 @@ object Bench {
       "dedup_minhash_lsh", "dedup_verify_candidates", "dedup_clusters",
       "dedup_apply", "minhash_est_vs_exact", "dedup_editdist", "dedup_jaro",
       "dedup_triangles", "dedup_cluster_sizes", "dedup_incremental",
-      "dedup_bfs_levels")
+      "dedup_bfs_levels", "lsh_exact_eval")
     val chainDefs: Seq[(String, Set[String], () => Unit)] = Seq(
       ("chain_dedup_sigs", dedupChainConsumers + "lsh_recall_audit",
         () => { operators.Dedup.cachedSignatures(spark, sfDir).count(); () }),

@@ -449,6 +449,34 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** EXACT evaluation of the MinHash/LSH screen at the J ≥ 1/2 operating
+    * point, against the PPJoin join's lossless ground truth — the eval
+    * `lsh_recall_audit` deliberately samples (O(sample) by design) made
+    * affordable at FULL corpus scale: the truth side is the sub-quadratic
+    * prefix-filter join, the predicted side is the LSH candidate stage,
+    * both already sub-quadratic, so exact corpus-level recall costs no
+    * more than the screens themselves. n_missed is computed by an
+    * independent anti-join of the two pair sets (not derived as
+    * n_truth − n_hit), so the row also guards the measure equivalence:
+    * both sides score the SAME sorted gram sets with the SAME
+    * cross-multiplied threshold, and a fork would break
+    * n_truth = n_hit + n_missed in the oracle comparison. */
+  def lshExactEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = dedupSetsimJoin(spark, dir).select("id1", "id2")
+    val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
+    val vc = verifiedCandidates(spark, dir)
+    val c = vc.agg(count(lit(1)).as("n_cands"),
+      coalesce(sum((col("inter") * 3 >= col("tot")).cast("long")), lit(0L)).as("n_hit"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val m = truth.join(cands, Seq("id1", "id2"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    c.crossJoin(t).crossJoin(m).select(
+      col("n_truth"), col("n_cands"), col("n_hit"), col("n_missed"),
+      // nullif: a dup-free corpus reports NULL, not an ANSI divide error
+      expr("(1000000 * n_hit) div nullif(n_truth, 0)").as("recall_ppm"),
+      expr("(1000000 * n_hit) div nullif(n_cands, 0)").as("candidate_precision_ppm"))
+  }
+
   /** Connected components over the verified dup-pair graph: the step that
     * turns pairwise candidates into usable clusters. Iterative min-label
     * propagation — each round every node adopts the smallest label in its
@@ -1577,6 +1605,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_setsim_join" -> dedupSetsimJoin,
     "dedup_setsim_incr" -> dedupSetsimIncr,
+    "lsh_exact_eval" -> lshExactEval,
     "dedup_verify_candidates" -> dedupVerifyCandidates,
     "dedup_clusters" -> dedupClusters,
     "dedup_apply" -> dedupApply,
@@ -1731,6 +1760,28 @@ object Dedup {
         "FROM grams a JOIN grams b ON a.doc_id < b.doc_id) " +
         "WHERE inter * 3 >= tot AND (id1 % 10 = 0 OR id2 % 10 = 0) " +
         "ORDER BY id1, id2"),
+    // truth = brute-force all-pairs at J >= 1/2; predicted = the LSH
+    // candidate stage; n_missed independently via NOT EXISTS so the
+    // measure-equivalence invariant n_truth = n_hit + n_missed is gated
+    "lsh_exact_eval" ->
+      (s"WITH $lshCtesSql, " +
+        s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot " +
+        "FROM grams a JOIN grams b ON a.doc_id < b.doc_id), " +
+        "truth AS (SELECT id1, id2 FROM pairs WHERE inter * 3 >= tot), " +
+        "vc AS (SELECT p.* FROM pairs p JOIN cands c ON p.id1 = c.id1 AND p.id2 = c.id2), " +
+        "agg AS (SELECT " +
+        "(SELECT count(*) FROM truth) AS n_truth, " +
+        "(SELECT count(*) FROM cands) AS n_cands, " +
+        "(SELECT coalesce(sum(CASE WHEN inter * 3 >= tot THEN 1 ELSE 0 END), 0) FROM vc) AS n_hit, " +
+        "(SELECT count(*) FROM truth t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM cands c WHERE c.id1 = t.id1 AND c.id2 = t.id2)) AS n_missed) " +
+        "SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cands AS BIGINT) AS n_cands, " +
+        "CAST(n_hit AS BIGINT) AS n_hit, CAST(n_missed AS BIGINT) AS n_missed, " +
+        "(1000000 * CAST(n_hit AS BIGINT)) // nullif(n_truth, 0) AS recall_ppm, " +
+        "(1000000 * CAST(n_hit AS BIGINT)) // nullif(n_cands, 0) AS candidate_precision_ppm " +
+        "FROM agg"),
     "cross_split_leakage" ->
       (s"WITH $lshCtesSql, " +
         s"grams AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${base32Sql("s")} % ${TextFunctions.MinhashP})) AS g FROM sh), " +

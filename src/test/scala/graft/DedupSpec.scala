@@ -96,6 +96,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 1.0), (20L, 30L, 1.0)))
   }
 
+  test("lsh_exact_eval: counts reconcile and the measure-equivalence invariant holds") {
+    val r = Dedup.lshExactEval(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (nTruth, nCands, nHit, nMissed, recall, prec) = r
+    assert(nTruth > 0 && nCands > 0) // corpus seeds near-dups
+    assert(nHit <= nCands && nHit <= nTruth)
+    // every LSH-caught J>=1/2 pair is a truth pair (same gram universe,
+    // same measure) — the anti-join must account for exactly the rest
+    assert(nTruth == nHit + nMissed)
+    assert(recall >= 0 && recall <= 1000000 && prec >= 0 && prec <= 1000000)
+    assert(recall == 1000000L * nHit / nTruth)
+  }
+
   test("simhash: 32-bit range, deterministic, identical text => identical hash") {
     val s1 = Dedup.dedupSimhash(spark, sf).as[(Long, Long)].collect()
     assert(s1.forall { case (_, h) => h >= 0 && h < (1L << 32) })
