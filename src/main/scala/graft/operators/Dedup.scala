@@ -265,7 +265,8 @@ object Dedup {
     * scores each candidate without a per-pair hash set. */
   def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
     val grams = shingleGramSets(spark, dir)
-    val (_, prefix, _) = setsimIndexFrames(grams)
+    val (_, prefix0, _) = setsimIndexFrames(grams)
+    val prefix = setsimBudgetGuarded(spark, prefix0)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
@@ -275,6 +276,39 @@ object Dedup {
       .distinct() // a pair may share several prefix grams
     verifySetsimCands(cands, grams, broadcastCands = false)
       .orderBy("id1", "id2")
+  }
+
+  /** In-plan candidate-pair budget for the exact self-join — the
+    * `jaccardPairBudget` contract applied to the PPJoin site: rarest-first
+    * ordering keeps prefix frequencies near 1 on natural corpora, but the
+    * bound is CORPUS-SHAPE-dependent (a tiny vocabulary or mass-duplicated
+    * boilerplate fattens prefix postings), so the join refuses loudly past
+    * `spark.graft.setsimPairBudget` (default 10⁸ candidate pairs) instead
+    * of silently going quadratic. The exact join-output bound
+    * Σ_g d(g)·(d(g)−1)/2 is summed in DECIMAL(38,0) — no Long overflow at
+    * any d — by one linear partial-agg pass over the prefix postings; the
+    * 1-row verdict broadcasts onto the join input and the refusal rides
+    * the `sz` column the join condition references (the
+    * raise_error-in-arithmetic pattern), so an over-budget join dies on
+    * its FIRST candidate at O(corpus) cost, and the plan stays lazy. */
+  private def setsimBudgetGuarded(spark: SparkSession, prefix: DataFrame): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.setsimPairBudget")
+      .map(_.toLong).getOrElse(100000000L)
+    val gate = prefix.groupBy("gram").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d").cast("decimal(19,0)") *
+        (col("d") - 1).cast("decimal(19,0)")), lit(0).cast("decimal(38,0)")).as("t2"))
+      .select((col("t2") <= lit(budget).cast("decimal(38,0)") * 2).as("ok"),
+        (col("t2") / 2).cast("decimal(38,0)").cast("string").as("bound"))
+    prefix.crossJoin(broadcast(gate))
+      .withColumn("sz",
+        when(col("ok"), col("sz"))
+          .otherwise(raise_error(concat(
+            lit("dedup_setsim_join: prefix candidate bound "), col("bound"),
+            lit(s" pairs exceeds spark.graft.setsimPairBudget=$budget; " +
+              "this corpus shape defeats prefix filtering — use " +
+              "dedup_minhash_lsh at this scale or raise the budget"))
+          ).cast("int")))
+      .drop("ok", "bound")
   }
 
   /** Prefix cut of a ranked (doc_id, sz, gram, cnt) frame under the

@@ -109,6 +109,22 @@ class DedupSpec extends SparkSpec {
     assert(recall == 1000000L * nHit / nTruth)
   }
 
+  test("setsim join refuses loudly past the candidate-pair budget") {
+    spark.conf.set("spark.graft.setsimPairBudget", "1")
+    try {
+      val e = intercept[Exception] {
+        Dedup.dedupSetsimJoin(spark, sf).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("setsimPairBudget") &&
+        m.contains("dedup_minhash_lsh")),
+        s"refusal must name the budget knob and the at-scale alternative, got: $e")
+    } finally spark.conf.unset("spark.graft.setsimPairBudget")
+    // and at the default budget the join still runs
+    assert(Dedup.dedupSetsimJoin(spark, sf).count() > 0)
+  }
+
   test("simhash: 32-bit range, deterministic, identical text => identical hash") {
     val s1 = Dedup.dedupSimhash(spark, sf).as[(Long, Long)].collect()
     assert(s1.forall { case (_, h) => h >= 0 && h < (1L << 32) })
