@@ -263,20 +263,40 @@ object Dedup {
     * doc_id so full sets travel once per doc, not per pair — the
     * merge-scan [[graft.plans.VectorExpressions.sorted_intersect_count]]
     * scores each candidate without a per-pair hash set. */
-  def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val grams = shingleGramSets(spark, dir)
-    val (_, prefix0, _) = setsimIndexFrames(grams)
-    val prefix = setsimBudgetGuarded(spark, prefix0)
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
-          // lossless length filter: J ≥ 1/2 ⟹ min ≥ tot/3 ⟹ 2·min ≥ max
-          least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct() // a pair may share several prefix grams
-    verifySetsimCands(cands, grams, broadcastCands = false)
-      .orderBy("id1", "id2")
-  }
+  def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame =
+    setsimPairs(spark, dir).orderBy("id1", "id2")
+
+  /** Memoized corpus-wide prefix postings (rarest-first rank window run
+    * ONCE per session/dataset): the budget gate, both self-join sides,
+    * and the exact eval all read this persisted frame instead of
+    * re-deriving the explode→df-join→window pass per consumer. */
+  private def setsimPrefixMemo(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "setsim_prefix") {
+      setsimIndexFrames(shingleGramSets(spark, dir))._2.persist()
+    }
+
+  /** Memoized exact pair set (UNSORTED — the registered query adds the
+    * output sort; lsh_exact_eval aggregates it directly, so the pair
+    * set and its verify work compute once however many consumers). The
+    * budget guard literal is baked into the cached plan, so the memo
+    * stage is KEYED by the configured budget — a mid-session knob change
+    * is a memo miss, not a silently stale guard (the artifactVersion
+    * lesson); stale entries are pair-set-sized, bounded by the number of
+    * distinct budget settings in a session. */
+  private[graft] def setsimPairs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "setsim_pairs_b" +
+        spark.conf.getOption("spark.graft.setsimPairBudget").getOrElse("default")) {
+      val prefix = setsimBudgetGuarded(spark, setsimPrefixMemo(spark, dir))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+            // lossless length filter: J ≥ 1/2 ⟹ min ≥ tot/3 ⟹ 2·min ≥ max
+            least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct() // a pair may share several prefix grams
+      verifySetsimCands(cands, shingleGramSets(spark, dir), broadcastCands = false)
+        .persist()
+    }
 
   /** In-plan candidate-pair budget for the exact self-join — the
     * `jaccardPairBudget` contract applied to the PPJoin site: rarest-first
@@ -391,16 +411,35 @@ object Dedup {
   def setsimIndexWarm(spark: SparkSession, dir: String): String =
     setsimIndexRoot(spark, dir)
 
-  /** THE incremental screening kernel: every J ≥ 1/2 pair touching the
-    * arriving (doc_id, text) frame — against the resident index
-    * (`df`/`residentPrefix`/`residentGrams`, the setsimidx parts,
+  /** Prefix postings of a persisted arrival gram-set frame under the
+    * resident-df order (unseen grams rank rarest, cnt 0). `ag` MUST be
+    * persisted or read back from storage by the caller — an un-persisted
+    * gram frame lets CollapseProject + InferFiltersFromGenerate inline
+    * the whole tokenize→shingle→md5→sort pipeline into the explode's
+    * inferred filter and every downstream projection (measured ~12
+    * evaluations per row, ×8 wall at 10× data). The batch row owns its
+    * frames through the chain memo; the streaming twin writes them as
+    * per-trigger state and reads them back. */
+  private[graft] def arrivalPrefix(ag: DataFrame, df: DataFrame): DataFrame = {
+    val atok = ag.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
+    // delta-bounded: the df rows whose gram occurs in this batch
+    val dfHit = df.join(broadcast(atok.select("gram").distinct()), "gram")
+    prefixOf(
+      atok.join(broadcast(dfHit), Seq("gram"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
+  }
+
+  /** THE incremental screening kernel (shared by dedup_setsim_incr and
+    * its streaming twin): every J ≥ 1/2 pair touching the arriving
+    * frame — against `priorPrefix`/`priorGrams` (the setsimidx parts,
     * optionally unioned with previously-arrived state) AND within the
-    * batch itself. Shared by the batch row and its streaming twin.
+    * batch itself. Inputs must be materialized (chain memo / state
+    * read-back — see arrivalPrefix's barrier note).
     *
     * Losslessness in the incremental setting: PPJoin Lemma 1 needs both
     * sides of a pair ranked under ONE total order. That order is
     * f(gram) = (resident df count, gram) with grams the index has never
-    * seen ranked rarest (cnt 0) — the arrival side left-joins the df and
+    * seen ranked rarest (cnt 0) — arrivalPrefix left-joins the df and
     * coalesces to 0, so arrival prefixes and index prefixes agree on f
     * by construction, and batch-local pairs (both sides ranked under the
     * same f) are covered by the same lemma.
@@ -414,38 +453,6 @@ object Dedup {
     * arrays — no corpus text is re-read, re-tokenized, or shuffled. A
     * bulk backfill (delta no longer panel-bounded) would drop the
     * broadcast hints and take the shuffle joins. */
-  private[graft] def setsimScreenAgainst(arrivals: DataFrame, df: DataFrame,
-      residentPrefix: DataFrame, residentGrams: DataFrame): DataFrame = {
-    // persist() is a correctness-of-scale barrier here, not a cache nicety:
-    // without it, CollapseProject + InferFiltersFromGenerate inline the
-    // whole tokenize→shingle→md5→sort pipeline into the explode's inferred
-    // filter and every downstream projection — measured ~12 evaluations
-    // per row, a 40× wall blowup at 10× data. Both persisted frames are
-    // O(batch); the corpus stays behind the artifact reads.
-    val ag = gramSetsOf(arrivals).persist()
-    val aprefix = arrivalPrefix(ag, df).persist()
-    setsimScreenWith(ag, aprefix, residentPrefix, residentGrams)
-  }
-
-  /** Prefix postings of a persisted arrival gram-set frame under the
-    * resident-df order (unseen grams rank rarest, cnt 0). Split from the
-    * screen so the streaming twin can write it as per-trigger state
-    * without recomputing it. `ag` MUST be persisted/materialized by the
-    * caller (see the barrier note above). */
-  private[graft] def arrivalPrefix(ag: DataFrame, df: DataFrame): DataFrame = {
-    val atok = ag.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
-    // delta-bounded: the df rows whose gram occurs in this batch
-    val dfHit = df.join(broadcast(atok.select("gram").distinct()), "gram")
-    prefixOf(
-      atok.join(broadcast(dfHit), Seq("gram"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
-  }
-
-  /** The candidate-generation + verify tail of the screen, over
-    * already-materialized arrival frames: `priorPrefix`/`priorGrams` are
-    * everything the pair universe may touch besides the batch itself
-    * (the resident index, optionally unioned with previously-arrived
-    * state in the streaming twin). */
   private[graft] def setsimScreenWith(ag: DataFrame, aprefix: DataFrame,
       priorPrefix: DataFrame, priorGrams: DataFrame): DataFrame = {
     val vsPrior = priorPrefix
@@ -503,7 +510,7 @@ object Dedup {
     * cross-multiplied threshold, and a fork would break
     * n_truth = n_hit + n_missed in the oracle comparison. */
   def lshExactEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = dedupSetsimJoin(spark, dir).select("id1", "id2")
+    val truth = setsimPairs(spark, dir).select("id1", "id2")
     val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
     val vc = verifiedCandidates(spark, dir)
     val c = vc.agg(count(lit(1)).as("n_cands"),

@@ -116,11 +116,14 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int)
   * that is the dominant cost. A merge scan over arrays sorted once per
   * document is allocation-free and branch-predictable.
   *
-  * Caller contract (enforced by construction, not checked here): both
-  * inputs ascending-sorted with no duplicates — the gram sets are built in
-  * a typed mapPartitions that emits `set.toArray.sorted`. On unsorted
-  * input the count would silently undercount, which is why this is
-  * library-internal and not registered as a SQL function.
+  * Caller contract: both inputs strictly ascending (sorted, no
+  * duplicates) — the gram sets are built sorted at the source. The merge
+  * scan CHECKS the contract on every element it visits (one extra
+  * comparison per step) and throws instead of silently undercounting:
+  * the consumers are dedup decisions, where a silent undercount means
+  * silently missed duplicate pairs. Elements past the shorter side's
+  * exhaustion are not visited and not checked — they cannot affect the
+  * count.
   *
   * Why not prefix-filtering (PPJoin/VCL-style) instead: measured on this
   * corpus the frequency-ordered prefix index prunes nothing (159,213
@@ -143,12 +146,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    def unsorted(): Nothing = throw new IllegalArgumentException(
+      "sorted_intersect_count: input not strictly ascending — caller contract violated")
     while (i < nx && j < ny) {
       val xv = x.getLong(i)
       val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (xv == yv) {
+        if (i + 1 < nx && x.getLong(i + 1) <= xv) unsorted()
+        if (j + 1 < ny && y.getLong(j + 1) <= yv) unsorted()
+        c += 1; i += 1; j += 1
+      } else if (xv < yv) {
+        if (i + 1 < nx && x.getLong(i + 1) <= xv) unsorted()
+        i += 1
+      } else {
+        if (j + 1 < ny && y.getLong(j + 1) <= yv) unsorted()
+        j += 1
+      }
     }
     c
   }
@@ -169,9 +182,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |while ($i < $nx && $j < $ny) {
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; }
-         |  else { $j++; }
+         |  if ($xv == $yv) {
+         |    if ($i + 1 < $nx && $a.getLong($i + 1) <= $xv) throw new IllegalArgumentException("sorted_intersect_count: input not strictly ascending — caller contract violated");
+         |    if ($j + 1 < $ny && $b.getLong($j + 1) <= $yv) throw new IllegalArgumentException("sorted_intersect_count: input not strictly ascending — caller contract violated");
+         |    $c++; $i++; $j++;
+         |  } else if ($xv < $yv) {
+         |    if ($i + 1 < $nx && $a.getLong($i + 1) <= $xv) throw new IllegalArgumentException("sorted_intersect_count: input not strictly ascending — caller contract violated");
+         |    $i++;
+         |  } else {
+         |    if ($j + 1 < $ny && $b.getLong($j + 1) <= $yv) throw new IllegalArgumentException("sorted_intersect_count: input not strictly ascending — caller contract violated");
+         |    $j++;
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -91,9 +91,12 @@ class DedupSpec extends SparkSpec {
       (30L, "quux corge grault garply waldo fred"),
       (40L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
     val (df, prefix, grams) = Dedup.setsimIndexFrames(Dedup.gramSetsOf(resident))
-    val got = Dedup.setsimScreenAgainst(arrivals, df, prefix, grams)
+    val ag = Dedup.gramSetsOf(arrivals).persist()
+    val ap = Dedup.arrivalPrefix(ag, df).persist()
+    val got = Dedup.setsimScreenWith(ag, ap, prefix, grams)
       .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 10L, 1.0), (20L, 30L, 1.0)))
+    Seq(ag, ap).foreach(_.unpersist())
   }
 
   test("lsh_exact_eval: counts reconcile and the measure-equivalence invariant holds") {

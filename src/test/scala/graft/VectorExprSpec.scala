@@ -63,6 +63,27 @@ class VectorExprSpec extends SparkSpec {
     assert(got(2).isNullAt(0))
   }
 
+  test("SortedIntersectCount refuses unsorted or duplicated input instead of undercounting") {
+    // the consumers are dedup decisions: a silently undercounted
+    // intersection is a silently missed duplicate pair, so the merge
+    // scan enforces its strictly-ascending contract on every visited
+    // element (both the codegen and interpreted paths)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    for (bad <- Seq(Seq(3L, 1L, 5L), Seq(1L, 1L, 5L))) {
+      val df = Seq((bad, Seq(1L, 5L))).toDF("a", "b")
+      val e = intercept[Exception] {
+        df.select(sorted_intersect_count($"a", $"b").as("n")).collect()
+      }
+      assert(msgs(e).exists(_.contains("not strictly ascending")), s"got: $e")
+    }
+    // tail elements past the shorter side's exhaustion are never visited
+    // and cannot affect the count — documented contract boundary
+    val ok = Seq((Seq(1L, 2L), Seq(1L, 2L, 9L, 3L))).toDF("a", "b")
+      .select(sorted_intersect_count($"a", $"b").as("n")).head.getInt(0)
+    assert(ok == 2)
+  }
+
   test("VectorDot codegen handles nulls") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
