@@ -111,6 +111,8 @@ object Bench {
         () => { operators.Dedup.verifiedCandidates(spark, sfDir).count(); () }),
       ("chain_setsim_index", Set("dedup_setsim_incr", "stream_setsim_dedup_eq"),
         () => { operators.Dedup.setsimIndexWarm(spark, sfDir); () }),
+      ("chain_setsim_pairs", Set("dedup_setsim_join", "lsh_exact_eval"),
+        () => { operators.Dedup.setsimPairs(spark, sfDir).count(); () }),
       ("chain_dedup_clusters", Set("dedup_clusters", "dedup_apply", "dedup_cluster_sizes"),
         () => { operators.Dedup.clusterLabels(spark, sfDir).count(); () }),
       ("chain_ann_pairs", Set("ann_lsh_pairs", "dedup_embedding"),
