@@ -466,9 +466,58 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")) * 2 >= greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-    val cands = vsPrior.unionByName(vsBatch).distinct()
+    // the budget verdict wraps the streamed candidate rows BEFORE the
+    // distinct: one gate reference (one gate execution per screen), and
+    // an over-budget screen still dies on its FIRST candidate because
+    // join output pipelines through this projection — nothing blocks
+    // between the join and the raise
+    val gate = incrBudgetGate(ag.sparkSession, aprefix, priorPrefix)
+    val cands = vsPrior.unionByName(vsBatch)
+      .crossJoin(broadcast(gate))
+      .withColumn("id1",
+        when(col("ok"), col("id1"))
+          .otherwise(raise_error(concat(
+            lit("setsim incremental screen: candidate bound "), col("bound"),
+            lit(s" pairs exceeds spark.graft.setsimPairBudget; " +
+              "shrink the arriving batch or raise the budget"))
+          ).cast("bigint")))
+      .drop("ok", "bound")
+      .distinct()
     verifySetsimCands(cands, ag.unionByName(priorGrams),
       broadcastCands = true)
+  }
+
+  /** The pair-budget contract extended to the incremental screen: the
+    * batch join refuses a corpus shape that defeats prefix filtering,
+    * and a BULK BACKFILL through the screen must refuse the same way
+    * instead of silently materializing Σ dR·dA cross pairs. The exact
+    * candidate bound Σ_g dR(g)·dA(g) + Σ_g dA(g)(dA(g)−1)/2 is computed
+    * WITHOUT running the join: dA is a delta-bounded aggregate of the
+    * arrival prefix, dR aggregates the prior postings semi-restricted to
+    * the batch's grams (same linear scan the probe join pays, but its
+    * output is per-gram counts — delta-bounded — never pair rows). Same
+    * knob (`spark.graft.setsimPairBudget`), same DECIMAL(38,0)
+    * arithmetic; the 1-row (ok, bound) verdict is applied by the caller
+    * to the streamed candidate rows. */
+  private def incrBudgetGate(spark: SparkSession, aprefix: DataFrame,
+      priorPrefix: DataFrame): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.setsimPairBudget")
+      .map(_.toLong).getOrElse(100000000L)
+    val dec = "decimal(19,0)"
+    val dA = aprefix.groupBy("gram").agg(count(lit(1)).as("da"))
+    val dR = priorPrefix.join(broadcast(dA.select("gram")), "gram")
+      .groupBy("gram").agg(count(lit(1)).as("dr"))
+    dA.join(broadcast(dR), Seq("gram"), "left")
+      .agg(
+        coalesce(sum(col("da").cast(dec) *
+          coalesce(col("dr"), lit(0L)).cast(dec)), lit(0).cast(dec)).as("tc"),
+        coalesce(sum(col("da").cast(dec) *
+          (col("da") - 1).cast(dec)), lit(0).cast(dec)).as("t2"))
+      // integral comparison: 2·(cross + within) ≤ 2·budget
+      .select((col("tc") * 2 + col("t2") <=
+          lit(budget).cast("decimal(38,0)") * 2).as("ok"),
+        ((col("tc") * 2 + col("t2")) / 2).cast("decimal(38,0)")
+          .cast("string").as("bound"))
   }
 
   /** Incremental exact set-similarity screen — dedup_setsim_join as the

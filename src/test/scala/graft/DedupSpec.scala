@@ -128,6 +128,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupSetsimJoin(spark, sf).count() > 0)
   }
 
+  test("setsim incremental screen refuses loudly past the same budget") {
+    // the contract extends to the incremental path: a bulk backfill must
+    // refuse instead of silently materializing the cross candidates
+    spark.conf.set("spark.graft.setsimPairBudget", "1")
+    try {
+      val e = intercept[Exception] {
+        Dedup.dedupSetsimIncr(spark, sf).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("setsimPairBudget") &&
+        m.contains("incremental screen")),
+        s"refusal must name the knob and the screen, got: $e")
+    } finally spark.conf.unset("spark.graft.setsimPairBudget")
+    assert(Dedup.dedupSetsimIncr(spark, sf).count() > 0)
+  }
+
   test("simhash: 32-bit range, deterministic, identical text => identical hash") {
     val s1 = Dedup.dedupSimhash(spark, sf).as[(Long, Long)].collect()
     assert(s1.forall { case (_, h) => h >= 0 && h < (1L << 32) })

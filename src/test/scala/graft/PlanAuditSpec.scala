@@ -640,8 +640,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side index shuffled instead of broadcast-probed:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast probe in plan:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    // the only nested-loop joins are the budget gate's 1-row verdict
+    // broadcast (the adjudicated scalar-crossJoin shape), repeated once
+    // per reference to the guarded arrival prefix (vsPrior probe + both
+    // self-join aliases = 3) — never a pair materialization
+    assert(!p.contains("CartesianProduct"),
       s"unexpected pair materialization:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      s"unexpected nested-loop join beyond the 1-row budget gate:\n$p")
     // the only row_number window is the arrival prefix rank, partitioned
     // by doc_id over the delta — never a corpus-sized or global window.
     // Collected from the ANALYZED plan: the optimized plan hides it inside
