@@ -82,10 +82,13 @@ object Dedup {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     chainMemo.clear()
-    // persisted benchmark-gram artifact roots follow the same discipline
-    // as the TextAnalysis artifact memos: config-invariance variants must
-    // rebuild, not replay a root trained under the baseline config
+    // persisted artifact roots follow the same discipline as the
+    // TextAnalysis artifact memos: config-invariance variants must
+    // rebuild, not replay a root trained under the baseline config —
+    // the setsim/window indexes are artifacts too, not chain stages
     benchGramMemo.clear()
+    setsimIdxMemo.clear()
+    winIdxMemo.clear()
   }
 
   private def toksCol: Column = TextFunctions.tokens(col("text"))
@@ -1475,23 +1478,37 @@ object Dedup {
     * merge windows partition by doc_id — per-document work bounded by
     * document length, never a corpus-wide sort. Same cost class as the
     * other corpus-linear kernels (char_entropy, ngram_novelty). The
-    * hash is md5-derived on both engines, so the oracle replays it
-    * exactly; 56 bits keeps false-positive hash collisions below 1e-5
+    * hash-recurrence sets equal string-recurrence on both engines as
+    * long as neither the Spark-side 63-bit rolling hash nor the
+    * oracle-side md5-56 collides — well below 1e-5 false-positive mass
     * even at 10^12 positions per shuffle partition group. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
     substringCoverage(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Positional window hashes of a (doc_id, text) frame: one
-    * (doc_id, anchor position, md5-56 of the SubK-char window) row per
-    * character position — the shared first stage of the batch audit,
-    * the winidx artifact build, and the incremental screen. */
+    * (doc_id, anchor position, 63-bit rolling hash of the SubK-char
+    * window) row per character position — the shared first stage of the
+    * batch audit, the winidx artifact build, and the incremental screen.
+    * The hash is ONE O(len) Rabin-Karp pass per document
+    * (plans.RollingWindowHashes); the previous per-position
+    * `md5(substring(text, i, SubK))` formulation was O(len²) per doc —
+    * UTF8String.substring walks from the string start per call — i.e. a
+    * latent scale-killer on exactly the long boilerplate-bearing
+    * documents this kernel exists for. The oracle keeps hashing windows
+    * independently (md5-56 in DuckDB): the OUTPUT of every consumer is
+    * coverage statistics, not hashes, and both sides' recurrence sets
+    * equal string-recurrence exactly when neither hash collides — the
+    * same contract as before, now with 63 output bits.
+    * (InferFiltersFromGenerate evaluates the hash array a second time in
+    * its inferred `size(...) > 0` filter — a bounded 2× on a now-linear
+    * kernel, not the deep-nesting ×12 pathology PLANS §r15 documents.) */
   private def winHashes(input: DataFrame): DataFrame =
     input
       .filter(length(col("text")) >= SubK)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(SubK - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr(s"cast(conv(substring(md5(substring(text, cast(i as int), $SubK)), 1, 14), 16, 10) as bigint)").as("h"))
+      .select(col("doc_id"),
+        posexplode(graft.plans.StringExpressions.rolling_window_hashes(
+          col("text"), SubK)).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + lit(1)).as("i"), col("h"))
 
   /** One row per (window hash, doc) carrying that doc's anchor
     * positions — the frame both recurrence tests run over. */
@@ -1534,21 +1551,27 @@ object Dedup {
     * registered query so specs can drive synthetic fixtures through the
     * exact production path (the minhashLshPairs pattern). */
   private[graft] def substringCoverage(input: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    // single pass over the hashed positions: collapse to one row per
-    // (window, doc) carrying that doc's anchor positions, then a
-    // whole-partition count over the window hash IS the distinct-doc
-    // recurrence count — the corpus-sized frame is hashed and shuffled
-    // once, never recomputed for the join-back
-    val dupPos = winByDoc(input)
-      .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
-      .filter(col("nd") >= 2)
+    // recurrence = distinct-doc count per window hash. NOT a
+    // `count().over(partitionBy(h))` window: that puts every (h, doc)
+    // row of one window hash into a single task's sort, so a corpus-wide
+    // boilerplate span (the exact thing this audit hunts) concentrates
+    // millions of rows on one key. groupBy(h) gets map-side partial
+    // aggregation on the hot key (each task contributes ONE row per h),
+    // and the join back is a shuffled HASH join — the hot hash's rows
+    // stream through a probe, never a per-key sort buffer. The byDoc
+    // subtree appears twice but its exchange is reused (identical
+    // subplans), so positions are hashed and shuffled once.
+    val byDoc = winByDoc(input)
+    val recurring = byDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dupPos = byDoc
+      .join(recurring.hint("shuffle_hash"), "h")
       .select(col("doc_id"), explode(col("is")).as("i"))
     coverageFrom(input, dupPos)
   }
 
   /** Persisted resident-corpus window-hash index (shared-root protocol):
-    * the DISTINCT md5-56 window hashes of every resident document, one
+    * the DISTINCT rolling window hashes of every resident document, one
     * BIGINT column — ~8 bytes per corpus character before dedup, a few
     * percent of corpus bytes on disk. This is the artifact that makes
     * position-level dedup INCREMENTAL: an arriving batch is screened
@@ -1611,15 +1634,18 @@ object Dedup {
     * claim rests on shared code, not a hand-kept copy. */
   private[graft] def screenArrivalsAgainst(arrivals: DataFrame,
       prior: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val byDoc = winByDoc(arrivals)
     // delta-bounded: the prior rows whose hash occurs in this batch
     val hits = prior.select(col("h"))
       .join(broadcast(byDoc.select("h").distinct()), "h")
       .distinct()
       .withColumn("hit", lit(1))
+    // batch-local recurrence via groupBy + join-back, not a partitionBy(h)
+    // window — same de-skew rationale as substringCoverage (a bulk
+    // boilerplate arrival is exactly when this screen matters most)
+    val nd = byDoc.groupBy("h").agg(count(lit(1)).as("nd"))
     val dupPos = byDoc
-      .withColumn("nd", count(lit(1)).over(W.partitionBy("h")))
+      .join(nd.hint("shuffle_hash"), "h")
       .join(hits, Seq("h"), "left")
       .filter(col("nd") >= 2 || col("hit") === 1)
       .select(col("doc_id"), explode(col("is")).as("i"))
@@ -1765,7 +1791,10 @@ object Dedup {
       "JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id)"
 
   /** Duplicated-span coverage oracle: positional 40-char windows hashed
-    * to the same md5-56 both engines; recurring-window positions merged
+    * independently (md5-56) here, with one Rabin-Karp rolling pass on
+    * the Spark side — the outputs carry coverage statistics, not hashes,
+    * and the two recurrence sets both equal string-recurrence exactly
+    * while neither hash collides. Recurring-window positions merged
     * gaps-and-islands. `finalWhere` restricts the OUTPUT rows only —
     * recurrence is always judged corpus-globally, which is exactly the
     * equivalence the incremental row's two-path screen must hit. */

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge.{column, expression, AbstractType}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler scalar kernel, matching DuckDB's
@@ -83,7 +84,93 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** O(len)-per-document rolling window hashes: the 64-bit hash of EVERY
+  * k-codepoint window of a string in one linear pass. The position-level
+  * dedup kernel (Dedup.winHashes) anchors a window at every character;
+  * hashing each window independently via `substring(text, i, k)` is
+  * O(len²) per document — `UTF8String.substring` walks from the string
+  * start to find the char offset, so a 100 kB document costs ~10¹⁰ byte
+  * steps, exactly the long-boilerplate regime ExactSubstr-style dedup
+  * exists for. Here each next window reuses the previous window's hash
+  * (classic Rabin-Karp roll: subtract the leaving codepoint's term,
+  * multiply by the base, add the entering codepoint), so the whole
+  * document costs O(len) regardless of k.
+  *
+  * Equality contract: two windows get the same raw polynomial value iff
+  * their codepoint sequences match, up to mod-2⁶⁴ collisions — the same
+  * "hash equality ≡ string equality, collision-negligible" contract the
+  * previous md5-56 window hash ran under, with 63 output bits instead of
+  * 56 (each raw value is finalized with the murmur3 64-bit mixer and
+  * masked to non-negative, so structured inputs cannot produce the
+  * clustered outputs raw polynomials are known for). The consumer's
+  * oracle hashes windows independently (md5 in DuckDB); outputs agree
+  * because both sides' recurrence sets equal string-recurrence exactly
+  * when neither side collides — the documented ≥1e-5 margin at 10¹²
+  * positions. */
+object RollingWindowHashAlgo {
+  /** Odd 64-bit multiplier (2⁶⁴/φ); odd ⇒ invertible mod 2⁶⁴, so the
+    * polynomial map is injective per position count. */
+  private final val B = 0x9E3779B97F4A7C15L
+
+  /** murmur3 fmix64 finalizer. */
+  private def fmix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    // code points, not UTF-16 units: the window is defined in characters
+    // (matching substring()/len() semantics on both engines)
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    var bk1 = 1L // B^(k-1), the leaving codepoint's positional weight
+    var i = 1
+    while (i < k) { bk1 *= B; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 }
+    out(0) = fmix(h) & Long.MaxValue
+    var w = 1
+    while (w <= n - k) {
+      h = (h - cps(w - 1) * bk1) * B + cps(w + k - 1)
+      out(w) = fmix(h) & Long.MaxValue
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class RollingWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k > 0, s"rolling_window_hashes k must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+
+  override def nullSafeEval(a: Any): Any =
+    RollingWindowHashAlgo.compute(a.asInstanceOf[UTF8String], k)
+
+  // stays inside whole-stage codegen as a static call (the JaroWinkler
+  // pattern) — the linear pass itself gains nothing from janino inlining
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.RollingWindowHashAlgo.compute($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashes =
+    copy(child = newChild)
+}
+
 object StringExpressions {
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
+
+  def rolling_window_hashes(c: Column, k: Int): Column =
+    column(RollingWindowHashes(expression(c), k))
 }

@@ -71,7 +71,7 @@ object ArtifactRoots {
     * (the staleness class the process-private default is immune to by
     * construction). Overridable per session via
     * `spark.graft.artifactVersion` for side-by-side migration tests. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2 // v2: winidx hashes moved md5-56 → 63-bit rolling
 
   private val VersionPattern = "[A-Za-z0-9._-]+".r
 
@@ -183,7 +183,13 @@ object ArtifactRoots {
             try {
               java.nio.file.Files.move(stage, tomb,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              deleteRecursively(tomb)
+              // best-effort: a paused-but-alive old winner can still be
+              // writing into the moved stage (DirectoryNotEmptyException
+              // from the walk-then-delete race) — a leftover
+              // .build-expired-* dir is harmless garbage, never a reason
+              // to fail the takeover; the claim race below is what matters
+              try deleteRecursively(tomb)
+              catch { case scala.util.control.NonFatal(_) => () }
             } catch { case _: java.nio.file.NoSuchFileException => () }
           }
       }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded per-trigger delta-dir state for the foreachBatch ingest twins
+  * (the setsim and substring screens).
+  *
+  * The r15 shape wrote one delta dir per trigger (`d<batchId>`, overwrite —
+  * retry-idempotent, O(batch) written per trigger) and READ the union
+  * `d0..d<batchId-1>` on every trigger. O(batch) written is right;
+  * O(triggers) dirs read is not: a long-running ingest pays file-listing +
+  * plan growth per trigger forever — fine at 5 triggers, the wrong shape at
+  * 10⁴. This helper folds the accumulated deltas into a snapshot dir every
+  * `k` triggers (`spark.graft.streamStateFoldK`, default 4), so a trigger
+  * reads O(snapshot + k) dirs regardless of stream age.
+  *
+  * '''Retry discipline''' (the twins' overwrite-by-batchId contract,
+  * extended): the fold for base `b` runs on trigger `b` and is a
+  * DETERMINISTIC function of `b` — snapshot(b) = snapshot(b−k) ∪
+  * deltas[b−k, b), written `mode(overwrite)` — so a retried trigger
+  * rebuilds the identical snapshot. Pruning keeps everything a retry of
+  * the CURRENT batch can read: after publishing snapshot(b), only dirs
+  * strictly older than snapshot(b−k)'s inputs are deleted (deltas < b−k
+  * and snapshots < b−k). Structured streaming re-runs at most the last
+  * uncommitted batch, so nothing older is ever read again.
+  *
+  * '''Bound''': at any trigger the state root holds ≤ 2 snapshots +
+  * ≤ 2k delta dirs.
+  */
+private[graft] object DeltaState {
+
+  def foldK(session: SparkSession): Int =
+    session.conf.getOption("spark.graft.streamStateFoldK")
+      .map(_.toInt).filter(_ >= 1).getOrElse(4)
+
+  /** Parquet paths holding the accumulated `prefix`-family state from all
+    * triggers before `batchId` (empty on the first trigger). Runs the fold
+    * + prune when `batchId` is a fold boundary. `fold` post-processes the
+    * snapshot frame before it lands (e.g. `distinct()` for hash-set state,
+    * where cross-delta duplicates are semantic no-ops but dead weight). */
+  def priorPaths(session: SparkSession, stateRoot: String, prefix: String,
+      batchId: Long, fold: DataFrame => DataFrame = identity): Seq[String] = {
+    val k = foldK(session)
+    val snapBase = (batchId / k) * k
+    def snap(base: Long) = s"$stateRoot/s$prefix$base"
+    def delta(i: Long) = s"$stateRoot/$prefix$i"
+    if (snapBase == 0) return (0L until batchId).map(delta)
+    if (batchId == snapBase) {
+      val prevBase = snapBase - k
+      val inputs =
+        (if (prevBase > 0) Seq(snap(prevBase)) else Seq.empty) ++
+          (prevBase until snapBase).map(delta)
+      fold(session.read.parquet(inputs: _*))
+        .write.mode("overwrite").parquet(snap(snapBase))
+      // prune what no retry can need: a retry of THIS trigger re-reads
+      // snap(prevBase) + deltas[prevBase, snapBase) to rebuild — keep
+      // those, drop everything strictly older
+      (0L until prevBase).foreach(i => deleteDir(delta(i)))
+      (k.toLong until prevBase by k).foreach(b => deleteDir(snap(b)))
+    }
+    Seq(snap(snapBase)) ++ (snapBase until batchId).map(delta)
+  }
+
+  private def deleteDir(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}

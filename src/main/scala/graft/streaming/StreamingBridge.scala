@@ -1375,13 +1375,14 @@ object StreamingBridge {
     val arrivals = graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
     val docsDir = stageSubstrArrivals(spark, dir, arrivals)
-    // arrival-hash state as per-trigger DELTA dirs, not a folded
-    // snapshot: writing d<batchId> (overwrite — retry-idempotent) costs
-    // O(batch) per trigger, where a snapshot fold would rewrite the
-    // whole accumulated set every trigger (O(arrivals·triggers) total);
-    // the prior-state read unions d0..d<batchId-1>, and duplicate
-    // hashes across deltas are harmless — the screen kernel distincts
-    // its probe result
+    // arrival-hash state as per-trigger DELTA dirs folded into a
+    // snapshot every K triggers (DeltaState): writing d<batchId>
+    // (overwrite — retry-idempotent) costs O(batch) per trigger, the
+    // periodic fold amortizes to O(state/K) per trigger, and a trigger
+    // READS O(snapshot + K) dirs regardless of stream age — not the
+    // O(triggers) union growth of unfolded deltas. Duplicate hashes
+    // across deltas are harmless (the screen kernel distincts its probe
+    // result); the fold distincts to keep the snapshot set-sized.
     val stateRoot = graft.sources.TempDirs.create("graft_stream_substr_state_")
     val outDir = graft.sources.TempDirs.create("graft_stream_substr_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_substr_ck_")
@@ -1391,11 +1392,12 @@ object StreamingBridge {
       .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
-        val priorDeltas = (0L until batchId).map(i => s"$stateRoot/d$i")
+        val statePaths = DeltaState.priorPaths(session, stateRoot, "d",
+          batchId, fold = _.distinct())
         val prior =
-          if (priorDeltas.isEmpty) session.read.parquet(s"$winRoot/hashes")
+          if (statePaths.isEmpty) session.read.parquet(s"$winRoot/hashes")
           else session.read.parquet(s"$winRoot/hashes")
-            .unionByName(session.read.parquet(priorDeltas: _*))
+            .unionByName(session.read.parquet(statePaths: _*))
         Dedup.screenArrivalsAgainst(batch, prior)
           .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         Dedup.windowHashSet(batch)
@@ -1430,7 +1432,7 @@ object StreamingBridge {
     * IDENTICAL whichever trigger carries it — the Lemma-1 total order
     * never shifts with arrival history. The screen reads the state back
     * rather than recomputing lineage, and the one persisted frame per
-    * trigger (the gram barrier, see Dedup.setsimScreenAgainst) is
+    * trigger (the gram barrier, see Dedup.arrivalPrefix) is
     * unpersisted before the trigger returns. */
   def streamSetsimDedupEq(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
@@ -1456,8 +1458,10 @@ object StreamingBridge {
         ag.unpersist()
         val agW = session.read.parquet(s"$stateRoot/g$batchId")
         val apW = session.read.parquet(s"$stateRoot/p$batchId")
-        val priorP = (0L until batchId).map(i => s"$stateRoot/p$i")
-        val priorG = (0L until batchId).map(i => s"$stateRoot/g$i")
+        // both state families fold every K triggers (DeltaState): a
+        // trigger reads O(snapshot + K) state dirs, never O(triggers)
+        val priorP = DeltaState.priorPaths(session, stateRoot, "p", batchId)
+        val priorG = DeltaState.priorPaths(session, stateRoot, "g", batchId)
         val prefixAll =
           if (priorP.isEmpty) session.read.parquet(s"$root/prefix")
           else session.read.parquet(s"$root/prefix")
@@ -1494,15 +1498,20 @@ object StreamingBridge {
       withT.coalesce(1).write.partitionBy("trg").mode("overwrite").parquet(build)
       val out = graft.sources.TempDirs.create("graft_stream_substr_docs_")
       val tsBase = System.currentTimeMillis() - 6000L
+      // ntile(5) over fewer than 5 rows emits fewer groups — stage the
+      // trigger dirs actually present (the oracle's ntile assignment is
+      // identical either way), rather than NPE-ing on a missing trg dir
       (1 to 5).foreach { t =>
         val partDir = new java.io.File(s"$build/trg=$t")
-        val src = partDir.listFiles()
+        val srcs = Option(partDir.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName).head
-        val dst = java.nio.file.Paths.get(out, f"batch_$t%05d.parquet")
-        java.nio.file.Files.copy(src.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(tsBase + t * 1000L))
+          .sortBy(_.getName)
+        srcs.headOption.foreach { src =>
+          val dst = java.nio.file.Paths.get(out, f"batch_$t%05d.parquet")
+          java.nio.file.Files.copy(src.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(tsBase + t * 1000L))
+        }
       }
       out
     })

@@ -97,4 +97,71 @@ class AdversarialSkewSpec extends SparkSpec {
     assert(saltedRows.map(_.toString).toSeq == plainRows.map(_.toString).toSeq,
       "salted join diverged from the unsalted reference on the skew fixture")
   }
+
+  test("substring recurrence survives a corpus-wide boilerplate span: de-skewed count, exact spans") {
+    import spark.implicits._
+    // one 88-char boilerplate sentence embedded verbatim in 20% of 20k
+    // otherwise-unique docs — every window inside the span recurs in 4k
+    // documents, the hot-key shape a partitionBy(h) window would funnel
+    // into ONE task's sort buffer (4k rows × ~49 hot hashes on one key
+    // range). The de-skewed groupBy(h) count partial-aggregates the hot
+    // hash map-side; correctness is pinned by construction.
+    val span = (1 to 11).map(i => f"boiler$i%02d").mkString(" ") // 8+1 chars × 11 − 1
+    val spanLen = span.length.toLong
+    assert(spanLen >= 60, s"span must dominate a window, got $spanLen")
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      when(col("id") % 5 === 0,
+        concat(lit("u"), col("id"), lit("p "), lit(span), lit(" u"), col("id"), lit("s")))
+        .otherwise(concat(lit("unique text block "),
+          concat_ws(" ", (0 until 8).map(j => concat(lit(s"w${j}q"), col("id"))): _*))).as("text"))
+    val t0 = System.nanoTime()
+    val cov = operators.Dedup.substringCoverage(docs)
+    val rows = cov.collect()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // independent truth: recurrence over the raw 40-char window STRINGS
+    // (no hashes, no shared code with the operator), island-merged on
+    // the driver — id-digit collisions in the margins legitimately
+    // extend a carrier's run past the span, so the truth is computed,
+    // not assumed
+    val w = docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(39))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, cast(i as int), 40)").as("w"))
+    val rec = w.groupBy("w").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("w")
+    val dupPos = w.join(rec, "w").select(col("doc_id"), col("i"))
+      .as[(Long, Int)].collect()
+    val truth = dupPos.groupBy(_._1).map { case (d, ps) =>
+      var n = 0L; var dupChars = 0L; var curS = -1; var curE = -2
+      ps.map(_._2).sorted.foreach { s =>
+        val e = s + 39
+        if (curS < 0) { curS = s; curE = e; n = 1 }
+        else if (s > curE) { dupChars += curE - curS + 1; curS = s; curE = e; n += 1 }
+        else curE = math.max(curE, e)
+      }
+      dupChars += curE - curS + 1
+      d -> (n, dupChars)
+    }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val want = truth.getOrElse(d, (0L, 0L))
+      assert((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars")) == want,
+        s"doc $d: got (${r.getAs[Long]("n_spans")}, ${r.getAs[Long]("dup_chars")}), want $want")
+    }
+    // shape sanity: every carrier's duplicated run covers at least the span
+    val carriers = rows.filter(_.getAs[Long]("doc_id") % 5 == 0)
+    assert(carriers.length == 1000)
+    assert(carriers.forall(_.getAs[Long]("dup_chars") >= spanLen))
+    // structural de-skew proof: the executed plan partial-aggregates the
+    // recurrence count on h (map-side combine on the hot key) and joins
+    // it back with a HASH join — no corpus-wide per-key window sort
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      "recurrence count must partial-aggregate map-side")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      "recurrence join-back must be a hash join, not a sort")
+    // a single-task hot-key sort would take minutes at this shape
+    assert(elapsed < 90, f"boilerplate fixture took $elapsed%.1f s")
+  }
 }

@@ -578,6 +578,83 @@ class StreamingSpec extends SparkSpec {
     assert(out1 == Seq((3L, 2L, 100L, 190L, 1000000L * 100 / 190)))
   }
 
+  test("delta-state compaction: bounded dirs over 12 triggers, cross-fold state preserved") {
+    import graft.operators.Dedup
+    import graft.streaming.DeltaState
+    // 12 single-doc triggers, fold every 2: doc t carries the 50-char run
+    // of doc t−1, so EVERY trigger's coverage depends on state that has
+    // (for t > 2) been folded into a snapshot — a fold that loses or
+    // duplicates state shows up as a wrong span, not just a wrong dir
+    // count. Blocks A/B/C are 31 chars (< one window) with doc-unique
+    // boundary digits, so no straddling window recurs — each doc's
+    // expected coverage is exactly run(t−1).
+    // lowercase run alphabet: disjoint from the uppercase block tags, so
+    // a block's trailing/leading tag char can never extend a run
+    def run(t: Int) = ('a' + t).toChar.toString * 50
+    // 31 chars (< one window), content unique per (tag, doc): no window
+    // fits inside a block and no straddling window can recur cross-doc
+    def block(tag: String, t: Int) = (f"$tag$t%02d" * 11).take(31)
+    def doc(t: Int): String =
+      if (t == 0) block("A", t) + block("B", t) + run(t) + block("C", t)
+      else block("A", t) + run(t - 1) + block("B", t) + run(t) + block("C", t)
+    spark.conf.set("spark.graft.streamStateFoldK", "2")
+    val feed = graft.sources.TempDirs.create("graft_deltastate_feed_")
+    val stateRoot = graft.sources.TempDirs.create("graft_deltastate_state_")
+    val outDir = graft.sources.TempDirs.create("graft_deltastate_out_")
+    val ck = graft.sources.TempDirs.create("graft_deltastate_ck_")
+    try {
+      val tsBase = System.currentTimeMillis() - 20000L
+      val build = graft.sources.TempDirs.create("graft_deltastate_build_")
+      (0 until 12).foreach { t =>
+        val f = f"$feed/batch_$t%05d.parquet"
+        Seq((t.toLong, doc(t))).toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$build/t$t")
+        val src = new java.io.File(s"$build/t$t").listFiles()
+          .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(f))
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(f),
+          java.nio.file.attribute.FileTime.fromMillis(tsBase + t * 1000L))
+      }
+      val schema = spark.read.parquet(s"$feed/batch_00000.parquet").schema
+      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val session = batch.sparkSession
+          val statePaths = DeltaState.priorPaths(session, stateRoot, "d",
+            batchId, fold = _.distinct())
+          val prior =
+            if (statePaths.isEmpty)
+              session.range(0).select(col("id").as("h"))
+            else session.read.parquet(statePaths: _*)
+          Dedup.screenArrivalsAgainst(batch, prior)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          Dedup.windowHashSet(batch)
+            .write.mode("overwrite").parquet(s"$stateRoot/d$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // cross-fold correctness: doc 0 clean, every later doc exactly the
+      // previous doc's 50-char run
+      val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val want = (0 until 12).map { t =>
+        val total = doc(t).length.toLong
+        if (t == 0) (0L, 0L, 0L, total, 0L)
+        else (t.toLong, 1L, 50L, total, 1000000L * 50 / total)
+      }
+      assert(got == want, s"screen diverged across folds:\n$got\nvs\n$want")
+      // the bound the compaction exists for: ≤ 2 snapshots + 2K deltas
+      // after 12 triggers (unfolded deltas would be 12 dirs)
+      val dirs = new java.io.File(stateRoot).listFiles().filter(_.isDirectory)
+        .map(_.getName).sorted.toSeq
+      assert(dirs.size <= 6, s"state dirs unbounded: $dirs")
+      assert(dirs.exists(_.startsWith("sd")), s"no snapshot dir materialized: $dirs")
+    } finally spark.conf.unset("spark.graft.streamStateFoldK")
+  }
+
   test("setsim stream screen: exactly-once pair emission across triggers (synthetic)") {
     // the per-trigger kernel driven directly with controlled batches:
     //  - vs-resident pair emitted in its carrier's trigger

@@ -47,6 +47,35 @@ class StringExprSpec extends SparkSpec {
     }
   }
 
+  test("rolling_window_hashes: equality ≡ window-string equality; code points; edges") {
+    import graft.plans.RollingWindowHashAlgo
+    def hashes(s: String, k: Int): Seq[Long] =
+      RollingWindowHashAlgo.compute(UTF8String.fromString(s), k).toLongArray().toSeq
+    val k = 5
+    // battery with verbatim repeats (within and across docs) and
+    // multibyte code points — the roll must see characters, not bytes
+    val docs = Seq("abcabcabcabcabc", "the quick fox the quick fox",
+      "héllo wörld héllo wörld", "汉字文本流汉字文本流xyz",
+      "aaaaaaaaaaaa", "abcdefghijkl")
+    val all = docs.flatMap { d =>
+      val cps = d.codePoints().toArray
+      val h = hashes(d, k)
+      assert(h.length == math.max(0, cps.length - k + 1), s"window count for '$d'")
+      h.zipWithIndex.map { case (hv, i) => (new String(cps, i, k), hv) }
+    }
+    // same window string → same hash (the roll is position-independent)...
+    all.groupBy(_._1).foreach { case (w, g) =>
+      assert(g.map(_._2).distinct.size == 1, s"window '$w' hashed inconsistently")
+    }
+    // ...and distinct windows get distinct hashes on this battery
+    // (collision-free in practice — the recurrence-set contract)
+    assert(all.map(_._1).distinct.size == all.map(_._2).distinct.size)
+    assert(all.forall(_._2 >= 0L), "63-bit mask must keep hashes non-negative")
+    assert(hashes("abcd", 5).isEmpty, "string shorter than the window")
+    assert(hashes("abcde", 5).size == 1)
+    assert(hashes("", 5).isEmpty)
+  }
+
   test("char_ngrams generator: code-point semantics, edge cases, SQL surface") {
     import spark.implicits._
     GraftFunctions.register(spark)
