@@ -121,8 +121,10 @@ object Bench {
           "ivf_pq_search", "ivf_pq_recall", "ivf_filtered_recall", "hybrid_rrf_ivf",
           "retrieval_rank_eval", "stream_hybrid_rrf_eq"),
         () => { operators.Similarity.ivfWarmIndex(spark, sfDir); () }),
-      ("chain_ivf_incr", Set("ivf_incremental"),
+      ("chain_ivf_incr", Set("ivf_incremental", "ivf_refresh"),
         () => { operators.Similarity.ivfIncrWarmIndex(spark, sfDir); () }),
+      ("chain_ivf_refresh", Set("ivf_refresh"),
+        () => { operators.Similarity.ivfRefreshWarm(spark, sfDir); () }),
       ("chain_stream_ivf", Set("stream_ivf_ingest_eq"),
         () => { streaming.StreamingBridge.streamIvfIngestWarm(spark, sfDir); () }),
       ("chain_doc_scores", Set("quality_gate", "quality_score"),

@@ -424,6 +424,57 @@ object ArtifactRoots {
         }
       }
 
+  /** TTL sweep for long-dead INCOMPLETE artifact roots — the reclamation
+    * gcMark explicitly defers to the lease layer, because only the lease
+    * layer can tell a crashed claim from a live one. Two ways a
+    * markerless dir goes permanently dead with no lease to take over:
+    * a builder killed after `rootFor` but before ever claiming (empty or
+    * junk dir, no `.build`), and a claim whose taker was itself killed
+    * (stale `.build`, nobody waiting to run the takeover). Liveness
+    * signals, in order: a claim's heartbeat age ([[claimStalenessMs]] —
+    * the lease protocol's own signal), else the newest mtime anywhere
+    * under the dir (a never-claimed dir's creation time). Only dirs
+    * stale past `ttlMs` are reclaimed — pass a TTL generous relative to
+    * [[defaultLeaseMs]] (hours, not seconds): anything younger might be
+    * a builder between `rootFor` and its claim. Re-checks the marker and
+    * staleness immediately before each delete (a build completing
+    * mid-sweep survives); the residual check-to-delete window is the
+    * same documented mtime-lease trade as claim takeover, and the worst
+    * case is the racing builder's rebuild, never a half-read — readers
+    * still gate on the marker. Returns the marks actually deleted. */
+  def gcIncomplete(root: String, ttlMs: Long): Seq[GcMark] =
+    gcMark(root, liveVersion = "", liveFingerprints = Set.empty)
+      .filter(_.status == "incomplete")
+      .flatMap { m =>
+        val dir = java.nio.file.Paths.get(root, m.kind, s"v${m.version}",
+          m.fingerprint)
+        val stage = dir.resolve(".build")
+        val staleMs =
+          if (java.nio.file.Files.exists(stage)) claimStalenessMs(stage)
+          else newestMtimeAgeMs(dir)
+        if (staleMs <= ttlMs ||
+            java.nio.file.Files.exists(dir.resolve(".complete"))) None
+        else {
+          try { deleteRecursively(dir); Some(m) }
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+
+  /** Age in ms of the NEWEST mtime anywhere under `dir` (the dir itself
+    * counts); 0 — i.e. fresh — on any listing race, so callers skip. */
+  private def newestMtimeAgeMs(dir: java.nio.file.Path): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val newest =
+        try s.iterator().asScala.map { p =>
+          try java.nio.file.Files.getLastModifiedTime(p).toMillis
+          catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+        }.foldLeft(0L)(math.max)
+        finally s.close()
+      math.max(0L, System.currentTimeMillis() - newest)
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** Reader-side protocol check: the artifact at `root` must carry the
     * `.complete` marker. Failing loudly here is what makes a killed
     * build "unreadable rather than half-read" — without this, the

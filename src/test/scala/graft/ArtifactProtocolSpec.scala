@@ -308,6 +308,48 @@ class ArtifactProtocolSpec extends SparkSpec {
     }
   }
 
+  test("gcIncomplete: dead incompletes reclaimed past TTL, live and fresh dirs untouched") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val shared = graft.sources.TempDirs.create("graft_gcincomplete_")
+    def mk(fp: String) = {
+      val p = Paths.get(shared, "kindx", "v9", fp)
+      Files.createDirectories(p); p
+    }
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 100000L)
+    // A: builder died between rootFor and its claim — junk dir, no
+    // .build, mtimes past the TTL → reclaimed
+    val a = mk("dead-never-claimed")
+    Files.write(a.resolve("part"), Array[Byte](1))
+    Files.setLastModifiedTime(a.resolve("part"), old)
+    Files.setLastModifiedTime(a, old)
+    // B: hard-killed claim holder AND nobody waiting to take over —
+    // stale heartbeat → reclaimed
+    val b = mk("dead-claimed")
+    Files.createDirectory(b.resolve(".build"))
+    Files.createFile(b.resolve(".build").resolve(".hb"))
+    Files.setLastModifiedTime(b.resolve(".build").resolve(".hb"), old)
+    // C: live in-flight build (fresh heartbeat) → untouched
+    val c = mk("live-inflight")
+    Files.createDirectory(c.resolve(".build"))
+    Files.createFile(c.resolve(".build").resolve(".hb"))
+    // D: fresh never-claimed dir (a builder between rootFor and claim
+    // RIGHT NOW) → untouched
+    val d = mk("fresh-unclaimed")
+    // E: completed artifact → not incomplete, never this sweep's business
+    val e = mk("done")
+    Files.createFile(e.resolve(".complete"))
+    val deleted = ArtifactRoots.gcIncomplete(shared, ttlMs = 60000L)
+    assert(deleted.map(_.fingerprint).toSet ===
+      Set("dead-never-claimed", "dead-claimed"),
+      s"wrong reclaim set: ${deleted.map(_.fingerprint)}")
+    assert(!Files.exists(a) && !Files.exists(b), "dead incompletes must be gone")
+    assert(Files.exists(c) && Files.exists(d) && Files.exists(e),
+      "live in-flight, fresh unclaimed, and completed dirs must survive")
+    // idempotent: a second sweep finds nothing left to reclaim
+    assert(ArtifactRoots.gcIncomplete(shared, ttlMs = 60000L).isEmpty)
+  }
+
   test("shared root config keys artifacts by dataset fingerprint") {
     val shared = graft.sources.TempDirs.create("graft_shared_root_")
     spark.conf.set("spark.graft.artifactRoot", shared)

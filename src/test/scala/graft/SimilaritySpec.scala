@@ -164,6 +164,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf_refresh: published index complete, centroids moved, report well-formed") {
+    import graft.operators.Similarity
+    val staleRoot = Similarity.ivfIncrWarmIndex(spark, sf)
+    val freshRoot = graft.sources.ArtifactRoots.assertComplete(
+      Similarity.ivfRefreshWarm(spark, sf))
+    // the refreshed lists cover every vector exactly once (the
+    // reassignment half of the Lloyd step lost/duplicated nothing)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val fresh = spark.read.parquet(s"$freshRoot/lists")
+      .select($"vec_id").as[Long].collect()
+    assert(fresh.length.toLong == n && fresh.distinct.length.toLong == n)
+    // drift actually happened: the accumulated-corpus means differ from
+    // the stale resident-trained centroids (the delta shifts every cell
+    // mean it touches)
+    def cents(root: String) = spark.read.parquet(s"$root/centroids")
+      .select($"cid", $"cv").as[(Long, Seq[Double])].collect().toMap
+    val sc = cents(staleRoot)
+    val fc = cents(freshRoot)
+    assert(sc.keySet == fc.keySet, "refresh must not create or drop cells")
+    assert(sc.exists { case (cid, cv) => fc(cid) != cv },
+      "refreshed centroids identical to stale — no Lloyd step happened")
+    // report shape: one row per panel query, recalls integer-exact in range
+    val rows = Similarity.ivfRefresh(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (_, ns, nf, rs, rf) =>
+      assert(ns >= 0 && ns <= 3 && nf >= 0 && nf <= 3)
+      assert(rs == ns * 100 / 3 && rf == nf * 100 / 3)
+    }
+  }
+
   test("embed_clusters: edges stay within clusters; labels are member minima") {
     val labels = graft.operators.Similarity.embedClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
