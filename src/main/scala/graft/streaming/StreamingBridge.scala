@@ -945,6 +945,13 @@ object StreamingBridge {
   private val docsStageMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[String]), String]
 
+  /** Memo for the serving twins' staged query panels (chunk retrieval,
+    * hybrid RRF): sentinel-free ranged stages keyed by (dataset, tag),
+    * shared across repeat drives like docsStageMemo — re-staging a
+    * 10-row panel per drive is pure fixed cost (r16 streaming profile). */
+  private val panelStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
   /** THE file-staging primitive of every bridge: write `df` as `n`
     * range-split parquet files with ascending mtimes under a fresh temp
     * dir — one file per micro-batch at `maxFilesPerTrigger=1`. One
@@ -1220,10 +1227,11 @@ object StreamingBridge {
       scRow.getAs[Long]("maxdl"))
     // stage the query panel as 3 id-ranged files with ascending mtimes —
     // 3 real micro-batches at maxFilesPerTrigger=1
-    val panelDir = stageRangedFiles(
-      graft.sources.Tables.documents(spark, dir)
-        .filter(col("doc_id") < 10).select("doc_id", "text"),
-      3, "doc_id", "graft_stream_chunk_panel_")
+    val panelDir = panelStageMemo.computeIfAbsent(
+      (graft.sources.DatasetId.key(dir), "chunk"), _ => stageRangedFiles(
+        graft.sources.Tables.documents(spark, dir)
+          .filter(col("doc_id") < 10).select("doc_id", "text"),
+        3, "doc_id", "graft_stream_chunk_panel_"))
     val schema = spark.read.parquet(panelDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_chunk_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_chunk_ck_")
@@ -1302,8 +1310,9 @@ object StreamingBridge {
       .filter(col("doc_id") < 10).select("doc_id", "text")
       .join(Similarity.emb(spark, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"), "full_outer")
-    val panelDir = stageRangedFiles(panel, 3, "doc_id",
-      "graft_stream_hybrid_panel_")
+    val panelDir = panelStageMemo.computeIfAbsent(
+      (graft.sources.DatasetId.key(dir), "hybrid"),
+      _ => stageRangedFiles(panel, 3, "doc_id", "graft_stream_hybrid_panel_"))
     val schema = spark.read.parquet(panelDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_hybrid_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_hybrid_ck_")
@@ -1542,11 +1551,18 @@ object StreamingBridge {
     // bridge drives: concurrent callers from different threads would
     // otherwise race the save/restore and could reinstate a stale value.
     // The monitor is reentrant, so a nested scoped call on the same
-    // thread is safe (its restore writes back the outer "8").
+    // thread is safe (its restore writes back the outer pin).
     statePartsLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "8")
+      // every state partition is a live store instance paying open +
+      // commit + snapshot I/O per trigger; the r16 fixed-cost probe
+      // (BENCH_r16_probe_streamcost) A/B'd 8 vs 4 across the family —
+      // results are partitioning-invariant (every bridge sorts its
+      // output), the knob exists to size stores to key volume
+      spark.conf.set(key,
+        spark.conf.getOption("spark.graft.streamStateParts")
+          .orElse(sys.env.get("GRAFT_STREAM_STATE_PARTS")).getOrElse("4"))
       try body
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
