@@ -1227,17 +1227,47 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Per-pair budget for the O(len1·len2) character re-rank kernels
+    * (Levenshtein's DP table, Jaro's match window): candidate COUNT is
+    * LSH-bounded, but nothing bounds candidate LENGTH — two 40 kB
+    * boilerplate-sharing documents pass every band filter and then cost
+    * 1.6e9 DP cells per pair, hours on a corpus with a few hundred such
+    * docs (found by the r16 adversarial-corpus probe, not theoretical).
+    * The contract mirrors `jaccardPairBudget`: the guard rides the text
+    * column the kernel references (raise_error-in-arithmetic, so the
+    * optimizer cannot prune it) and the first over-budget pair kills the
+    * job with its coordinates and the remediation — the banded measures
+    * (simhash / minhash / setsim) are the at-scale screen for long
+    * documents; character-level DP is a SHORT-document re-ranker. */
+  private def charBudgetGuarded(spark: SparkSession, joined: DataFrame,
+      row: String): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.editPairCharBudget")
+      .map(_.toLong).getOrElse(4000000L)
+    joined.withColumn("t1",
+      when(length(col("t1")).cast("long") * length(col("t2")) <= budget, col("t1"))
+        .otherwise(raise_error(concat(
+          lit(s"$row: candidate pair ("), col("id1").cast("string"), lit(", "),
+          col("id2").cast("string"), lit(") has character product "),
+          (length(col("t1")).cast("long") * length(col("t2"))).cast("string"),
+          lit(s" — the O(len1*len2) re-rank kernel exceeds the per-pair " +
+            s"budget of $budget; screen long documents with the banded " +
+            "measures (dedup_simhash / dedup_minhash_lsh / dedup_setsim_join) " +
+            "or raise spark.graft.editPairCharBudget"))).cast("string")))
+  }
+
   /** Edit-distance verification of LSH candidates: full Levenshtein plus
     * a length-normalized similarity per candidate pair. The O(L²) kernel
     * runs ONLY on pairs LSH already admitted (candidate-driven, like
     * dedupVerifyCandidates) — texts are fetched by two doc_id equi-joins,
     * so the corpus is never self-joined and the pair count stays bounded
-    * by LSH bucket occupancy at any scale. */
+    * by LSH bucket occupancy at any scale; per-pair COST is bounded by
+    * [[charBudgetGuarded]] (long documents refuse loudly). */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    verifiedCandidates(spark, dir).select("id1", "id2")
+    val joined = verifiedCandidates(spark, dir).select("id1", "id2")
       .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+    charBudgetGuarded(spark, joined, "dedup_editdist")
       .select(col("id1"), col("id2"),
         levenshtein(col("t1"), col("t2")).as("editdist"),
         greatest(length(col("t1")), length(col("t2"))).as("mx"))
@@ -1250,12 +1280,15 @@ object Dedup {
     * length-tolerant string measure (standard for near-name matching)
     * Spark lacks natively; implemented as the codegen JaroWinkler
     * expression with semantics verified against DuckDB's
-    * jaro_winkler_similarity. Candidate-driven like dedup_editdist. */
+    * jaro_winkler_similarity. Candidate-driven like dedup_editdist, and
+    * cost-bounded by the same [[charBudgetGuarded]] contract (Jaro's
+    * match window makes it O(len1·len2) too). */
   def dedupJaro(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    verifiedCandidates(spark, dir).select("id1", "id2")
+    val joined = verifiedCandidates(spark, dir).select("id1", "id2")
       .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+    charBudgetGuarded(spark, joined, "dedup_jaro")
       .select(col("id1"), col("id2"),
         round(graft.plans.StringExpressions.jaro_winkler(col("t1"), col("t2")), 6)
           .as("jw_sim"))

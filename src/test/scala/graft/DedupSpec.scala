@@ -409,6 +409,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupNgramJaccard(spark, sf).count() > 0)
   }
 
+  test("editdist/jaro refuse loudly past the per-pair character budget") {
+    // with a budget no real pair fits under, the O(len1*len2) re-rankers
+    // must fail with the remediation instead of silently running the DP
+    // on long documents (the r16 adversarial-probe finding)
+    spark.conf.set("spark.graft.editPairCharBudget", "1")
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      // collect(), not count(): the guard rides the t1 column the DP
+      // kernel reads, so a count() prunes BOTH — which is the correct
+      // semantics (no kernel, no cost, nothing to refuse)
+      Seq("dedup_editdist" -> (() => Dedup.dedupEditDistance(spark, sf)),
+          "dedup_jaro" -> (() => Dedup.dedupJaro(spark, sf))).foreach {
+        case (name, run) =>
+          val e = intercept[Exception] { run().collect() }
+          assert(msgs(e).exists(m => m.contains(name) &&
+            m.contains("editPairCharBudget") && m.contains("dedup_simhash")),
+            s"$name refusal must name the budget and the at-scale screen, got: $e")
+      }
+    } finally spark.conf.unset("spark.graft.editPairCharBudget")
+    // and at the default budget the short-document corpus still runs
+    assert(Dedup.dedupEditDistance(spark, sf).count() > 0)
+  }
+
   test("lsh_recall_audit: sample-bounded pair universe, caught flags agree with the candidate stage") {
     val rows = Dedup.lshRecallAudit(spark, sf)
       .as[(Long, Long, Double, Int, Int)].collect()
