@@ -1295,13 +1295,54 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** In-plan wedge budget for the triangle-enumeration rows: candidate
+    * pairs are LSH-bounded, but a MASS-DUPLICATE family turns the dup
+    * graph into a clique, and triangle listing over a k-clique is
+    * Θ(k³) OUTPUT — the r16 adversarial probe measured 146–223 s at 1×
+    * for a 400-clique (20% boilerplate carriers) and the 10× shape is
+    * ~10¹⁰ triangles. The wedge bound Σ_v d(v)(d(v)−1)/2 — the exact
+    * candidate count of the wedge self-join and an upper bound (×3) on
+    * listed triangles — is computed by one linear degree pass in
+    * DECIMAL(38,0), and the 1-row verdict broadcasts onto the edge list,
+    * riding the `id1` column every enumeration join references: an
+    * over-budget graph dies on its first wedge at O(E) cost. The
+    * at-scale remedies are the AGGREGATE graph rows (clusters, sizes,
+    * degree histogram detect the hub; keep-best collapses it) — listing
+    * every triangle of a clique is the wrong question at that shape. */
+  private def wedgeBudgetGuarded(spark: SparkSession, edges: DataFrame,
+      row: String): DataFrame = {
+    val budget = spark.conf.getOption("spark.graft.wedgeBudget")
+      .map(_.toLong).getOrElse(100000000L)
+    val sym = edges.unionByName(
+      edges.select(col("id2").as("id1"), col("id1").as("id2")))
+    val gate = sym.groupBy("id1").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d").cast("decimal(19,0)") *
+        (col("d") - 1).cast("decimal(19,0)")), lit(0).cast("decimal(38,0)")).as("t2"))
+      .select((col("t2") <= lit(budget).cast("decimal(38,0)") * 2).as("ok"),
+        (col("t2") / 2).cast("decimal(38,0)").cast("string").as("bound"))
+    edges.crossJoin(broadcast(gate))
+      .withColumn("id1",
+        when(col("ok"), col("id1"))
+          .otherwise(raise_error(concat(
+            lit(s"$row: wedge bound "), col("bound"),
+            lit(s" exceeds spark.graft.wedgeBudget=$budget — a mass-duplicate " +
+              "clique makes per-triangle enumeration explode; use the aggregate " +
+              "graph rows (dedup_clusters / dedup_cluster_sizes / " +
+              "dedup_degree_hist) at this shape, or raise the budget"))
+          ).cast("long")))
+      .drop("ok", "bound")
+  }
+
   /** Triangles of the verified dup graph — the cluster-density signal
     * (near-dup components should be near-cliques; a sparse, triangle-poor
     * component suggests chained false positives). Enumeration is
-    * Graph.trianglesOf over the memoized verified edges. */
+    * Graph.trianglesOf over the memoized verified edges, wedge-budget
+    * guarded ([[wedgeBudgetGuarded]]): listing triangles of a
+    * mass-duplicate clique refuses loudly instead of emitting Θ(k³). */
   def dedupTriangles(spark: SparkSession, dir: String): DataFrame =
-    Graph.trianglesOf(
-      verifiedCandidates(spark, dir).filter(col("is_dup") === 1).select("id1", "id2"))
+    Graph.trianglesOf(wedgeBudgetGuarded(spark,
+      verifiedCandidates(spark, dir).filter(col("is_dup") === 1).select("id1", "id2"),
+      "dedup_triangles"))
       .orderBy("a", "b", "c")
 
   /** Per-node local clustering coefficient of the verified dup graph —
@@ -1317,13 +1358,16 @@ object Dedup {
     * Shape: wedges (neighbor pairs per node) from one self-join of the
     * symmetric edge list, closed against the canonical edge set with a
     * LEFT SEMI join, then two bounded aggregates. Wedge count is
-    * Σ deg(v)² — quadratic in DEGREE, not corpus, and the verified dup
-    * graph's degrees are bounded by near-dup family size (the same bound
-    * dedup_keep_best's window relies on); integer ppm via `div`, exact
-    * cross-engine. */
+    * Σ deg(v)² — quadratic in DEGREE, not corpus; near-dup family size
+    * bounds degrees on natural corpora, and [[wedgeBudgetGuarded]]
+    * ENFORCES that assumption (a mass-duplicate clique refuses loudly
+    * instead of melting — the r16 probe finding); integer ppm via
+    * `div`, exact cross-engine. */
   def dedupLocalCc(spark: SparkSession, dir: String): DataFrame = {
-    val e = verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
-      .select("id1", "id2")
+    val e = wedgeBudgetGuarded(spark,
+      verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
+        .select("id1", "id2"),
+      "dedup_local_cc")
     val edges = e.unionByName(e.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = edges.groupBy("id1").agg(count(lit(1)).as("deg"))
     val wedges = edges.select(col("id1").as("v"), col("id2").as("a"))

@@ -433,6 +433,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupEditDistance(spark, sf).count() > 0)
   }
 
+  test("triangle rows refuse loudly past the wedge budget") {
+    // a mass-duplicate clique makes per-triangle listing Θ(k³) output —
+    // with a budget nothing fits under, both enumeration rows must die
+    // on the degree pass naming the aggregate-row remedies
+    spark.conf.set("spark.graft.wedgeBudget", "0")
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      Seq("dedup_triangles" -> (() => Dedup.dedupTriangles(spark, sf)),
+          "dedup_local_cc" -> (() => Dedup.dedupLocalCc(spark, sf))).foreach {
+        case (name, run) =>
+          val e = intercept[Exception] { run().count() }
+          assert(msgs(e).exists(m => m.contains(name) &&
+            m.contains("wedgeBudget") && m.contains("dedup_degree_hist")),
+            s"$name refusal must name the budget and the aggregate remedy, got: $e")
+      }
+    } finally spark.conf.unset("spark.graft.wedgeBudget")
+    // and at the default budget the family-bounded corpus still runs
+    assert(Dedup.dedupLocalCc(spark, sf).count() > 0)
+  }
+
   test("lsh_recall_audit: sample-bounded pair universe, caught flags agree with the candidate stage") {
     val rows = Dedup.lshRecallAudit(spark, sf)
       .as[(Long, Long, Double, Int, Int)].collect()
