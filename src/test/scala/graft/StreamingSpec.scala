@@ -652,6 +652,19 @@ class StreamingSpec extends SparkSpec {
         .map(_.getName).sorted.toSeq
       assert(dirs.size <= 6, s"state dirs unbounded: $dirs")
       assert(dirs.exists(_.startsWith("sd")), s"no snapshot dir materialized: $dirs")
+      // retry idempotence: re-entering a FOLD trigger (structured
+      // streaming re-runs the last uncommitted batch after a crash)
+      // must rebuild the identical snapshot from the retained inputs
+      // and return the same paths
+      val lastFold = dirs.filter(_.startsWith("sd")).map(_.stripPrefix("sd").toLong).max
+      val before = spark.read.parquet(s"$stateRoot/sd$lastFold")
+        .as[Long].collect().sorted.toSeq
+      val p1 = DeltaState.priorPaths(spark, stateRoot, "d", lastFold, _.distinct())
+      val p2 = DeltaState.priorPaths(spark, stateRoot, "d", lastFold, _.distinct())
+      assert(p1 == p2, "retried fold trigger must see identical state paths")
+      val after = spark.read.parquet(s"$stateRoot/sd$lastFold")
+        .as[Long].collect().sorted.toSeq
+      assert(after == before, "retried fold must rebuild the identical snapshot")
     } finally spark.conf.unset("spark.graft.streamStateFoldK")
   }
 
