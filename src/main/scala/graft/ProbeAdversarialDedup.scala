@@ -86,7 +86,9 @@ object ProbeAdversarialDedup {
                 Option(x.getMessage).toSeq ++ msgs(x.getCause))
             val all = msgs(e).mkString(" | ")
             if (all.contains("budget")) "refused" else {
-              val brief = all.replaceAll("[\"\\\\\n]", " ").take(120)
+              // strip EVERY control char + JSON specials — the brief is
+              // embedded verbatim in the JSON artifact
+              val brief = all.replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(120)
               s"error: $brief"
             }
         }

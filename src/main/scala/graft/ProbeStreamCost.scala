@@ -30,6 +30,10 @@ object ProbeStreamCost {
 
     // listener: phase durations summed over every trigger of every query
     // started while a row runs
+    // ONE monitor (`agg`) guards every reset/accumulate/read — the
+    // listener bus delivers events asynchronously, so the per-row reset
+    // and the post-drain read must share the writers' lock
+    val agg = new Object
     val phase = mutable.Map.empty[String, Long].withDefaultValue(0L)
     var triggers = 0
     var queries = 0
@@ -37,9 +41,9 @@ object ProbeStreamCost {
     var stateStores = 0L
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-        synchronized { queries += 1 }
+        agg.synchronized { queries += 1 }
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        synchronized {
+        agg.synchronized {
           triggers += 1
           e.progress.durationMs.forEach((k, v) => phase(k) += v)
           e.progress.stateOperators.foreach { so =>
@@ -55,14 +59,16 @@ object ProbeStreamCost {
       "stream_latest_eq", "stream_hourly_eq", "stream_dedup_eq",
       "stream_sessionize_tws_eq", "stream_substring_dedup_eq", "stream_enrich_eq"))
     val out = rows.map { name =>
-      phase.clear(); triggers = 0; queries = 0; stateCommitMs = 0; stateStores = 0
+      agg.synchronized {
+        phase.clear(); triggers = 0; queries = 0; stateCommitMs = 0; stateStores = 0
+      }
       val fn = streaming.StreamingBridge.queries(name)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wallMs = (System.nanoTime() - t0) / 1000000
       // listener events are async — drain before reading
       Thread.sleep(300)
-      val (ph, tr, qn, sc, ss) = synchronized {
+      val (ph, tr, qn, sc, ss) = agg.synchronized {
         (phase.toMap, triggers, queries, stateCommitMs, stateStores)
       }
       val phJson = ph.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":$v""" }.mkString(",")

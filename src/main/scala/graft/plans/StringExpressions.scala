@@ -100,13 +100,22 @@ case class JaroWinkler(left: Expression, right: Expression)
   * their codepoint sequences match, up to mod-2⁶⁴ collisions — the same
   * "hash equality ≡ string equality, collision-negligible" contract the
   * previous md5-56 window hash ran under, with 63 output bits instead of
-  * 56 (each raw value is finalized with the murmur3 64-bit mixer and
-  * masked to non-negative, so structured inputs cannot produce the
-  * clustered outputs raw polynomials are known for). The consumer's
-  * oracle hashes windows independently (md5 in DuckDB); outputs agree
-  * because both sides' recurrence sets equal string-recurrence exactly
-  * when neither side collides — the documented ≥1e-5 margin at 10¹²
-  * positions. */
+  * 56. The murmur3 finalizer decorrelates OUTPUT values (a bijection —
+  * it cannot remove collisions, only the value clustering raw
+  * polynomials exhibit on structured input). Against an ADVERSARY the
+  * seedless fixed-base polynomial admits engineered window collisions
+  * (solvable coefficient differences ≡ 0 mod 2⁶⁴) that md5's preimage
+  * resistance would not — but the prior contract already conceded that
+  * ground: 56 truncated bits fall to a 2²⁸ birthday search regardless of
+  * md5's strength, so neither formulation defends recurrence against
+  * crafted corpora; the contract is and was statistical. A deployment
+  * that needs adversarial robustness should re-key the multiplier per
+  * corpus (any odd 64-bit value works — it is not wired to a conf here
+  * because the persisted winidx artifact must hash identically across
+  * sessions). The consumer's oracle hashes windows independently (md5 in
+  * DuckDB); outputs agree because both sides' recurrence sets equal
+  * string-recurrence exactly when neither side collides — the documented
+  * ≥1e-5 margin at 10¹² positions. */
 object RollingWindowHashAlgo {
   /** Odd 64-bit multiplier (2⁶⁴/φ); odd ⇒ invertible mod 2⁶⁴, so the
     * polynomial map is injective per position count. */

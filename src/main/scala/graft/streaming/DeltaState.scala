@@ -29,18 +29,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object DeltaState {
 
+  /** Resolve the fold period ONCE, before the stream starts: the dir
+    * layout is a function of K, so a mid-stream K change would make a
+    * later fold read a snapshot base that was never written. Callers
+    * capture this outside foreachBatch and close over it. */
   def foldK(session: SparkSession): Int =
     session.conf.getOption("spark.graft.streamStateFoldK")
       .map(_.toInt).filter(_ >= 1).getOrElse(4)
 
   /** Parquet paths holding the accumulated `prefix`-family state from all
     * triggers before `batchId` (empty on the first trigger). Runs the fold
-    * + prune when `batchId` is a fold boundary. `fold` post-processes the
+    * + prune when `batchId` is a fold boundary. `k` is the period
+    * captured at stream start ([[foldK]]); `fold` post-processes the
     * snapshot frame before it lands (e.g. `distinct()` for hash-set state,
     * where cross-delta duplicates are semantic no-ops but dead weight). */
   def priorPaths(session: SparkSession, stateRoot: String, prefix: String,
-      batchId: Long, fold: DataFrame => DataFrame = identity): Seq[String] = {
-    val k = foldK(session)
+      batchId: Long, k: Int, fold: DataFrame => DataFrame = identity): Seq[String] = {
     val snapBase = (batchId / k) * k
     def snap(base: Long) = s"$stateRoot/s$prefix$base"
     def delta(i: Long) = s"$stateRoot/$prefix$i"
@@ -54,18 +58,18 @@ private[graft] object DeltaState {
         .write.mode("overwrite").parquet(snap(snapBase))
       // prune what no retry can need: a retry of THIS trigger re-reads
       // snap(prevBase) + deltas[prevBase, snapBase) to rebuild — keep
-      // those, drop everything strictly older
-      (0L until prevBase).foreach(i => deleteDir(delta(i)))
-      (k.toLong until prevBase by k).foreach(b => deleteDir(snap(b)))
+      // those, drop the FIXED window the previous fold's retention left
+      // behind (every fold prunes its own trailing window, so nothing
+      // older survives; probing 0..prevBase would be O(triggers²/k)
+      // filesystem calls cumulatively). Best-effort: a prune racing a
+      // concurrent reader/lister must not fail the trigger.
+      (math.max(0L, prevBase - k) until prevBase).foreach(i => best(delta(i)))
+      if (prevBase - k > 0) best(snap(prevBase - k))
     }
     Seq(snap(snapBase)) ++ (snapBase until batchId).map(delta)
   }
 
-  private def deleteDir(p: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def best(p: String): Unit =
+    try graft.sources.ArtifactRoots.deleteRecursively(java.nio.file.Paths.get(p))
+    catch { case scala.util.control.NonFatal(_) => () }
 }

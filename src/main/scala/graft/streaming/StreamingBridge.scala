@@ -1396,13 +1396,14 @@ object StreamingBridge {
     val outDir = graft.sources.TempDirs.create("graft_stream_substr_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_substr_ck_")
     val schema = spark.read.parquet(docsDir).schema
+    val foldK = DeltaState.foldK(spark) // pinned at stream start — see foldK
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         val statePaths = DeltaState.priorPaths(session, stateRoot, "d",
-          batchId, fold = _.distinct())
+          batchId, foldK, fold = _.distinct())
         val prior =
           if (statePaths.isEmpty) session.read.parquet(s"$winRoot/hashes")
           else session.read.parquet(s"$winRoot/hashes")
@@ -1454,6 +1455,7 @@ object StreamingBridge {
     val outDir = graft.sources.TempDirs.create("graft_stream_setsim_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_setsim_ck_")
     val schema = spark.read.parquet(docsDir).schema
+    val foldK = DeltaState.foldK(spark) // pinned at stream start — see foldK
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream.option("checkpointLocation", ck)
@@ -1469,8 +1471,8 @@ object StreamingBridge {
         val apW = session.read.parquet(s"$stateRoot/p$batchId")
         // both state families fold every K triggers (DeltaState): a
         // trigger reads O(snapshot + K) state dirs, never O(triggers)
-        val priorP = DeltaState.priorPaths(session, stateRoot, "p", batchId)
-        val priorG = DeltaState.priorPaths(session, stateRoot, "g", batchId)
+        val priorP = DeltaState.priorPaths(session, stateRoot, "p", batchId, foldK)
+        val priorG = DeltaState.priorPaths(session, stateRoot, "g", batchId, foldK)
         val prefixAll =
           if (priorP.isEmpty) session.read.parquet(s"$root/prefix")
           else session.read.parquet(s"$root/prefix")

@@ -100,12 +100,12 @@ class AdversarialSkewSpec extends SparkSpec {
 
   test("substring recurrence survives a corpus-wide boilerplate span: de-skewed count, exact spans") {
     import spark.implicits._
-    // one 88-char boilerplate sentence embedded verbatim in 20% of 20k
-    // otherwise-unique docs — every window inside the span recurs in 4k
+    // one 98-char boilerplate sentence embedded verbatim in 20% of 5k
+    // otherwise-unique docs — every window inside the span recurs in 1k
     // documents, the hot-key shape a partitionBy(h) window would funnel
-    // into ONE task's sort buffer (4k rows × ~49 hot hashes on one key
+    // into ONE task's sort buffer (1k rows per hot hash on one key
     // range). The de-skewed groupBy(h) count partial-aggregates the hot
-    // hash map-side; correctness is pinned by construction.
+    // hash map-side; correctness is checked against an independent truth.
     val span = (1 to 11).map(i => f"boiler$i%02d").mkString(" ") // 8+1 chars × 11 − 1
     val spanLen = span.length.toLong
     assert(spanLen >= 60, s"span must dominate a window, got $spanLen")

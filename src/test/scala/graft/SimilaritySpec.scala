@@ -106,6 +106,16 @@ class SimilaritySpec extends SparkSpec {
       s"no dynamic partition pruning on the lists scan:\n$plan")
   }
 
+  test("ivf_refresh: BOTH probe paths ride DPP-pruned list scans") {
+    // the recall-delta report serves the stale AND the refreshed index
+    // through the one probe kernel — each partitioned lists scan must
+    // carry its own dynamicpruning filter keyed by its probe side
+    val plan = graft.operators.Similarity.ivfRefresh(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = "dynamicpruning".r.findAllIn(plan).size
+    assert(n >= 2, s"expected DPP on both list scans, found $n:\n${plan.take(4000)}")
+  }
+
   test("ivfBuildIndex: atomic build into caller root; marker skips rebuild") {
     val root = java.nio.file.Files.createTempDirectory("ivf_spec_").toString
     Similarity.ivfBuildIndex(spark, sf, root)

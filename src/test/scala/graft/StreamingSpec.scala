@@ -616,13 +616,14 @@ class StreamingSpec extends SparkSpec {
           java.nio.file.attribute.FileTime.fromMillis(tsBase + t * 1000L))
       }
       val schema = spark.read.parquet(s"$feed/batch_00000.parquet").schema
+      val foldK = DeltaState.foldK(spark)
       val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(feed)
         .writeStream.option("checkpointLocation", ck)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val session = batch.sparkSession
           val statePaths = DeltaState.priorPaths(session, stateRoot, "d",
-            batchId, fold = _.distinct())
+            batchId, foldK, fold = _.distinct())
           val prior =
             if (statePaths.isEmpty)
               session.range(0).select(col("id").as("h"))
@@ -659,8 +660,8 @@ class StreamingSpec extends SparkSpec {
       val lastFold = dirs.filter(_.startsWith("sd")).map(_.stripPrefix("sd").toLong).max
       val before = spark.read.parquet(s"$stateRoot/sd$lastFold")
         .as[Long].collect().sorted.toSeq
-      val p1 = DeltaState.priorPaths(spark, stateRoot, "d", lastFold, _.distinct())
-      val p2 = DeltaState.priorPaths(spark, stateRoot, "d", lastFold, _.distinct())
+      val p1 = DeltaState.priorPaths(spark, stateRoot, "d", lastFold, foldK, _.distinct())
+      val p2 = DeltaState.priorPaths(spark, stateRoot, "d", lastFold, foldK, _.distinct())
       assert(p1 == p2, "retried fold trigger must see identical state paths")
       val after = spark.read.parquet(s"$stateRoot/sd$lastFold")
         .as[Long].collect().sorted.toSeq
