@@ -1598,18 +1598,26 @@ object Dedup {
     * coverage_ppm), zero-filled over every doc long enough to carry a
     * window. Shared by the batch audit and the incremental screen so
     * the span semantics cannot fork. */
-  private def coverageFrom(input: DataFrame, dupPos: DataFrame): DataFrame = {
+  /** Maximal duplicated spans (doc_id, s, e) from duplicated anchor
+    * positions — gaps-and-islands over a running max-end. Shared by the
+    * coverage report and the span-cutting apply so the span semantics
+    * cannot fork. */
+  private def spansFrom(dupPos: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val wPrev = W.partitionBy("doc_id").orderBy("i")
       .rowsBetween(W.unboundedPreceding, -1)
     val wRun = W.partitionBy("doc_id").orderBy("i")
       .rowsBetween(W.unboundedPreceding, 0)
-    val spans = dupPos
+    dupPos
       .withColumn("pe", max(col("i") + lit(SubK - 1)).over(wPrev))
       .withColumn("ni", when(col("pe").isNull || col("i") > col("pe"), 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(wRun))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("s"), max(col("i") + lit(SubK - 1)).as("e"))
+  }
+
+  private def coverageFrom(input: DataFrame, dupPos: DataFrame): DataFrame = {
+    val spans = spansFrom(dupPos)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("e") - col("s") + 1).cast("long")).as("dup_chars"))
@@ -1627,25 +1635,31 @@ object Dedup {
   /** The coverage kernel over any (doc_id, text) frame — split from the
     * registered query so specs can drive synthetic fixtures through the
     * exact production path (the minhashLshPairs pattern). */
-  private[graft] def substringCoverage(input: DataFrame): DataFrame = {
-    // recurrence = distinct-doc count per window hash. NOT a
-    // `count().over(partitionBy(h))` window: that puts every (h, doc)
-    // row of one window hash into a single task's sort, so a corpus-wide
-    // boilerplate span (the exact thing this audit hunts) concentrates
-    // millions of rows on one key. groupBy(h) gets map-side partial
-    // aggregation on the hot key (each task contributes ONE row per h),
-    // and the join back is a shuffled HASH join — the hot hash's rows
-    // stream through a probe, never a per-key sort buffer. The byDoc
-    // subtree appears twice but its exchange is reused (identical
-    // subplans), so positions are hashed and shuffled once.
+  /** Corpus-globally duplicated anchor positions (doc_id, i) of a
+    * (doc_id, text) frame — the shared recurrence stage of the coverage
+    * audit and the span-cutting apply.
+    *
+    * Recurrence = distinct-doc count per window hash. NOT a
+    * `count().over(partitionBy(h))` window: that puts every (h, doc)
+    * row of one window hash into a single task's sort, so a corpus-wide
+    * boilerplate span (the exact thing this audit hunts) concentrates
+    * millions of rows on one key. groupBy(h) gets map-side partial
+    * aggregation on the hot key (each task contributes ONE row per h),
+    * and the join back is a shuffled HASH join — the hot hash's rows
+    * stream through a probe, never a per-key sort buffer. The byDoc
+    * subtree appears twice but its exchange is reused (identical
+    * subplans), so positions are hashed and shuffled once. */
+  private def dupPosOf(input: DataFrame): DataFrame = {
     val byDoc = winByDoc(input)
     val recurring = byDoc.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("h")
-    val dupPos = byDoc
+    byDoc
       .join(recurring.hint("shuffle_hash"), "h")
       .select(col("doc_id"), explode(col("is")).as("i"))
-    coverageFrom(input, dupPos)
   }
+
+  private[graft] def substringCoverage(input: DataFrame): DataFrame =
+    coverageFrom(input, dupPosOf(input))
 
   /** Persisted resident-corpus window-hash index (shared-root protocol):
     * the DISTINCT rolling window hashes of every resident document, one
@@ -1734,6 +1748,51 @@ object Dedup {
   private[graft] def windowHashSet(docs: DataFrame): DataFrame =
     winHashes(docs).select("h").distinct()
 
+  /** Position-level dedup APPLY — the action the coverage audit informs
+    * (what dedup_apply is to the document-level family): cut every
+    * corpus-globally duplicated span (the audit's maximal islands, ALL
+    * copies — the ExactSubstr-cut discipline) out of every document and
+    * emit byte accounting plus the cleaned text's fingerprint. Documents
+    * too short to audit pass through uncut; a fully-duplicated document
+    * cleans to the empty string.
+    *
+    * Construction is mirrored bit-exactly in the oracle: per doc, the
+    * between-span and tail segments ((prev_e+1, s−1), (last_e+1, len)),
+    * empty segments dropped, each segment substring'd once, concatenated
+    * in segment order. Spans per doc are bounded by len/(2·SubK−1), so
+    * the per-segment substring offset walks cost O(n_spans·len) per doc
+    * worst case — the cut itself is a data-movement op over the already-
+    * linear recurrence stage, and the span LIST per doc is collected
+    * row-locally (doc-bounded, never corpus-bounded). */
+  def substringDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sp = spansFrom(dupPosOf(docs))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"))
+    val between = transform(col("sp"), (x, idx) =>
+      struct(
+        when(idx === 0, lit(1))
+          .otherwise(element_at(col("sp"), idx).getField("e") + 1).as("st"),
+        (x.getField("s") - 1).as("en")))
+    val tail = array(struct(
+      when(size(col("sp")) === 0, lit(1))
+        .otherwise(element_at(col("sp"), size(col("sp"))).getField("e") + 1).as("st"),
+      length(col("text")).as("en")))
+    docs.join(sp, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("cleaned", array_join(transform(
+        filter(concat(between, tail), g => g.getField("en") >= g.getField("st")),
+        g => col("text").substr(g.getField("st"),
+          g.getField("en") - g.getField("st") + 1)), ""))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("total_chars"),
+        (length(col("text")) - length(col("cleaned"))).cast("long").as("cut_chars"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        md5(col("cleaned")).as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Asymmetric containment on the verified candidate pairs:
     * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication
     * (a short doc quoted whole inside a long one) which symmetric
@@ -1814,6 +1873,7 @@ object Dedup {
     "ngram_jaccard_sampled" -> dedupNgramJaccardSampled,
     "dedup_substring" -> dedupSubstring,
     "substring_dedup_incr" -> substringDedupIncr,
+    "substring_dedup_apply" -> substringDedupApply,
     "lsh_recall_audit" -> lshRecallAudit,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
@@ -1875,8 +1935,11 @@ object Dedup {
     * gaps-and-islands. `finalWhere` restricts the OUTPUT rows only —
     * recurrence is always judged corpus-globally, which is exactly the
     * equivalence the incremental row's two-path screen must hit. */
-  private def substringOracleSql(finalWhere: String): String =
-    s"WITH d AS (SELECT doc_id, text, len(text) AS total_chars FROM documents WHERE len(text) >= $SubK), " +
+  /** Shared CTE chain through the maximal duplicated spans `sp` —
+    * reused by the coverage oracles and the span-cutting apply oracle
+    * so the span semantics cannot fork in SQL either. */
+  private val substringSpanCtesSql: String =
+    s"d AS (SELECT doc_id, text, len(text) AS total_chars FROM documents WHERE len(text) >= $SubK), " +
       s"p AS (SELECT doc_id, text, unnest(generate_series(1, total_chars - ${SubK - 1})) AS i FROM d), " +
       s"ph AS (SELECT doc_id, i, CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubK)), 1, 14) AS BIGINT) AS h FROM p), " +
       "duph AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
@@ -1885,7 +1948,10 @@ object Dedup {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dp), " +
       "isl AS (SELECT doc_id, i, sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END) " +
       "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
-      s"sp AS (SELECT doc_id, island, min(i) AS s, max(i + ${SubK - 1}) AS e FROM isl GROUP BY 1, 2), " +
+      s"sp AS (SELECT doc_id, island, min(i) AS s, max(i + ${SubK - 1}) AS e FROM isl GROUP BY 1, 2)"
+
+  private def substringOracleSql(finalWhere: String): String =
+    s"WITH $substringSpanCtesSql, " +
       "ag AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars FROM sp GROUP BY 1) " +
       "SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, " +
       "CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars, " +
@@ -1926,6 +1992,25 @@ object Dedup {
         "LEFT JOIN s ON d.doc_id = s.sid ORDER BY doc_id"
     },
     "dedup_substring" -> substringOracleSql(""),
+    // span-cutting apply: same span CTEs, then mirrored segment
+    // construction (between-span + tail, empty segments dropped,
+    // ordered concatenation) over ALL documents — short docs pass
+    // through uncut, fully-duplicated docs clean to ''
+    "substring_dedup_apply" ->
+      (s"WITH $substringSpanCtesSql, " +
+        "sel AS (SELECT doc_id, text, len(text) AS total FROM documents), " +
+        "mx AS (SELECT doc_id, max(e) AS me FROM sp GROUP BY doc_id), " +
+        "iseg AS (SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS st, s - 1 AS en FROM sp), " +
+        "tseg AS (SELECT sel.doc_id, mx.me + 1 AS st, sel.total AS en FROM sel JOIN mx USING (doc_id)), " +
+        "nseg AS (SELECT sel.doc_id, 1 AS st, sel.total AS en FROM sel LEFT JOIN mx USING (doc_id) WHERE mx.doc_id IS NULL), " +
+        "segs AS (SELECT * FROM iseg UNION ALL SELECT * FROM tseg UNION ALL SELECT * FROM nseg), " +
+        "cln AS (SELECT s.doc_id, string_agg(substr(sel.text, s.st, s.en - s.st + 1), '' ORDER BY s.st) AS ct " +
+        "FROM segs s JOIN sel USING (doc_id) WHERE s.en >= s.st GROUP BY s.doc_id) " +
+        "SELECT sel.doc_id, CAST(sel.total AS BIGINT) AS total_chars, " +
+        "CAST(sel.total - len(coalesce(cln.ct, '')) AS BIGINT) AS cut_chars, " +
+        "CAST(len(coalesce(cln.ct, '')) AS BIGINT) AS kept_chars, " +
+        "md5(coalesce(cln.ct, '')) AS cleaned_fp " +
+        "FROM sel LEFT JOIN cln USING (doc_id) ORDER BY sel.doc_id"),
     // the SAME corpus-global definition restricted to the arrivals: the
     // Spark side's two-path recurrence (index probe + batch-local) must
     // reproduce global recurrence exactly for the screened split

@@ -369,6 +369,25 @@ class DedupSpec extends SparkSpec {
         "document-level dedup misses")
   }
 
+  test("substring_dedup_apply: cut accounting reconciles with the audit; cleaned text exact") {
+    // cross-operator invariants on the real corpus: kept + cut = total
+    // for every doc, and cut equals the coverage audit's dup_chars on
+    // the audited (len >= 40) docs
+    val applied = Dedup.substringDedupApply(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(applied.forall { case (_, total, cut, kept, _) => kept + cut == total })
+    val cov = Dedup.dedupSubstring(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    applied.foreach { case (d, _, cut, _, _) =>
+      cov.get(d).foreach(dup => assert(cut == dup, s"doc $d: cut $cut vs audit $dup"))
+    }
+    // fully-duplicated docs clean to the empty string
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(applied.filter(r => r._3 == r._2).forall(_._5 == emptyFp))
+  }
+
   test("substring_dedup_incr equals the corpus-global audit on the arrival split") {
     // the contract the O(delta) screen must hit: index-probe recurrence
     // (resident corpus) plus batch-local recurrence together reproduce
