@@ -137,6 +137,8 @@ object Bench {
         () => { operators.Dedup.benchGramRoot(spark, sfDir); () }),
       ("chain_win_index", Set("substring_dedup_incr", "stream_substring_dedup_eq"),
         () => { operators.Dedup.winIndexWarm(spark, sfDir); () }),
+      ("chain_substring_spans", Set("dedup_substring", "substring_dedup_apply"),
+        () => { operators.Dedup.corpusSpans(spark, sfDir).count(); () }),
       ("chain_chunk_index", Set("stream_chunk_retrieval_eq", "stream_hybrid_rrf_eq"),
         () => { operators.TextAnalysis.chunkIndexWarm(spark, sfDir); () }),
       ("chain_lex_index", Set("stream_hybrid_rrf_eq"),

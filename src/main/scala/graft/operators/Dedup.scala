@@ -1560,7 +1560,18 @@ object Dedup {
     * oracle-side md5-56 collides — well below 1e-5 false-positive mass
     * even at 10^12 positions per shuffle partition group. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
-    substringCoverage(Tables.documents(spark, dir)).orderBy("doc_id")
+    coverageFromSpans(Tables.documents(spark, dir), corpusSpans(spark, dir))
+      .orderBy("doc_id")
+
+  /** Memoized corpus-global duplicated spans (doc_id, island, s, e) —
+    * the shared stage of the coverage audit and the span-cutting apply
+    * (chainMemo discipline: the frame is island-sized, cents of memory;
+    * Bench bills the build as `chain_substring_spans`). */
+  private[graft] def corpusSpans(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "substring_spans") {
+      spansFrom(dupPosOf(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))).persist()
+    }
 
   /** Positional window hashes of a (doc_id, text) frame: one
     * (doc_id, anchor position, 63-bit rolling hash of the SubK-char
@@ -1616,8 +1627,11 @@ object Dedup {
       .agg(min(col("i")).as("s"), max(col("i") + lit(SubK - 1)).as("e"))
   }
 
-  private def coverageFrom(input: DataFrame, dupPos: DataFrame): DataFrame = {
-    val spans = spansFrom(dupPos)
+  private def coverageFrom(input: DataFrame, dupPos: DataFrame): DataFrame =
+    coverageFromSpans(input, spansFrom(dupPos))
+
+  private def coverageFromSpans(input: DataFrame, spansDf: DataFrame): DataFrame = {
+    val spans = spansDf
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum((col("e") - col("s") + 1).cast("long")).as("dup_chars"))
@@ -1766,7 +1780,7 @@ object Dedup {
     * row-locally (doc-bounded, never corpus-bounded). */
   def substringDedupApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val sp = spansFrom(dupPosOf(docs))
+    val sp = corpusSpans(spark, dir)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"))
     val between = transform(col("sp"), (x, idx) =>
