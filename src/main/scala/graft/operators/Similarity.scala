@@ -1017,6 +1017,27 @@ object Similarity {
     * rows) broadcast, sub-vectors exploded row-locally, ONE shuffle for
     * the per-(vec, m) argmin window. Codebook training (4 seeded Lloyd
     * steps) is the one-time build, billed as `chain_pq_codes`. */
+  /** Per-(vector, subspace) sub-vector rows — the explode every PQ
+    * encode shares. */
+  private def pqSubRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), pqSubv(col("v"), m).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** THE PQ encode kernel: broadcast (m, cid, cv) codebooks against the
+    * exploded sub-vectors, per-(vec, m) argmin with the (d2, cid)
+    * tie-break. Shared by the memoized corpus encode and pq_refresh's
+    * stale/fresh encodes so the assignment semantics cannot fork. */
+  private def pqEncodeWith(e: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cid"))
+    pqSubRows(e).join(broadcast(books), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        round(pqD2(col("sv"), col("cv")), 6).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"), col("d2"))
+  }
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     pqMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqMemo.remove)
     val fp = graft.sources.DatasetId.fingerprint(dir)
@@ -1027,22 +1048,55 @@ object Similarity {
           try { if (!spark.sparkContext.isStopped) old.unpersist() }
           catch { case scala.util.control.NonFatal(_) => () }
         }
-        val e = emb(spark, dir)
-        val books = pqBooks(spark, dir)
-        val subs = e.select(col("vec_id"),
-            explode(array((0 until PqM).map(m =>
-              struct(lit(m).as("m"), pqSubv(col("v"), m).as("sv"))): _*)).as("s"))
-          .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-        val w = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cid"))
-        val df = subs.join(broadcast(books), Seq("m"))
-          .select(col("vec_id"), col("m"), col("cid"),
-            round(pqD2(col("sv"), col("cv")), 6).as("d2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("cid").as("code"), col("d2"))
-          .persist()
+        val df = pqEncodeWith(emb(spark, dir), pqBooks(spark, dir)).persist()
         pqMemo.put((spark, dir), (fp, df))
         df
     }
+  }
+
+  /** PQ codebook REFRESH — the quantization twin of ivf_refresh, closing
+    * the same staleness class for the OTHER persisted vector artifact:
+    * codebooks trained on the RESIDENT corpus (vec_id ≢ 0 mod 10) go
+    * stale as the corpus accumulates, and every arriving vector is
+    * encoded against them with growing reconstruction error. The refresh
+    * is one Lloyd step over the ACCUMULATED corpus from the STORED
+    * codes — per (subspace, code), the exact-DECIMAL mean of the
+    * assigned sub-vectors (O(corpus read + M·K·dim), no re-seeding) —
+    * followed by the re-encode half of the step, through the ONE encode
+    * kernel both paths share. Report: per subspace, vector count and the
+    * summed reconstruction SSE under the stale vs refreshed codebooks,
+    * plus the improvement verdict (guaranteed by Lloyd monotonicity:
+    * means minimize SSE at fixed assignment, re-encoding only lowers
+    * it further — a false `improved` is a bug, not drift). Every number
+    * replays exactly in DuckDB (DECIMAL means, rounded per-pair d2,
+    * DECIMAL SSE sums), so hash-green IS the from-scratch gate. */
+  def pqRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val resident = e.filter(col("vec_id") % 10 =!= 0)
+    val staleBooks = (0 until PqM)
+      .map(m => pqCodebook(resident, m).withColumn("m", lit(m)))
+      .reduce(_.unionByName(_))
+    val staleCodes = pqEncodeWith(e, staleBooks)
+    // one Lloyd step from the stored assignment: per (m, code) exact
+    // means of the accumulated corpus's assigned sub-vectors
+    val freshBooks = pqSubRows(e)
+      .join(staleCodes.select("vec_id", "m", "code"), Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("m", "code", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mx"))
+      .groupBy("m", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("cv"))
+      .select(col("m"), col("code").as("cid"), col("cv"))
+    val freshCodes = pqEncodeWith(e, freshBooks)
+    def sse(codes: DataFrame, as: String) = codes.groupBy("m")
+      .agg(count(lit(1)).as(s"n_$as"),
+        sum(col("d2").cast("decimal(18,6)")).cast("double").as(s"sse_$as"))
+    sse(staleCodes, "stale").join(sse(freshCodes, "fresh"), "m")
+      .select(col("m"), col("n_stale").as("n"),
+        col("sse_stale"), col("sse_fresh"),
+        (col("sse_fresh") <= col("sse_stale")).as("improved"))
+      .orderBy("m")
   }
 
   /** PQ code assignment per vector — the compressed representation an
@@ -1359,6 +1413,7 @@ object Similarity {
     "ivf_filtered_recall" -> ivfFilteredRecall,
     "ivf_incremental" -> ivfIncremental,
     "ivf_refresh" -> ivfRefresh,
+    "pq_refresh" -> pqRefresh,
     "dedup_semantic" -> dedupSemantic,
     "ivf_purity" -> ivfPurity,
     "ivf_cell_stats" -> ivfCellStats,
@@ -1502,6 +1557,34 @@ object Similarity {
   private val pqCtesSql: String =
     s"e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), $pqPerSubspaceCtesSql"
 
+  /** DuckDB twin of pqRefresh, per subspace m (q-prefixed names so the
+    * chain stands alone): resident-seeded stale codebook → stale encode
+    * of the full corpus → one Lloyd step from the stored codes (fresh
+    * codebook) → fresh encode; the final select unions the four
+    * subspaces' count + SSE pairs. */
+  private val pqRefreshCtesSql: String =
+    (0 until PqM).map { m =>
+      val lo = m * PqSub + 1
+      s"qs$m AS (SELECT vec_id, list_transform(generate_series($lo, ${lo + PqSub - 1}), i -> v[i]) AS sv FROM e), " +
+        s"qr$m AS (SELECT vec_id, sv FROM qs$m WHERE vec_id % 10 <> 0), " +
+        s"qc0$m AS (SELECT vec_id AS cid, sv AS cv FROM qr$m WHERE vec_id < $PqK), " +
+        s"qa0${m}s AS (SELECT r.vec_id, r.sv, c.cid, round(${pqD2Sql("r.sv", "c.cv")}, 6) AS d2 FROM qr$m r CROSS JOIN qc0$m c), " +
+        s"qa0$m AS (SELECT vec_id, sv, cid FROM (SELECT vec_id, sv, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM qa0${m}s) WHERE rn = 1), " +
+        s"qmean$m AS (SELECT cid, p.pos, CAST(sum(CAST(sv[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+        s"FROM qa0$m CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS pos) p GROUP BY cid, p.pos), " +
+        s"qc$m AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM qmean$m GROUP BY cid), " +
+        s"qsa${m}s AS (SELECT s.vec_id, s.sv, c.cid, round(${pqD2Sql("s.sv", "c.cv")}, 6) AS d2 FROM qs$m s CROSS JOIN qc$m c), " +
+        s"qsa$m AS (SELECT vec_id, sv, cid, d2 FROM (SELECT vec_id, sv, cid, d2, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM qsa${m}s) WHERE rn = 1), " +
+        s"qfmean$m AS (SELECT cid, p.pos, CAST(sum(CAST(sv[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx " +
+        s"FROM qsa$m CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS pos) p GROUP BY cid, p.pos), " +
+        s"qfc$m AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM qfmean$m GROUP BY cid), " +
+        s"qfa${m}s AS (SELECT s.vec_id, c.cid, round(${pqD2Sql("s.sv", "c.cv")}, 6) AS d2 FROM qs$m s CROSS JOIN qfc$m c), " +
+        s"qfa$m AS (SELECT vec_id, d2 FROM (SELECT vec_id, d2, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM qfa${m}s) WHERE rn = 1)"
+    }.mkString(", ")
+
   /** Per-query ADC lookup tables lut0..lut3 (query sub-vectors × refined
     * codebooks), shared by pq_adc_recall and ivf_pq_search. */
   private val pqLutsSql: String = (0 until PqM).map { m =>
@@ -1590,6 +1673,16 @@ object Similarity {
         "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1) " +
         "SELECT vec_id, cell, CAST(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS INT) AS is_new " +
         "FROM assign ORDER BY vec_id"),
+    "pq_refresh" -> {
+      val perM = (0 until PqM).map { m =>
+        s"SELECT $m AS m, (SELECT CAST(count(*) AS BIGINT) FROM qsa$m) AS n, " +
+          s"(SELECT CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) FROM qsa$m) AS sse_stale, " +
+          s"(SELECT CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) FROM qfa$m) AS sse_fresh"
+      }.mkString(" UNION ALL ")
+      s"WITH e AS (SELECT vec_id, $toDoubleSql AS v FROM embeddings), $pqRefreshCtesSql " +
+        s"SELECT m, n, sse_stale, sse_fresh, sse_fresh <= sse_stale AS improved " +
+        s"FROM ($perM) ORDER BY m"
+    },
     "ivf_refresh" ->
       // refreshed centroids recomputed from the RAW embeddings end to
       // end (stale resident centroids → full-corpus assignment → one

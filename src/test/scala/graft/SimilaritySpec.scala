@@ -205,6 +205,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq_refresh: Lloyd monotonicity holds — refreshed SSE never exceeds stale, full cover") {
+    val rows = graft.operators.Similarity.pqRefresh(spark, sf)
+      .as[(Int, Long, Double, Double, Boolean)].collect()
+    assert(rows.length == 4, "one row per subspace")
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    rows.foreach { case (m, cnt, stale, fresh, improved) =>
+      assert(cnt == n, s"subspace $m encoded $cnt of $n vectors")
+      // the mathematical guarantee the row gates: at fixed assignment the
+      // per-code means minimize SSE, and re-encoding only lowers it
+      assert(fresh <= stale && improved, s"subspace $m: SSE $stale -> $fresh")
+    }
+    // the refresh is non-vacuous on this corpus: at least one subspace
+    // strictly improves (stale books were trained without the delta)
+    assert(rows.exists { case (_, _, stale, fresh, _) => fresh < stale })
+  }
+
   test("embed_clusters: edges stay within clusters; labels are member minima") {
     val labels = graft.operators.Similarity.embedClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
