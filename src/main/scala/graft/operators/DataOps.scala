@@ -587,8 +587,64 @@ object DataOps {
       .orderBy("kind", "status")
   }
 
+  /** The incomplete-artifact TTL sweep (ArtifactRoots.gcIncomplete) as a
+    * verified row — artifact_gc's pattern applied to the lease layer's
+    * reclamation: one artifact kind per language, one markerless dir per
+    * liveness situation (dead never-claimed, dead claimed with a stale
+    * heartbeat, LIVE claimed with a fresh heartbeat, fresh never-claimed
+    * — a builder between rootFor and its claim — and a completed
+    * control), swept with a TTL between the fabricated "old" and "fresh"
+    * mtimes. `reclaimed` is read back from the FILESYSTEM (the dir is
+    * gone), not from the sweep's return value, so the row gates actual
+    * behavior; the oracle replays the expected classification. */
+  def artifactGcIncomplete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val root = graft.sources.TempDirs.create("graft_gcttl_root_")
+    val now = System.currentTimeMillis()
+    val old = java.nio.file.attribute.FileTime.fromMillis(now - 600000L)
+    val cases = Seq(
+      // (situation, payload multiplier, claimed, heartbeat old, marker, dir mtimes old)
+      ("completed", 5, false, false, true, false),
+      ("dead_claimed", 2, true, true, false, false),
+      ("dead_unclaimed", 1, false, false, false, true),
+      ("fresh_unclaimed", 4, false, false, false, false),
+      ("live_claimed", 3, true, false, false, false))
+    langs.foreach { case (lang, m) =>
+      cases.foreach { case (situation, mult, claimed, hbOld, marker, mtOld) =>
+        val d = java.nio.file.Paths.get(root, s"art_$lang", "v1", situation)
+        java.nio.file.Files.createDirectories(d)
+        val raf = new java.io.RandomAccessFile(d.resolve("part").toFile, "rw")
+        try raf.setLength(m * mult) finally raf.close()
+        if (marker) java.nio.file.Files.createFile(d.resolve(".complete"))
+        if (claimed) {
+          java.nio.file.Files.createDirectory(d.resolve(".build"))
+          java.nio.file.Files.createFile(d.resolve(".build").resolve(".hb"))
+          if (hbOld)
+            java.nio.file.Files.setLastModifiedTime(d.resolve(".build").resolve(".hb"), old)
+        }
+        if (mtOld) {
+          java.nio.file.Files.setLastModifiedTime(d.resolve("part"), old)
+          java.nio.file.Files.setLastModifiedTime(d, old)
+        }
+      }
+    }
+    graft.sources.ArtifactRoots.gcIncomplete(root, ttlMs = 60000L)
+    langs.flatMap { case (lang, _) =>
+      cases.map { case (situation, _, _, _, _, _) =>
+        val d = java.nio.file.Paths.get(root, s"art_$lang", "v1", situation)
+        (s"art_$lang", situation,
+          if (java.nio.file.Files.exists(d)) 0 else 1)
+      }
+    }.toSeq.toDF("kind", "situation", "reclaimed")
+      .orderBy("kind", "situation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "artifact_gc" -> artifactGc,
+    "artifact_gc_incomplete" -> artifactGcIncomplete,
     "missing_days" -> missingDays,
     "table_checksum" -> tableChecksum,
     "dq_report" -> dqReport,
@@ -633,6 +689,15 @@ object DataOps {
     // replay of the GC scenario + liveness rule: one artifact kind per
     // language, one dir per liveness class, payload bytes = docs × the
     // class's deterministic multiplier (the marker file is 0 bytes)
+    // TTL-sweep replay: the expected reclamation verdict per fabricated
+    // liveness situation — only the two DEAD incompletes go
+    "artifact_gc_incomplete" ->
+      ("WITH langs AS (SELECT DISTINCT lang FROM documents), " +
+        "cats(situation, reclaimed) AS (VALUES ('completed', 0), " +
+        "('dead_claimed', 1), ('dead_unclaimed', 1), " +
+        "('fresh_unclaimed', 0), ('live_claimed', 0)) " +
+        "SELECT 'art_' || lang AS kind, situation, CAST(reclaimed AS INT) AS reclaimed " +
+        "FROM langs CROSS JOIN cats ORDER BY kind, situation"),
     "artifact_gc" ->
       ("WITH langs AS (SELECT lang, count(*) AS m FROM documents GROUP BY lang), " +
         "cats(status, mult) AS (VALUES ('incomplete', 4), ('live', 1), " +
