@@ -158,7 +158,13 @@ class ArtifactProtocolSpec extends SparkSpec {
       new java.util.concurrent.Callable[String] {
         def call(): String = {
           barrier.await() // all four observe the same stale claim at once
-          ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 2000) { st =>
+          // lease 15 s: the fabricated claim is 60 s stale so takeover
+          // still fires immediately, but the WINNER's own heartbeat now
+          // has load margin — at 2 s a starved heartbeat thread under a
+          // concurrent full-suite run could get the healthy winner
+          // usurped mid-build (observed flake), which is the OTHER
+          // test's scenario, not this one's
+          ArtifactRoots.atomicBuild(root, Seq("data"), leaseMs = 15000) { st =>
             builds.incrementAndGet()
             Thread.sleep(200)
             spark.range(5).withColumn("builder", lit(i))
