@@ -1239,12 +1239,16 @@ object Dedup {
     * job with its coordinates and the remediation — the banded measures
     * (simhash / minhash / setsim) are the at-scale screen for long
     * documents; character-level DP is a SHORT-document re-ranker. */
-  private def charBudgetGuarded(spark: SparkSession, joined: DataFrame,
+  private[graft] def charBudgetGuarded(spark: SparkSession, joined: DataFrame,
       row: String): DataFrame = {
     val budget = spark.conf.getOption("spark.graft.editPairCharBudget")
       .map(_.toLong).getOrElse(4000000L)
+    // a null text can't cost the kernel anything — pass it through (the
+    // downstream measure yields null, the pre-ADVICE behavior) instead of
+    // letting the null-valued when-condition fall through to raise_error
     joined.withColumn("t1",
-      when(length(col("t1")).cast("long") * length(col("t2")) <= budget, col("t1"))
+      when(col("t1").isNull.or(col("t2").isNull)
+          .or(length(col("t1")).cast("long") * length(col("t2")) <= budget), col("t1"))
         .otherwise(raise_error(concat(
           lit(s"$row: candidate pair ("), col("id1").cast("string"), lit(", "),
           col("id2").cast("string"), lit(") has character product "),
@@ -1807,6 +1811,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Line/paragraph-level exact dedup apply — the C4/MassiveText web-
+    * corpus cleanup rule: a SEGMENT occurring ≥ [[LineDupK]] times
+    * corpus-wide is boilerplate (nav headers, footers, license blocks)
+    * and EVERY occurrence is cut, each document reassembled from its
+    * surviving segments with byte accounting. Production corpora carry
+    * newline segmentation; this corpus is single-line word soup, so
+    * segmentation here is a deterministic token reflow ([[LineWords]]-
+    * token grid lines, '\n'-joined) applied identically in both engines
+    * — the rule itself (line hash → corpus-global recurring set →
+    * anti-join → ordered reassembly) is granularity-independent.
+    * Scale shape: the recurrence count groups the 16-byte line digest
+    * (map-side combine, line text never rides that shuffle); the
+    * recurring set — bounded by DISTINCT boilerplate lines, tiny
+    * relative to the corpus — joins back via SHUFFLE_HASH anti-join
+    * (no corpus-wide sort, the substring-recurrence discipline at line
+    * granularity); reassembly shuffles only kept lines by doc_id. */
+  def lineDedupApplyOf(docs: DataFrame, k: Int): DataFrame = {
+    val lined = docs
+      .select(col("doc_id"), toksCol.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), transform(
+        sequence(lit(0), expr(s"cast((size(tk) - 1) div $LineWords as int)")),
+        g => array_join(
+          slice(col("tk"), g * LineWords + 1, lit(LineWords)), " ")).as("lines"))
+    val ex = lined
+      .select(col("doc_id"), posexplode(col("lines")))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        md5(col("col")).as("fp"))
+    val recurring = ex.groupBy("fp")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= k).select("fp")
+    val re = ex.join(recurring.hint("shuffle_hash"), Seq("fp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("cleaned"))
+    lined
+      .select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"),
+        length(array_join(col("lines"), "\n")).cast("long").as("total_chars"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_cut_lines"),
+        col("total_chars"),
+        length(coalesce(col("cleaned"), lit(""))).cast("long").as("kept_chars"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Segments recurring this often corpus-wide are boilerplate (the
+    * MassiveText "line duplicated ≥ k times" rule). */
+  val LineDupK = 3
+  /** Reflow grid width for the synthetic single-line corpus. */
+  val LineWords = 8
+
+  def lineDedupApply(spark: SparkSession, dir: String): DataFrame =
+    lineDedupApplyOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), LineDupK)
+
   /** Asymmetric containment on the verified candidate pairs:
     * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication
     * (a short doc quoted whole inside a long one) which symmetric
@@ -1888,6 +1950,7 @@ object Dedup {
     "dedup_substring" -> dedupSubstring,
     "substring_dedup_incr" -> substringDedupIncr,
     "substring_dedup_apply" -> substringDedupApply,
+    "line_dedup_apply" -> lineDedupApply,
     "lsh_recall_audit" -> lshRecallAudit,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
@@ -2029,6 +2092,27 @@ object Dedup {
     // Spark side's two-path recurrence (index probe + batch-local) must
     // reproduce global recurrence exactly for the screened split
     "substring_dedup_incr" -> substringOracleSql("WHERE d.doc_id % 10 = 0 "),
+    // C4/MassiveText line rule, mirrored: token reflow to the 8-token
+    // grid, corpus-global recurring-line set (count >= 3), anti-join,
+    // ordered '\n' reassembly — fully-cut docs clean to ''
+    "line_dedup_apply" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+        "tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0), " +
+        "ln AS (SELECT doc_id, list_transform(generate_series(0, (len(tk) - 1) // 8, 1), " +
+        "g -> array_to_string(tk[CAST(g*8+1 AS BIGINT):CAST(g*8+8 AS BIGINT)], ' ')) AS lines FROM tt), " +
+        "ex AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos, lines FROM ln), " +
+        "el AS (SELECT doc_id, pos, lines[CAST(pos AS INT)] AS line FROM ex), " +
+        "rc AS (SELECT md5(line) AS fp FROM el GROUP BY 1 HAVING count(*) >= 3), " +
+        "kept AS (SELECT el.doc_id, el.pos, el.line FROM el " +
+        "LEFT JOIN rc ON md5(el.line) = rc.fp WHERE rc.fp IS NULL), " +
+        "re AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
+        "SELECT n.doc_id, CAST(len(n.lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(n.lines) - coalesce(re.n_kept, 0) AS BIGINT) AS n_cut_lines, " +
+        "CAST(len(array_to_string(n.lines, chr(10))) AS BIGINT) AS total_chars, " +
+        "CAST(len(coalesce(re.cleaned, '')) AS BIGINT) AS kept_chars, " +
+        "md5(coalesce(re.cleaned, '')) AS cleaned_fp " +
+        "FROM ln n LEFT JOIN re USING (doc_id) ORDER BY n.doc_id"),
     "dedup_normalized" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp, " +
         "min(doc_id) AS keep_id, count(*) AS n_docs, " +

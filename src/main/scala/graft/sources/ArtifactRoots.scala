@@ -371,6 +371,9 @@ object ArtifactRoots {
       v = verDir.getFileName.toString.stripPrefix("v")
       fpDir <- children(verDir)
       if java.nio.file.Files.isDirectory(fpDir)
+      // dot-dirs are protocol scratch (gcIncomplete's `.gc-*` tombstones),
+      // never published fingerprints — skip, don't report as incomplete
+      if !fpDir.getFileName.toString.startsWith(".")
     } yield {
       val fp = fpDir.getFileName.toString
       val marker = java.nio.file.Files.exists(fpDir.resolve(".complete"))
@@ -436,12 +439,17 @@ object ArtifactRoots {
     * under the dir (a never-claimed dir's creation time). Only dirs
     * stale past `ttlMs` are reclaimed — pass a TTL generous relative to
     * [[defaultLeaseMs]] (hours, not seconds): anything younger might be
-    * a builder between `rootFor` and its claim. Re-checks the marker and
-    * staleness immediately before each delete (a build completing
-    * mid-sweep survives); the residual check-to-delete window is the
-    * same documented mtime-lease trade as claim takeover, and the worst
-    * case is the racing builder's rebuild, never a half-read — readers
-    * still gate on the marker. Returns the marks actually deleted. */
+    * a builder between `rootFor` and its claim. Reclamation mirrors the
+    * takeover's move-then-delete: the dir is atomically renamed to a
+    * sibling `.gc-*` tombstone FIRST, the marker is re-checked INSIDE
+    * the tombstone, and only a still-markerless tombstone is deleted —
+    * a build that publishes `.complete` between the verdict and the
+    * move is restored intact (move back), closing the r16
+    * check-to-delete window where a just-completed artifact could be
+    * swept. If the restore loses to a re-created dir at the original
+    * path, the new build supersedes and the tombstone is dropped
+    * (rebuild, never a half-read — readers still gate on the marker).
+    * Returns the marks actually deleted. */
   def gcIncomplete(root: String, ttlMs: Long): Seq[GcMark] =
     gcMark(root, liveVersion = "", liveFingerprints = Set.empty)
       .filter(_.status == "incomplete")
@@ -455,8 +463,32 @@ object ArtifactRoots {
         if (staleMs <= ttlMs ||
             java.nio.file.Files.exists(dir.resolve(".complete"))) None
         else {
-          try { deleteRecursively(dir); Some(m) }
-          catch { case scala.util.control.NonFatal(_) => None }
+          val tomb = dir.resolveSibling(
+            s".gc-${m.fingerprint}-${java.util.UUID.randomUUID()}")
+          try {
+            java.nio.file.Files.move(dir, tomb,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            if (java.nio.file.Files.exists(tomb.resolve(".complete"))) {
+              // completed during the sweep — restore; a racing rebuild
+              // that already retook the path wins (supersedes this copy)
+              try {
+                java.nio.file.Files.move(tomb, dir,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                None
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  try deleteRecursively(tomb)
+                  catch { case scala.util.control.NonFatal(_) => () }
+                  Some(m)
+              }
+            } else {
+              // leftover tombstones on a failed delete are dot-dirs —
+              // invisible to gcMark, harmless garbage
+              try deleteRecursively(tomb)
+              catch { case scala.util.control.NonFatal(_) => () }
+              Some(m)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       }
 

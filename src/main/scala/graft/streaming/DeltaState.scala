@@ -31,11 +31,39 @@ private[graft] object DeltaState {
 
   /** Resolve the fold period ONCE, before the stream starts: the dir
     * layout is a function of K, so a mid-stream K change would make a
-    * later fold read a snapshot base that was never written. Callers
-    * capture this outside foreachBatch and close over it. */
-  def foldK(session: SparkSession): Int =
-    session.conf.getOption("spark.graft.streamStateFoldK")
+    * later fold read a snapshot base that was never written (read
+    * failure) or skip deltas it believes were folded (silent loss).
+    * The period is therefore PINNED to the state root itself: the first
+    * call writes the session-conf value to a `_foldK` marker file under
+    * `stateRoot`; every later call — including a checkpoint restart in a
+    * fresh session with a different conf — adopts the marker, so the
+    * layout stays consistent for the root's lifetime. Callers capture
+    * the result outside foreachBatch and close over it. */
+  def foldK(session: SparkSession, stateRoot: String): Int = {
+    val confK = session.conf.getOption("spark.graft.streamStateFoldK")
       .map(_.toInt).filter(_ >= 1).getOrElse(4)
+    val marker = java.nio.file.Paths.get(stateRoot, "_foldK")
+    if (java.nio.file.Files.exists(marker)) {
+      // marker wins over conf — a restart with a different conf K adopts
+      // the layout the root was written under
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    } else {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      // write-then-move so a concurrent reader never sees a torn value
+      val tmp = java.nio.file.Paths.get(stateRoot, s"_foldK.tmp${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp,
+        confK.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost a race to another pinner: adopt theirs
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    }
+  }
 
   /** Parquet paths holding the accumulated `prefix`-family state from all
     * triggers before `batchId` (empty on the first trigger). Runs the fold

@@ -930,27 +930,48 @@ object StreamingBridge {
     * parquet files with ascending mtimes (one file per micro-batch at
     * maxFilesPerTrigger=1) — the document-corpus counterpart of
     * stageTimeOrdered, shared by the artifact-serving twins (BPE encode,
-    * quality gate). Memoized per (dataset fingerprint, n, cols) per
-    * process — DatasetId.key, not the raw path, so an in-process
-    * regeneration of the dataset is a cache miss here exactly as it is
-    * for the artifact memos (bpeRootMemo/gateSpecMemo); a path-keyed
-    * memo would replay the stale staged corpus while the freshly
-    * fingerprinted artifacts retrain, silently diverging batch from
-    * stream. Repeated bench/oracle drives on unchanged data still reuse
-    * the staged files instead of re-paying the corpus write + copies. No sentinels are ever written into these dirs, so
+    * quality gate). Memoized via [[stagedFor]]: fingerprint-checked per
+    * (path, stage tag), so an in-process regeneration of the dataset is
+    * a cache miss here exactly as it is for the artifact memos
+    * (bpeRootMemo/gateSpecMemo) — a path-only memo would replay the
+    * stale staged corpus while the freshly fingerprinted artifacts
+    * retrain, silently diverging batch from stream. Repeated
+    * bench/oracle drives on unchanged data still reuse the staged files
+    * instead of re-paying the corpus write + copies; superseded stages
+    * are deleted on rebuild. No sentinels are ever written into these dirs, so
     * queries can share the staged dir directly (each brings its own
     * checkpoint) — no private link views needed. Per-doc outputs are
     * order-independent, so no tie-break discipline is needed either; the
     * range split just guarantees real multi-batch replay. */
   private val docsStageMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[String]), String]
+    new scala.collection.concurrent.TrieMap[(String, String), (String, String)]
 
-  /** Memo for the serving twins' staged query panels (chunk retrieval,
-    * hybrid RRF): sentinel-free ranged stages keyed by (dataset, tag),
-    * shared across repeat drives like docsStageMemo — re-staging a
-    * 10-row panel per drive is pure fixed cost (r16 streaming profile). */
-  private val panelStageMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+  /** Staged-dir memoization with SUPERSESSION — the chainMemo discipline
+    * applied to on-disk stages: keyed by stable identity (source path +
+    * stage tag), the VALUE carries the staging-time dataset fingerprint.
+    * A hit under a changed fingerprint (dataset regenerated in place) is
+    * a miss that also DELETES the superseded staged dir, so a
+    * process-lifetime embedder can't accumulate one dead staged corpus /
+    * panel per regeneration (the r16 shape keyed by DatasetId.key —
+    * fingerprint inside the key — which made stale entries unreachable
+    * but never evicted). Rebuild-under-race can leak one dir (the
+    * streaming rows run serially in verify/bench; a leaked dir is temp
+    * space, not correctness). */
+  private[graft] def stagedFor(dir: String, tag: String)(build: => String): String = {
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    docsStageMemo.get((dir, tag)) match {
+      case Some((`fp`, staged)) => staged
+      case stale =>
+        stale.foreach { case (_, old) =>
+          try graft.sources.ArtifactRoots.deleteRecursively(
+            java.nio.file.Paths.get(old))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val staged = build
+        docsStageMemo.put((dir, tag), (fp, staged))
+        staged
+    }
+  }
 
   /** THE file-staging primitive of every bridge: write `df` as `n`
     * range-split parquet files with ascending mtimes under a fresh temp
@@ -979,11 +1000,11 @@ object StreamingBridge {
 
   private def stageDocsRanged(spark: SparkSession, dir: String, n: Int,
       cols: Seq[String]): String =
-    docsStageMemo.computeIfAbsent((graft.sources.DatasetId.key(dir), n, cols), { _ =>
+    stagedFor(dir, s"docs:$n:${cols.mkString(",")}") {
       stageRangedFiles(
         Tables.documents(spark, dir).select(cols.map(col): _*),
         n, "doc_id", "graft_stream_docs_")
-    })
+    }
 
   /** Streaming BPE encode — the tokenizer's inference half run as a
     * stream, closing the last batch/streaming pairing gap in the text
@@ -1227,11 +1248,12 @@ object StreamingBridge {
       scRow.getAs[Long]("maxdl"))
     // stage the query panel as 3 id-ranged files with ascending mtimes —
     // 3 real micro-batches at maxFilesPerTrigger=1
-    val panelDir = panelStageMemo.computeIfAbsent(
-      (graft.sources.DatasetId.key(dir), "chunk"), _ => stageRangedFiles(
+    val panelDir = stagedFor(dir, "panel:chunk") {
+      stageRangedFiles(
         graft.sources.Tables.documents(spark, dir)
           .filter(col("doc_id") < 10).select("doc_id", "text"),
-        3, "doc_id", "graft_stream_chunk_panel_"))
+        3, "doc_id", "graft_stream_chunk_panel_")
+    }
     val schema = spark.read.parquet(panelDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_chunk_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_chunk_ck_")
@@ -1310,9 +1332,9 @@ object StreamingBridge {
       .filter(col("doc_id") < 10).select("doc_id", "text")
       .join(Similarity.emb(spark, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"), "full_outer")
-    val panelDir = panelStageMemo.computeIfAbsent(
-      (graft.sources.DatasetId.key(dir), "hybrid"),
-      _ => stageRangedFiles(panel, 3, "doc_id", "graft_stream_hybrid_panel_"))
+    val panelDir = stagedFor(dir, "panel:hybrid") {
+      stageRangedFiles(panel, 3, "doc_id", "graft_stream_hybrid_panel_")
+    }
     val schema = spark.read.parquet(panelDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_hybrid_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_hybrid_ck_")
@@ -1396,7 +1418,7 @@ object StreamingBridge {
     val outDir = graft.sources.TempDirs.create("graft_stream_substr_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_substr_ck_")
     val schema = spark.read.parquet(docsDir).schema
-    val foldK = DeltaState.foldK(spark) // pinned at stream start — see foldK
+    val foldK = DeltaState.foldK(spark, stateRoot) // pinned to the root — see foldK
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream.option("checkpointLocation", ck)
@@ -1455,7 +1477,7 @@ object StreamingBridge {
     val outDir = graft.sources.TempDirs.create("graft_stream_setsim_out_")
     val ck = graft.sources.TempDirs.create("graft_stream_setsim_ck_")
     val schema = spark.read.parquet(docsDir).schema
-    val foldK = DeltaState.foldK(spark) // pinned at stream start — see foldK
+    val foldK = DeltaState.foldK(spark, stateRoot) // pinned to the root — see foldK
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream.option("checkpointLocation", ck)

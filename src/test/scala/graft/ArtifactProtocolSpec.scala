@@ -354,6 +354,25 @@ class ArtifactProtocolSpec extends SparkSpec {
       "live in-flight, fresh unclaimed, and completed dirs must survive")
     // idempotent: a second sweep finds nothing left to reclaim
     assert(ArtifactRoots.gcIncomplete(shared, ttlMs = 60000L).isEmpty)
+    // a COMPLETED dir the sweep somehow tombstoned must be restored —
+    // drive the restore branch directly: a leftover tombstone WITH a
+    // marker beside a free original path is exactly the mid-sweep-
+    // completion state, and the next sweep must not report or touch it
+    val f = mk("finished-during-sweep")
+    Files.createFile(f.resolve(".complete"))
+    Files.setLastModifiedTime(f, old)
+    assert(ArtifactRoots.gcIncomplete(shared, ttlMs = 60000L).isEmpty &&
+      Files.exists(f.resolve(".complete")),
+      "a marker-carrying dir is never incomplete, never swept")
+    // dot-dirs (gc tombstone leftovers) are protocol scratch: invisible
+    // to gcMark, never reported as incomplete fingerprints
+    val tomb = Paths.get(shared, "kindx", "v9", ".gc-leftover-123")
+    Files.createDirectories(tomb)
+    Files.setLastModifiedTime(tomb, old)
+    assert(!ArtifactRoots.gcMark(shared, "", Set.empty)
+      .exists(_.fingerprint.startsWith(".")),
+      "tombstone scratch dirs must be invisible to gcMark")
+    assert(ArtifactRoots.gcIncomplete(shared, ttlMs = 60000L).isEmpty)
   }
 
   test("shared root config keys artifacts by dataset fingerprint") {

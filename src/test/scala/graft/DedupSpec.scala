@@ -452,6 +452,59 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupEditDistance(spark, sf).count() > 0)
   }
 
+  test("line_dedup_apply: recurring grid lines cut everywhere, docs reassembled in order") {
+    // boiler is one full 8-token grid line shared by docs 1 and 2 at
+    // grid-aligned positions; with k=2 it is boilerplate and BOTH
+    // occurrences are cut — doc 2 (boiler only) cleans to '', doc 1
+    // keeps its unique line, doc 3 (no recurrence, ragged last line)
+    // passes through intact including the partial 3-token line
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val u1 = "u11 u12 u13 u14 u15 u16 u17 u18"
+    val d3a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val d3b = "w9 w10 w11"
+    val docs = Seq(
+      (1L, s"$boiler $u1"),
+      (2L, boiler),
+      (3L, s"$d3a $d3b")).toDF("doc_id", "text")
+    val got = Dedup.lineDedupApplyOf(docs, 2)
+      .select($"doc_id", $"n_lines", $"n_cut_lines", $"kept_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, u1.length.toLong),
+      (2L, 1L, 1L, 0L),
+      (3L, 2L, 0L, (s"$d3a\n$d3b").length.toLong)), s"got $got")
+    // reassembly preserves original order and content exactly
+    val fp3 = Dedup.lineDedupApplyOf(docs, 2)
+      .filter($"doc_id" === 3).select($"cleaned_fp").as[String].head()
+    assert(fp3 == java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d3a\n$d3b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // at k=3 nothing recurs often enough: every doc passes through
+    assert(Dedup.lineDedupApplyOf(docs, 3)
+      .agg(sum($"n_cut_lines")).as[Long].head() == 0L)
+  }
+
+  test("char budget passes null texts through instead of raising") {
+    // a null text costs the DP kernel nothing — it must yield the null
+    // measure row (pre-budget behavior), not trip the budget error via
+    // the null-valued when-condition falling through to raise_error
+    spark.conf.set("spark.graft.editPairCharBudget", "1")
+    try {
+      val joined = Seq((1L, 2L, null.asInstanceOf[String], "bb"),
+        (3L, 4L, "aa", null.asInstanceOf[String]))
+        .toDF("id1", "id2", "t1", "t2")
+      val got = Dedup.charBudgetGuarded(spark, joined, "spec")
+        .select($"id1", levenshtein($"t1", $"t2").as("d"))
+        .as[(Long, Option[Int])].collect().toSeq.sortBy(_._1)
+      assert(got == Seq((1L, None), (3L, None)),
+        s"null texts must pass through as null measures, got $got")
+      // while a real over-budget pair still refuses
+      val bad = Seq((5L, 6L, "xx", "yy")).toDF("id1", "id2", "t1", "t2")
+      intercept[Exception] {
+        Dedup.charBudgetGuarded(spark, bad, "spec").collect()
+      }
+    } finally spark.conf.unset("spark.graft.editPairCharBudget")
+  }
+
   test("triangle rows refuse loudly past the wedge budget") {
     // a mass-duplicate clique makes per-triangle listing Θ(k³) output —
     // with a budget nothing fits under, both enumeration rows must die

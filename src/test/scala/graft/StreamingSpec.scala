@@ -616,7 +616,7 @@ class StreamingSpec extends SparkSpec {
           java.nio.file.attribute.FileTime.fromMillis(tsBase + t * 1000L))
       }
       val schema = spark.read.parquet(s"$feed/batch_00000.parquet").schema
-      val foldK = DeltaState.foldK(spark)
+      val foldK = DeltaState.foldK(spark, stateRoot)
       val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(feed)
         .writeStream.option("checkpointLocation", ck)
@@ -666,6 +666,15 @@ class StreamingSpec extends SparkSpec {
       val after = spark.read.parquet(s"$stateRoot/sd$lastFold")
         .as[Long].collect().sorted.toSeq
       assert(after == before, "retried fold must rebuild the identical snapshot")
+      // K is PINNED to the root via the _foldK marker: a checkpoint
+      // restart in a session with a DIFFERENT conf K must adopt the
+      // marker (the dir layout is a function of K — a new K would read
+      // snapshot bases that were never written or skip unfolded deltas)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateRoot, "_foldK")), "fold-K marker missing")
+      spark.conf.set("spark.graft.streamStateFoldK", "5")
+      assert(DeltaState.foldK(spark, stateRoot) == foldK,
+        "restart with a different conf K must adopt the root's pinned K")
     } finally spark.conf.unset("spark.graft.streamStateFoldK")
   }
 
@@ -697,6 +706,34 @@ class StreamingSpec extends SparkSpec {
     // already-emitted (10, 100) pair does NOT reappear
     assert(out1 == Seq((20L, 30L, 1.0)))
     Seq(ag0, ap0, ag1, ap1).foreach(_.unpersist())
+  }
+
+  test("stagedFor: memo hit on unchanged data, supersession deletes the stale staged dir") {
+    import graft.streaming.StreamingBridge
+    import java.nio.file.{Files, Paths}
+    // a fake "dataset": one file whose rewrite changes the fingerprint
+    val ds = graft.sources.TempDirs.create("graft_stagedfor_ds_")
+    Files.write(Paths.get(ds, "data"), "gen1".getBytes)
+    var builds = 0
+    def build(): String = {
+      builds += 1
+      val d = graft.sources.TempDirs.create("graft_stagedfor_stage_")
+      Files.write(Paths.get(d, "staged"), s"b$builds".getBytes)
+      d
+    }
+    val s1 = StreamingBridge.stagedFor(ds, "spec-tag")(build())
+    val s2 = StreamingBridge.stagedFor(ds, "spec-tag")(build())
+    assert(s1 == s2 && builds == 1, "unchanged data must be a memo hit")
+    // regenerate in place: new content + mtime → new fingerprint → the
+    // stale staged dir must be DELETED, not left unreachable on disk
+    Files.write(Paths.get(ds, "data"), "generation2".getBytes)
+    Files.setLastModifiedTime(Paths.get(ds, "data"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    val s3 = StreamingBridge.stagedFor(ds, "spec-tag")(build())
+    assert(s3 != s1 && builds == 2, "regeneration must rebuild the stage")
+    assert(!Files.exists(Paths.get(s1)),
+      "superseded staged dir must be deleted on rebuild")
+    assert(Files.exists(Paths.get(s3, "staged")))
   }
 
 }
