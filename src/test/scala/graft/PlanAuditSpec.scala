@@ -662,4 +662,58 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("(doc_id#") && p.contains("% 10)"),
       s"arrival split not pushed to the documents scan:\n$p")
   }
+
+  test("all-plans sweep: no CartesianProduct, no unwhitelisted global window, no driver-materialized relation") {
+    // The round-close ritual ("zero CartesianProduct across all plans"),
+    // permanent: every registered query's plan is built and swept. Three
+    // structural properties the 100 TB posture depends on:
+    //  (a) no CartesianProduct anywhere in the physical plan — a pair
+    //      materialization is quadratic at any scale;
+    //  (b) no Window with an EMPTY partitionSpec except the adjudicated
+    //      bounded sites below — a global window sorts its whole input
+    //      in one task, which is only acceptable when that input is
+    //      provably bounded (day/month/bin/phase-cell totals), never
+    //      corpus-sized;
+    //  (c) no LocalRelation above panel size — a big driver-materialized
+    //      relation means a collect()-shaped loop built the input.
+    // stream_* rows are excluded by construction: their query functions
+    // RUN a structured-streaming pipeline and return a post-hoc read of
+    // the stream's output dir, so the returned frame's plan is a bare
+    // parquet scan — their plan properties live in the batch twins that
+    // share the kernels (and are swept here).
+    val globalWindowOk = Set(
+      "rolling_median",       // 7-day frame over per-DAY totals (~2.4k rows/decade)
+      "monthly_growth",       // lag over per-MONTH totals (~120 rows/decade)
+      "open_orders_timeline", // running sum over per-day open/close deltas
+      "token_budget_select",  // offset window over phase×bucket cell totals (≤640 rows)
+      "snapshot_drift")       // cumulative TVD over 20 fixed histogram bins
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Window => LWindow}
+    val failures = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => !n.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sf)
+          val exec = df.queryExecution.executedPlan.toString
+          if (exec.contains("CartesianProduct"))
+            failures += s"$name: CartesianProduct in physical plan"
+          // analyzed (not optimized): persist barriers hide sub-plans
+          // inside InMemoryRelation after optimization
+          val globalWins = df.queryExecution.analyzed.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }
+          if (globalWins.nonEmpty && !globalWindowOk(name))
+            failures += s"$name: ${globalWins.size} unpartitioned window(s)"
+          val bigLocal = df.queryExecution.analyzed.collect {
+            case l: LocalRelation if l.data.size > 10000 => l.data.size
+          }
+          if (bigLocal.nonEmpty)
+            failures += s"$name: driver-materialized LocalRelation of ${bigLocal.max} rows"
+        } catch { case e: Exception =>
+          failures += s"$name: plan build threw ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
+    val bad = failures.result()
+    assert(bad.isEmpty, s"plan sweep violations:\n${bad.mkString("\n")}")
+  }
 }
