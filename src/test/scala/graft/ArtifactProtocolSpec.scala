@@ -375,6 +375,84 @@ class ArtifactProtocolSpec extends SparkSpec {
     assert(ArtifactRoots.gcIncomplete(shared, ttlMs = 60000L).isEmpty)
   }
 
+  test("gcIncomplete sweeper racing concurrent claimants: only the seeded dead dirs are ever reclaimed") {
+    // The lease layer and the TTL sweeper interact on the same root in
+    // production; this drives them CONCURRENTLY: a sweeper hammers
+    // gcIncomplete in a loop while rounds of 4 builders race atomicBuild
+    // on fresh fingerprint dirs. Invariants (no timing-tuned waits — the
+    // TTL is generous relative to every live age by the API contract):
+    //  - across hundreds of sweeps overlapping claims, heartbeats,
+    //    publishes, and marker creation, the ONLY dirs ever deleted are
+    //    the seeded dead ones (live claims and completed artifacts are
+    //    never reclaimed);
+    //  - every round still builds exactly once (losers re-enter via the
+    //    marker wait, never via a sweep-induced vanish-and-rebuild);
+    //  - every round's artifact survives with its marker and data.
+    import java.nio.file.{Files, Paths}
+    val shared = graft.sources.TempDirs.create("graft_gcstress_")
+    def fpDir(fp: String) = {
+      val p = Paths.get(shared, "kindx", "v9", fp)
+      Files.createDirectories(p); p
+    }
+    // seed the dead population the sweeper SHOULD reclaim
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 100000L)
+    val deadNever = fpDir("dead-never")
+    Files.write(deadNever.resolve("junk"), Array[Byte](1))
+    Files.setLastModifiedTime(deadNever.resolve("junk"), old)
+    Files.setLastModifiedTime(deadNever, old)
+    val deadClaimed = fpDir("dead-claimed")
+    Files.createDirectory(deadClaimed.resolve(".build"))
+    Files.createFile(deadClaimed.resolve(".build").resolve(".hb"))
+    Files.setLastModifiedTime(deadClaimed.resolve(".build").resolve(".hb"), old)
+    val sweptFps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweeps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sweeper = new Thread(() => {
+      while (!stop.get()) {
+        ArtifactRoots.gcIncomplete(shared, ttlMs = 20000L)
+          .foreach(m => sweptFps.add(m.fingerprint))
+        sweeps.incrementAndGet()
+        Thread.sleep(20)
+      }
+    })
+    sweeper.start()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.jdk.CollectionConverters._
+    try {
+      (0 until 6).foreach { r =>
+        val dir = fpDir(s"live-$r").toString
+        val tasks = (1 to 4).map { i =>
+          new java.util.concurrent.Callable[String] {
+            def call(): String =
+              ArtifactRoots.atomicBuild(dir, Seq("data"), leaseMs = 15000) { st =>
+                builds.incrementAndGet()
+                Thread.sleep(150)
+                spark.range(r * 10 + 5).coalesce(1)
+                  .write.mode("overwrite").parquet(s"$st/data")
+              }
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      }
+    } finally {
+      pool.shutdown()
+      stop.set(true); sweeper.join()
+    }
+    assert(sweeps.get() > 10, s"sweeper barely ran (${sweeps.get()} sweeps)")
+    assert(sweptFps.asScala.toSet === Set("dead-never", "dead-claimed"),
+      s"sweeper must reclaim exactly the seeded dead dirs, got $sweptFps")
+    assert(builds.get() === 6,
+      s"each round must build exactly once (losers re-enter via the marker " +
+        s"wait, never a sweep-induced rebuild); got ${builds.get()}")
+    (0 until 6).foreach { r =>
+      val root = Paths.get(shared, "kindx", "v9", s"live-$r").toString
+      assert(spark.read.parquet(s"${ArtifactRoots.assertComplete(root)}/data")
+        .count() == r * 10 + 5, s"round $r artifact lost or corrupted")
+    }
+  }
+
   test("shared root config keys artifacts by dataset fingerprint") {
     val shared = graft.sources.TempDirs.create("graft_shared_root_")
     spark.conf.set("spark.graft.artifactRoot", shared)
