@@ -153,20 +153,40 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
-    // Optional steady-state pass (SPARK_GRAFT_PASSES=2): rerun the query
-    // set in the SAME JVM and report pass-2 walls beside pass-1. jit_s is
-    // 80-90% of wall on small queries across every recorded run, so
-    // pass-1 totals measure mostly C2 compilation of the round's plan
-    // closures, not the plans — the recurring driver-vs-record wall gap.
-    // Pass 2 runs against a warmed code cache (and warm shared-stage
-    // memos), so its per-query walls are the plan-cost signal to compare
-    // across rounds; pass 1 remains the of-record cold number.
-    val results2 =
-      if (sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).exists(_ >= 2))
-        Some(selected.map { case (name, fn) =>
+    // Optional steady-state passes (SPARK_GRAFT_PASSES=N, N >= 2): rerun
+    // the query set N-1 more times in the SAME JVM. jit_s is 80-90% of
+    // wall on small queries across every recorded run, so pass-1 totals
+    // measure mostly C2 compilation of the round's plan closures, not the
+    // plans — the recurring driver-vs-record wall gap. Steady-state
+    // passes run against a warmed code cache (and warm shared-stage
+    // memos), so their walls are the plan-cost signal to compare across
+    // rounds. With N >= 3 the OF-RECORD figure is the per-query MEDIAN
+    // of passes 2..N (`wall_med_s` / `med_total`): the r16 close measured
+    // a ~38 s same-code pass-2 spread on this host — larger than a
+    // typical round's real win — and a median over independent
+    // steady-state passes suppresses the band where a single pass rides
+    // it. Pass 1 remains the of-record COLD number.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1)
+    val steadyPasses: Seq[Seq[Timing]] =
+      (2 to nPasses).map { _ =>
+        selected.map { case (name, fn) =>
           timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        })
-      else None
+        }
+      }
+    val results2 = steadyPasses.headOption
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // per-query median across the steady passes (failed passes excluded;
+    // a query that failed EVERY steady pass medians to the -1 sentinel)
+    val medByName: Map[String, Double] =
+      if (steadyPasses.isEmpty) Map.empty
+      else steadyPasses.flatten.groupBy(_.name).map { case (n, ts) =>
+        n -> median(ts.map(_.wallS).filter(_ >= 0))
+      }
     val all = chainResults ++ results
     // The failed list rides the size-capped stdout line, so it must be
     // bounded itself (22 failures once inflated the line past the 2000-char
@@ -193,13 +213,20 @@ object Bench {
     val detail = all.map { t =>
       val p2 = pass2ByName.get(t.name).map(s =>
         s""", "wall2_s": ${fmt(s.wallS)}, "cpu2_s": ${fmt(s.cpuS)}""").getOrElse("")
-      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}, "jit_s": ${fmt(t.jitS)}$p2}"""
+      val med = medByName.get(t.name).map(m =>
+        s""", "wall_med_s": ${fmt(m)}""").getOrElse("")
+      s"""    "${t.name}": {"wall_s": ${fmt(t.wallS)}, "cpu_s": ${fmt(t.cpuS)}, "gc_s": ${fmt(t.gcS)}, "jit_s": ${fmt(t.jitS)}$p2$med}"""
     }.mkString("{\n", ",\n", "\n  }")
     val jitTotal = all.map(_.jitS).filter(_ >= 0).sum
     val pass2Line = results2.map { r2 =>
       val t2 = r2.map(_.wallS).filter(_ >= 0).sum
       val j2 = r2.map(_.jitS).filter(_ >= 0).sum
-      s"""\n  "pass2_total": ${fmt(t2)}, "pass2_jit_s": ${fmt(j2)},"""
+      val medTotal =
+        if (medByName.nonEmpty) medByName.values.filter(_ >= 0).sum else -1.0
+      val medPart =
+        if (nPasses >= 3) s""" "med_total": ${fmt(medTotal)}, "n_passes": $nPasses,"""
+        else ""
+      s"""\n  "pass2_total": ${fmt(t2)}, "pass2_jit_s": ${fmt(j2)},$medPart"""
     }.getOrElse("")
     val detailJson =
       s"""{

@@ -154,7 +154,7 @@ object Dedup {
     * Tiny residency: doc_id + 8 ints per doc. */
   def cachedSignatures(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "sigs") {
-      minhashSignatures(Tables.documents(spark, dir)).persist()
+      minhashSignatures(Tables.documentsKernelWide(spark, dir)).persist()
     }
 
   def minhashLshPairs(docs: DataFrame): DataFrame =
@@ -199,7 +199,7 @@ object Dedup {
     * per pair. */
   def shingleGramSets(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "shinglegrams") {
-      gramSetsOf(Tables.documents(spark, dir)).persist()
+      gramSetsOf(Tables.documentsKernelWide(spark, dir)).persist()
     }
 
   /** The sorted shingle-gram set of ANY (doc_id, text) frame — the one
@@ -992,7 +992,9 @@ object Dedup {
     * once per doc. */
   private def gramSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // kernel-wide scan: the O(len) gram loop below is the cost center,
+    // not the scan — see Tables.floorParallelism
+    Tables.documentsKernelWide(spark, dir)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)]
@@ -1435,7 +1437,7 @@ object Dedup {
     * passes and the benchmark-gram artifact build share. */
   private def gramsFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsKernelWide(spark, dir)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -1573,8 +1575,8 @@ object Dedup {
     * Bench bills the build as `chain_substring_spans`). */
   private[graft] def corpusSpans(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "substring_spans") {
-      spansFrom(dupPosOf(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))).persist()
+      spansFrom(dupPosOf(Tables.documentsKernelWide(spark, dir)
+        .select(col("doc_id"), col("text")))).persist()
     }
 
   /** Positional window hashes of a (doc_id, text) frame: one
@@ -1694,7 +1696,7 @@ object Dedup {
         graft.sources.ArtifactRoots.memoKey(spark, dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "winidx", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("hashes")) { stage =>
-        winHashes(Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0))
+        winHashes(Tables.documentsKernelWide(spark, dir).filter(col("doc_id") % 10 =!= 0))
           .select("h").distinct()
           .write.mode("overwrite").parquet(s"$stage/hashes")
       }
@@ -1867,7 +1869,8 @@ object Dedup {
 
   def lineDedupApply(spark: SparkSession, dir: String): DataFrame =
     lineDedupApplyOf(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), LineDupK)
+      Tables.documentsKernelWide(spark, dir)
+        .select(col("doc_id"), col("text")), LineDupK)
 
   /** Asymmetric containment on the verified candidate pairs:
     * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication

@@ -672,7 +672,7 @@ object TextAnalysis {
     * inlined/recomputed by Catalyst — see Dedup.dedupNgramJaccard). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsKernelWide(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

@@ -55,4 +55,31 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Parallelism floor for CPU-bound per-row kernels: a compacted
+    * few-file corpus (one parquet file at probe scale; a handful after
+    * compaction at any real scale) plans the scan with fewer splits than
+    * the machine has cores, so a tight mapPartitions / codegen kernel
+    * downstream runs the whole corpus on one or two threads — the r16
+    * ngram_jaccard dig measured cpu_s ≈ 3× wall at scan parallelism ~1
+    * on a single 6 MB file. When the frame's planned parallelism is
+    * below HALF the scheduler's default parallelism, hash-repartition on
+    * `key` to full width: the rows shuffle once and the kernel uses the
+    * machine. An already-wide scan (every real multi-split layout)
+    * passes through with NO added exchange, and hash partitioning (not
+    * round-robin) avoids the retry-determinism sort on wide text rows.
+    * Row-local kernels are partitioning-invariant, so results are
+    * unchanged under the floor. */
+  def floorParallelism(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, col(key))
+    else df
+  }
+
+  /** The documents scan floored to kernel width — for the CPU-heavy
+    * per-doc stages (gram sets, minhash signatures, window hashes,
+    * fingerprints); use plain [[documents]] wherever the work is
+    * scan-bound rather than kernel-bound. */
+  def documentsKernelWide(spark: SparkSession, dir: String): DataFrame =
+    floorParallelism(documents(spark, dir), "doc_id")
 }
