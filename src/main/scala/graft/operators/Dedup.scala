@@ -1829,7 +1829,9 @@ object Dedup {
     * relative to the corpus — joins back via SHUFFLE_HASH anti-join
     * (no corpus-wide sort, the substring-recurrence discipline at line
     * granularity); reassembly shuffles only kept lines by doc_id. */
-  def lineDedupApplyOf(docs: DataFrame, k: Int): DataFrame = {
+  /** (doc_id, lines) reflow + its positional explode — the shared first
+    * stages of both line-dedup policies. */
+  private def linedFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val lined = docs
       .select(col("doc_id"), toksCol.as("tk"))
       .filter(size(col("tk")) > 0)
@@ -1841,9 +1843,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("lines")))
       .select(col("doc_id"), col("pos"), col("col").as("line"),
         md5(col("col")).as("fp"))
-    val recurring = ex.groupBy("fp")
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= k).select("fp")
-    val re = ex.join(recurring.hint("shuffle_hash"), Seq("fp"), "left_anti")
+    (lined, ex)
+  }
+
+  /** Reassembly + byte accounting over the KEPT lines — shared by both
+    * policies so the output contract cannot fork. */
+  private def reassemble(lined: DataFrame, kept: DataFrame): DataFrame = {
+    val re = kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -1861,6 +1867,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  def lineDedupApplyOf(docs: DataFrame, k: Int): DataFrame = {
+    val (lined, ex) = linedFrames(docs)
+    val recurring = ex.groupBy("fp")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= k).select("fp")
+    reassemble(lined,
+      ex.join(recurring.hint("shuffle_hash"), Seq("fp"), "left_anti"))
+  }
+
+  /** The keep-FIRST policy — C4's actual rule: of a segment recurring
+    * ≥ k times corpus-wide, the globally first occurrence (smallest
+    * (doc_id, position)) SURVIVES and every other copy is cut, so the
+    * corpus retains exactly one copy of each boilerplate segment
+    * instead of losing it entirely ([[lineDedupApplyOf]] is the
+    * drop-all MassiveText flavor). Scale shape: the keeper is an
+    * AGGREGATE, not a window — groupBy(fp).agg(min(struct(doc_id,
+    * pos))) gets map-side partial aggregation on hot boilerplate
+    * hashes (a window partitioned by fp would sort every occurrence of
+    * the hottest segment in one task — the skew shape the substring
+    * recurrence de-skew killed); the keeper set joins back
+    * SHUFFLE_HASH and a row survives if its fp never recurred or it IS
+    * the keeper. */
+  def lineDedupKeepFirstOf(docs: DataFrame, k: Int): DataFrame = {
+    val (lined, ex) = linedFrames(docs)
+    val keepers = ex.groupBy("fp")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .filter(col("cnt") >= k)
+      .select(col("fp"), col("keeper"))
+    reassemble(lined,
+      ex.join(keepers.hint("shuffle_hash"), Seq("fp"), "left")
+        .filter(col("keeper").isNull ||
+          (col("keeper.doc_id") === col("doc_id") && col("keeper.pos") === col("pos")))
+        .select("doc_id", "pos", "line"))
+  }
+
   /** Segments recurring this often corpus-wide are boilerplate (the
     * MassiveText "line duplicated ≥ k times" rule). */
   val LineDupK = 3
@@ -1869,6 +1910,11 @@ object Dedup {
 
   def lineDedupApply(spark: SparkSession, dir: String): DataFrame =
     lineDedupApplyOf(
+      Tables.documentsKernelWide(spark, dir)
+        .select(col("doc_id"), col("text")), LineDupK)
+
+  def lineDedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    lineDedupKeepFirstOf(
       Tables.documentsKernelWide(spark, dir)
         .select(col("doc_id"), col("text")), LineDupK)
 
@@ -1954,6 +2000,7 @@ object Dedup {
     "substring_dedup_incr" -> substringDedupIncr,
     "substring_dedup_apply" -> substringDedupApply,
     "line_dedup_apply" -> lineDedupApply,
+    "line_dedup_keep_first" -> lineDedupKeepFirst,
     "lsh_recall_audit" -> lshRecallAudit,
     "minhash_est_vs_exact" -> minhashEstVsExact,
     "dedup_editdist" -> dedupEditDistance,
@@ -1993,6 +2040,28 @@ object Dedup {
     (0 until 32).map { b =>
       s"CASE WHEN 2 * len(list_filter(vals, v -> ((v >> $b) & 1) = 1)) > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
+
+  /** Shared line-reflow CTE chain (documents → tokens → 8-token grid
+    * lines → positional explode) — one definition under both line-dedup
+    * policies so the segmentation cannot fork in SQL either. */
+  private val lineCtesSql: String =
+    s"t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+      "tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0), " +
+      "ln AS (SELECT doc_id, list_transform(generate_series(0, (len(tk) - 1) // 8, 1), " +
+      "g -> array_to_string(tk[CAST(g*8+1 AS BIGINT):CAST(g*8+8 AS BIGINT)], ' ')) AS lines FROM tt), " +
+      "ex AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos, lines FROM ln), " +
+      "el AS (SELECT doc_id, pos, lines[CAST(pos AS INT)] AS line FROM ex)"
+
+  /** Shared reassembly tail over a `kept (doc_id, pos, line)` CTE. */
+  private val lineReassembleSql: String =
+    ", re AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(line, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
+      "SELECT n.doc_id, CAST(len(n.lines) AS BIGINT) AS n_lines, " +
+      "CAST(len(n.lines) - coalesce(re.n_kept, 0) AS BIGINT) AS n_cut_lines, " +
+      "CAST(len(array_to_string(n.lines, chr(10))) AS BIGINT) AS total_chars, " +
+      "CAST(len(coalesce(re.cleaned, '')) AS BIGINT) AS kept_chars, " +
+      "md5(coalesce(re.cleaned, '')) AS cleaned_fp " +
+      "FROM ln n LEFT JOIN re USING (doc_id) ORDER BY n.doc_id"
 
   /** Shared CTE chain: documents → shingles → minhash signatures → LSH
     * bands → distinct candidate pairs (the SQL twin of minhashLshPairs). */
@@ -2099,23 +2168,20 @@ object Dedup {
     // grid, corpus-global recurring-line set (count >= 3), anti-join,
     // ordered '\n' reassembly — fully-cut docs clean to ''
     "line_dedup_apply" ->
-      (s"WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-        "tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0), " +
-        "ln AS (SELECT doc_id, list_transform(generate_series(0, (len(tk) - 1) // 8, 1), " +
-        "g -> array_to_string(tk[CAST(g*8+1 AS BIGINT):CAST(g*8+8 AS BIGINT)], ' ')) AS lines FROM tt), " +
-        "ex AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos, lines FROM ln), " +
-        "el AS (SELECT doc_id, pos, lines[CAST(pos AS INT)] AS line FROM ex), " +
+      (s"WITH $lineCtesSql, " +
         "rc AS (SELECT md5(line) AS fp FROM el GROUP BY 1 HAVING count(*) >= 3), " +
         "kept AS (SELECT el.doc_id, el.pos, el.line FROM el " +
-        "LEFT JOIN rc ON md5(el.line) = rc.fp WHERE rc.fp IS NULL), " +
-        "re AS (SELECT doc_id, count(*) AS n_kept, " +
-        "string_agg(line, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
-        "SELECT n.doc_id, CAST(len(n.lines) AS BIGINT) AS n_lines, " +
-        "CAST(len(n.lines) - coalesce(re.n_kept, 0) AS BIGINT) AS n_cut_lines, " +
-        "CAST(len(array_to_string(n.lines, chr(10))) AS BIGINT) AS total_chars, " +
-        "CAST(len(coalesce(re.cleaned, '')) AS BIGINT) AS kept_chars, " +
-        "md5(coalesce(re.cleaned, '')) AS cleaned_fp " +
-        "FROM ln n LEFT JOIN re USING (doc_id) ORDER BY n.doc_id"),
+        "LEFT JOIN rc ON md5(el.line) = rc.fp WHERE rc.fp IS NULL)" +
+        lineReassembleSql),
+    // the keep-FIRST policy (C4's actual rule): the globally first
+    // occurrence (smallest doc_id, pos) of a recurring line survives
+    "line_dedup_keep_first" ->
+      (s"WITH $lineCtesSql, " +
+        "rk AS (SELECT doc_id, pos, line, " +
+        "count(*) OVER (PARTITION BY md5(line)) AS c, " +
+        "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn FROM el), " +
+        "kept AS (SELECT doc_id, pos, line FROM rk WHERE c < 3 OR rn = 1)" +
+        lineReassembleSql),
     "dedup_normalized" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp, " +
         "min(doc_id) AS keep_id, count(*) AS n_docs, " +

@@ -483,6 +483,30 @@ class DedupSpec extends SparkSpec {
       .agg(sum($"n_cut_lines")).as[Long].head() == 0L)
   }
 
+  test("line_dedup_keep_first: exactly one copy of a recurring line survives, at its first position") {
+    // boiler recurs in docs 1, 2, 3 (k=2): the GLOBAL first occurrence
+    // is (doc 1, pos 0) — doc 1 keeps it, docs 2 and 3 lose theirs;
+    // unique lines untouched. Contrast with drop-all, which cuts all 3.
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val u1 = "u11 u12 u13 u14 u15 u16 u17 u18"
+    val u3 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$boiler $u1"),
+      (2L, boiler),
+      (3L, s"$u3 $boiler")).toDF("doc_id", "text")
+    val got = Dedup.lineDedupKeepFirstOf(docs, 2)
+      .select($"doc_id", $"n_lines", $"n_cut_lines", $"kept_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, s"$boiler\n$u1".length.toLong), // keeper survives here
+      (2L, 1L, 1L, 0L),                            // copy cut, doc empties
+      (3L, 2L, 1L, u3.length.toLong)),             // copy cut, unique kept
+      s"got $got")
+    // drop-all on the same corpus cuts all three copies
+    assert(Dedup.lineDedupApplyOf(docs, 2)
+      .agg(sum($"n_cut_lines")).as[Long].head() == 3L)
+  }
+
   test("char budget passes null texts through instead of raising") {
     // a null text costs the DP kernel nothing — it must yield the null
     // measure row (pre-budget behavior), not trip the budget error via
