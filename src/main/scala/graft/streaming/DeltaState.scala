@@ -50,16 +50,18 @@ private[graft] object DeltaState {
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     } else {
       java.nio.file.Files.createDirectories(marker.getParent)
-      // write-then-move so a concurrent reader never sees a torn value
+      // write-then-LINK: the hard link publishes the fully-written value
+      // atomically AND fails if a marker already exists (a rename would
+      // silently REPLACE an existing target on POSIX, letting a racing
+      // pinner overwrite the adopted K), so exactly one pinner wins and
+      // every reader sees a complete value
       val tmp = java.nio.file.Paths.get(stateRoot, s"_foldK.tmp${java.util.UUID.randomUUID}")
       java.nio.file.Files.write(tmp,
         confK.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try java.nio.file.Files.move(tmp, marker,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost a race to another pinner: adopt theirs
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-      }
+      try java.nio.file.Files.createLink(marker, tmp)
+      catch { // lost the race to another pinner: adopt theirs below
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally java.nio.file.Files.deleteIfExists(tmp)
       new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     }
