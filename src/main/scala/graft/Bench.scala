@@ -181,9 +181,11 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // per-query median across the steady passes (failed passes excluded;
-    // a query that failed EVERY steady pass medians to the -1 sentinel)
+    // a query that failed EVERY steady pass medians to the -1 sentinel).
+    // Only emitted at n>=3 — at n=2 the "median" of one steady pass is
+    // just wall2_s and reads as an of-record figure it isn't.
     val medByName: Map[String, Double] =
-      if (steadyPasses.isEmpty) Map.empty
+      if (steadyPasses.isEmpty || nPasses < 3) Map.empty
       else steadyPasses.flatten.groupBy(_.name).map { case (n, ts) =>
         n -> median(ts.map(_.wallS).filter(_ >= 0))
       }

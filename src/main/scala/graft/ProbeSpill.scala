@@ -90,12 +90,22 @@ object ProbeSpill {
 
     val out = rows.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, mk) =>
-      val m0 = memSpill.get(); val d0 = diskSpill.get()
+      // Stage-completion events arrive asynchronously on the listener
+      // bus; drain it before sampling either side of the delta so a late
+      // stage isn't attributed to the next row.
+      def drained[A](f: => A): A = {
+        try org.apache.spark.GraftListenerBridge
+          .drainListenerBus(spark.sparkContext, 30000L)
+        catch { case _: java.util.concurrent.TimeoutException => () }
+        f
+      }
+      val (m0, d0) = drained((memSpill.get(), diskSpill.get()))
       val t0 = System.nanoTime()
       val (h, n) = contentHash(mk())
       val wall = (System.nanoTime() - t0) / 1e9
-      val spillMem = memSpill.get() - m0
-      val spillDisk = diskSpill.get() - d0
+      val (m1, d1) = drained((memSpill.get(), diskSpill.get()))
+      val spillMem = m1 - m0
+      val spillDisk = d1 - d0
       f"""  "$name": {"wall_s": $wall%.3f, "rows": $n, "hash": "$h", "spill_mem_mb": ${spillMem / 1e6}%.1f, "spill_disk_mb": ${spillDisk / 1e6}%.1f}"""
     }
 

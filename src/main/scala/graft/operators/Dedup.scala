@@ -2047,8 +2047,8 @@ object Dedup {
   private val lineCtesSql: String =
     s"t AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
       "tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0), " +
-      "ln AS (SELECT doc_id, list_transform(generate_series(0, (len(tk) - 1) // 8, 1), " +
-      "g -> array_to_string(tk[CAST(g*8+1 AS BIGINT):CAST(g*8+8 AS BIGINT)], ' ')) AS lines FROM tt), " +
+      s"ln AS (SELECT doc_id, list_transform(generate_series(0, (len(tk) - 1) // $LineWords, 1), " +
+      s"g -> array_to_string(tk[CAST(g*$LineWords+1 AS BIGINT):CAST(g*$LineWords+$LineWords AS BIGINT)], ' ')) AS lines FROM tt), " +
       "ex AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos, lines FROM ln), " +
       "el AS (SELECT doc_id, pos, lines[CAST(pos AS INT)] AS line FROM ex)"
 
@@ -2169,7 +2169,7 @@ object Dedup {
     // ordered '\n' reassembly — fully-cut docs clean to ''
     "line_dedup_apply" ->
       (s"WITH $lineCtesSql, " +
-        "rc AS (SELECT md5(line) AS fp FROM el GROUP BY 1 HAVING count(*) >= 3), " +
+        s"rc AS (SELECT md5(line) AS fp FROM el GROUP BY 1 HAVING count(*) >= $LineDupK), " +
         "kept AS (SELECT el.doc_id, el.pos, el.line FROM el " +
         "LEFT JOIN rc ON md5(el.line) = rc.fp WHERE rc.fp IS NULL)" +
         lineReassembleSql),
@@ -2180,7 +2180,7 @@ object Dedup {
         "rk AS (SELECT doc_id, pos, line, " +
         "count(*) OVER (PARTITION BY md5(line)) AS c, " +
         "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn FROM el), " +
-        "kept AS (SELECT doc_id, pos, line FROM rk WHERE c < 3 OR rn = 1)" +
+        s"kept AS (SELECT doc_id, pos, line FROM rk WHERE c < $LineDupK OR rn = 1)" +
         lineReassembleSql),
     "dedup_normalized" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp, " +

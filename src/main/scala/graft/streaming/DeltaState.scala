@@ -59,8 +59,19 @@ private[graft] object DeltaState {
       java.nio.file.Files.write(tmp,
         confK.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try java.nio.file.Files.createLink(marker, tmp)
-      catch { // lost the race to another pinner: adopt theirs below
+      catch {
+        // lost the race to another pinner: adopt theirs below
         case _: java.nio.file.FileAlreadyExistsException => ()
+        // filesystem without hard-link support: CREATE_NEW gives the
+        // same exactly-one-winner semantics (single write syscall of a
+        // tiny value; the partial-read window rename closed is moot at
+        // <16 bytes, and the alternative is failing every stream start)
+        case _: UnsupportedOperationException =>
+          try java.nio.file.Files.write(marker,
+            confK.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
       } finally java.nio.file.Files.deleteIfExists(tmp)
       new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt

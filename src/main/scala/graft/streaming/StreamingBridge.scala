@@ -956,7 +956,10 @@ object StreamingBridge {
     * fingerprint inside the key — which made stale entries unreachable
     * but never evicted). Rebuild-under-race can leak one dir (the
     * streaming rows run serially in verify/bench; a leaked dir is temp
-    * space, not correctness). */
+    * space, not correctness). If the serial-drive assumption ever
+    * relaxes, switch the check-then-act to compute/putIfAbsent and
+    * defer deletion of the superseded dir to process exit — an eager
+    * delete could yank a stage a still-running stream is reading. */
   private[graft] def stagedFor(dir: String, tag: String)(build: => String): String = {
     val fp = graft.sources.DatasetId.fingerprint(dir)
     docsStageMemo.get((dir, tag)) match {
