@@ -38,7 +38,8 @@ object ProbeSpill {
     // whose working set fits 4g comfortably (the 2020s-hardware analogue
     // of a busy multi-tenant executor)
     val memFraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6")
-    val spark = SparkSession.builder()
+    val spark = graft.sources.SpillSafety.tune(SparkSession.builder(),
+        cpus.toInt, memFraction.toDouble)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -311,10 +311,11 @@ object Relational {
         .select("doc_id", "lang", "source", "n_chars")
       docs.write.mode("overwrite")
         .option("maxRecordsPerFile", 50).parquet(s"$out/frag")
-      spark.read.parquet(s"$out/frag")
-        .repartitionByRange(4, col("lang"), col("doc_id"))
-        .sortWithinPartitions("lang", "doc_id")
-        .write.mode("overwrite").parquet(s"$out/compact")
+      graft.sources.ArtifactRoots.boundedWrite(
+          spark.read.parquet(s"$out/frag")
+            .repartitionByRange(4, col("lang"), col("doc_id"))
+            .sortWithinPartitions("lang", "doc_id"))
+        .mode("overwrite").parquet(s"$out/compact")
       out
     })
 

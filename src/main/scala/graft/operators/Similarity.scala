@@ -205,8 +205,9 @@ object Similarity {
       root: String): String =
     graft.sources.ArtifactRoots.atomicBuild(root, Seq("centroids", "lists")) { stage =>
       refinedCentroids(e).write.mode("overwrite").parquet(s"$stage/centroids")
-      assignCells(e, spark.read.parquet(s"$stage/centroids"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+      graft.sources.ArtifactRoots.boundedWrite(
+          assignCells(e, spark.read.parquet(s"$stage/centroids")))
+        .mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
     }
 
   /** Per-process index roots, one build per (session, dataset). By
@@ -686,9 +687,10 @@ object Similarity {
       val root = graft.sources.TempDirs.create("graft_ivf_incr_")
       val isNew = col("vec_id") % 10 === 0
       ivfBuildIndexFrom(emb(spark, dir).filter(!isNew), spark, root)
-      assignCells(emb(spark, dir).filter(isNew),
-        spark.read.parquet(s"$root/centroids"))
-        .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
+      graft.sources.ArtifactRoots.boundedWrite(
+          assignCells(emb(spark, dir).filter(isNew),
+            spark.read.parquet(s"$root/centroids")))
+        .mode("append").partitionBy("cell").parquet(s"$root/lists")
       root
     })
   }
@@ -754,8 +756,9 @@ object Similarity {
             s => s.getField("mx")).as("cv"))
           .select(col("cell").as("cid"), col("cv"))
           .write.mode("overwrite").parquet(s"$stage/centroids")
-        assignCells(emb(spark, dir), spark.read.parquet(s"$stage/centroids"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
+        graft.sources.ArtifactRoots.boundedWrite(
+            assignCells(emb(spark, dir), spark.read.parquet(s"$stage/centroids")))
+          .mode("overwrite").partitionBy("cell").parquet(s"$stage/lists")
       }
     })
   }

@@ -992,10 +992,10 @@ object TextAnalysis {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "chunkidx", dir)
       graft.sources.ArtifactRoots.atomicBuild(root,
           Seq("postings", "model_df", "model_sc")) { stage =>
-        chunkWordsFrame(spark, dir)
+        graft.sources.ArtifactRoots.boundedWrite(chunkWordsFrame(spark, dir)
           .groupBy("word", "doc_id", "chunk_id").agg(count(lit(1)).as("cnt"))
-          .withColumn("wb", wordBucket(col("word")))
-          .write.partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
+          .withColumn("wb", wordBucket(col("word"))))
+          .partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
         val (_, dfm, dl) = bm25TfStages(
           Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         dfm.coalesce(1).write.mode("overwrite").parquet(s"$stage/model_df")
@@ -1028,9 +1028,9 @@ object TextAnalysis {
         graft.sources.ArtifactRoots.memoKey(spark, dir)), {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "lexidx", dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("postings")) { stage =>
-        bm25Scored(spark, dir)
-          .withColumn("wb", wordBucket(col("word")))
-          .write.partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
+        graft.sources.ArtifactRoots.boundedWrite(bm25Scored(spark, dir)
+          .withColumn("wb", wordBucket(col("word"))))
+          .partitionBy("wb").mode("overwrite").parquet(s"$stage/postings")
       }
     })
   }

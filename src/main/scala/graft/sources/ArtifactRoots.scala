@@ -118,6 +118,39 @@ object ArtifactRoots {
       case None => TempDirs.create(s"graft_${kind}_")
     }
 
+  /** Heap-proportional parquet row-group bound for PARTITIONED artifact
+    * writes. Row-group buffers are UNMANAGED heap — Spark's spill
+    * machinery cannot reclaim memory it doesn't own — and a partitioned
+    * write holds one open writer per running task, so the worst case is
+    * `slots × parquet.block.size` bytes outside every memory pool. At
+    * the default 128 MiB block on a 32-slot executor that is 4 GiB: the
+    * exact OOM the r17 spill probe hit at a 4 GiB heap (32 concurrent
+    * row-group writers in the chunk-index build). Bound the worst case
+    * to ~1/8 of the executor heap. At production heap/slot ratios
+    * (≥ 4 GiB/slot) the bound clamps to parquet's 128 MiB default, so
+    * big-cluster layouts are unchanged; only memory-tight executors
+    * shrink row groups — and the artifacts this guards are
+    * partition-pruned point-lookup indexes (wb/cell buckets), where
+    * smaller row groups cost nothing on the serving read path. */
+  def boundedBlockBytes(spark: SparkSession): Long = {
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    // executor heap when configured (cluster mode: this code runs on
+    // the driver, whose own heap says nothing about executors); the
+    // running JVM's max heap in local mode
+    val heapB = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    math.max(4L << 20, math.min(128L << 20, heapB / (8L * slots)))
+  }
+
+  /** `df.write` with the row-group bound applied — every partitioned
+    * artifact write site goes through here so the discipline can't be
+    * forgotten at one of them. */
+  def boundedWrite[T](df: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.DataFrameWriter[T] =
+    df.write.option("parquet.block.size",
+      boundedBlockBytes(df.sparkSession).toString)
+
   /** No-heartbeat bound after which a waiter may conclude the claim
     * holder is hard-dead and take the claim over. Generous relative to
     * the heartbeat period (lease/8) — a takeover needs ~8 consecutive

@@ -890,8 +890,9 @@ object StreamingBridge {
         .parquet(deltaDir)
         .writeStream.option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          Similarity.assignCells(batch, cents)
-            .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
+          graft.sources.ArtifactRoots.boundedWrite(
+              Similarity.assignCells(batch, cents))
+            .mode("append").partitionBy("cell").parquet(s"$root/lists")
           ()
         }
         .start()
