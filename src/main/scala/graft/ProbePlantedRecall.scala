@@ -70,6 +70,12 @@ object ProbePlantedRecall {
       planted.map { case (fam, n) => fam -> (n, got.getOrElse(fam, 0L)) }
     }
 
+    // family filter for larger SFs: at 30× the setsim pair budget
+    // refuses the corpus shape BY DESIGN (the r16 guard), so the 30×
+    // recall run scopes to the families whose guards admit it
+    val famOnly = sys.env.get("SPARK_GRAFT_FAMILIES").map(_.split(",").toSet)
+    def famOn(name: String): Boolean = famOnly.forall(_.contains(name))
+
     val failures = Seq.newBuilder[String]
     def fam(tag: String, m: Map[String, (Long, Long)],
         mustBeFull: Set[String]): String = {
@@ -88,15 +94,15 @@ object ProbePlantedRecall {
     }
 
     // PPJoin setsim: exact contract over EVERY planted family
-    val (setsimJson, tSetsim) = timed {
+    val (setsimJson, tSetsim) = timed { if (!famOn("setsim")) "" else
       fam("setsim", pairRecall(q("dedup_setsim_join")),
         Set("exact", "hi", "lo"))
     }
     // LSH candidate stage and its verify stage: exact copies asserted
-    val (lshJson, tLsh) = timed {
+    val (lshJson, tLsh) = timed { if (!famOn("lsh")) "" else
       fam("lsh", pairRecall(q("dedup_minhash_lsh")), Set("exact"))
     }
-    val (verifyJson, tVerify) = timed {
+    val (verifyJson, tVerify) = timed { if (!famOn("lsh")) "" else
       fam("lsh_verified",
         pairRecall(q("dedup_verify_candidates")
           .filter(col("is_dup").cast("int") === 1)),
@@ -104,7 +110,7 @@ object ProbePlantedRecall {
     }
 
     // exact dedup: each planted pair's group keyed by its min id
-    val (exactJson, tExact) = timed {
+    val (exactJson, tExact) = timed { if (!famOn("exact")) "" else {
       val out = q("dedup_exact").select(col("keep_id").cast("long"),
         col("n_dups").cast("long"))
       val exPairs = truthPairs.filter(col("family") === "exact")
@@ -113,10 +119,10 @@ object ProbePlantedRecall {
       val n = exPairs.count(); val g = hit.count()
       if (g != n) failures += s"dedup_exact: found $g of $n planted groups"
       s""""exact_groups": {"planted": $n, "found": $g}"""
-    }
+    }}
 
     // substring spans: exactly one span of the shared length (±2 spaces)
-    val (subJson, tSub) = timed {
+    val (subJson, tSub) = timed { if (!famOn("substring")) "" else {
       val out = q("dedup_substring")
         .select(col("doc_id"), col("n_spans"), col("dup_chars"))
       val j = truthSub.join(out, "doc_id")
@@ -125,11 +131,11 @@ object ProbePlantedRecall {
         col("dup_chars") === col("span_chars")).count()
       if (g != n) failures += s"dedup_substring: $g of $n planted docs report the span"
       s""""substring_docs": {"planted": $n, "found": $g}"""
-    }
+    }}
 
     // line rules: drop-all cuts the planted line everywhere; keep-first
     // spares exactly the min-doc_id occurrence
-    val (lineJson, tLine) = timed {
+    val (lineJson, tLine) = timed { if (!famOn("lines")) "" else {
       val la = q("line_dedup_apply").select(col("doc_id"),
         col("n_lines"), col("n_cut_lines").as("cut_all"))
       val lk = q("line_dedup_keep_first").select(col("doc_id"),
@@ -144,13 +150,15 @@ object ProbePlantedRecall {
       if (gKf != n) failures += s"line_dedup_keep_first: $gKf of $n keeper verdicts correct"
       s""""line_drop_all": {"planted": $n, "found": $gAll}, """ +
         s""""line_keep_first": {"planted": $n, "found": $gKf}"""
-    }
+    }}
 
     val bad = failures.result()
     val verdict = if (bad.isEmpty) "PASS" else "FAIL"
+    val famJson = Seq(setsimJson, lshJson, verifyJson, exactJson, subJson,
+      lineJson).filter(_.nonEmpty).mkString(", ")
     println(
       s"""{"probe": "planted_recall", "sf": "$sfDir", "verdict": "$verdict", """ +
-        s""""families": {$setsimJson, $lshJson, $verifyJson, $exactJson, $subJson, $lineJson}, """ +
+        s""""families": {$famJson}, """ +
         s""""wall_s": {"setsim": ${f"$tSetsim%.1f"}, "lsh": ${f"$tLsh%.1f"}, "verify": ${f"$tVerify%.1f"}, "exact": ${f"$tExact%.1f"}, "substring": ${f"$tSub%.1f"}, "lines": ${f"$tLine%.1f"}}, """ +
         s""""missed": [${bad.map("\"" + _ + "\"").mkString(",")}]}""")
     spark.stop()
