@@ -22,7 +22,7 @@ object SparkEntry {
       Analytics.queries ++ TpcH2.queries ++ AdvancedSql.queries ++ EventAnalytics.queries ++
       Graph.queries ++ Layout.queries ++ DataOps.queries ++
       Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++
+      TextAnalysis.queries ++ Dsir.queries ++ Multimodal.queries ++
       graft.streaming.StreamingBridge.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +32,6 @@ object SparkEntry {
       Analytics.oracle ++ TpcH2.oracle ++ AdvancedSql.oracle ++ EventAnalytics.oracle ++
       Graph.oracle ++ Layout.oracle ++ DataOps.oracle ++
       Dedup.oracle ++ Similarity.oracle ++
-      TextAnalysis.oracle ++ Multimodal.oracle ++
+      TextAnalysis.oracle ++ Dsir.oracle ++ Multimodal.oracle ++
       graft.streaming.StreamingBridge.oracle
 }

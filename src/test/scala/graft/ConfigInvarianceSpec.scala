@@ -43,6 +43,8 @@ class ConfigInvarianceSpec extends SparkSpec {
     // encode path: both must hold values under partitioning changes
     "lm_bigram_score" -> operators.TextAnalysis.lmBigramScore _,
     "bpe_encode" -> operators.TextAnalysis.bpeEncode _,
+    // DSIR: the nano-nat BIGINT dot product is the order-independence claim
+    "dsir_weights" -> operators.Dsir.dsirWeights _,
   )
 
   // drop every operator memo/localCheckpoint so each variant genuinely
@@ -53,6 +55,7 @@ class ConfigInvarianceSpec extends SparkSpec {
     operators.Dedup.clearMemo()
     operators.Similarity.clearMemo()
     operators.TextAnalysis.clearMemo()
+    operators.Dsir.clearMemo()
   }
 
   test("results identical under AQE on/off and shuffle partitions 4 vs 13") {

@@ -24,6 +24,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
     "Dedup" -> operators.Dedup.queries.keySet,
     "Similarity" -> operators.Similarity.queries.keySet,
     "TextAnalysis" -> operators.TextAnalysis.queries.keySet,
+    "Dsir" -> operators.Dsir.queries.keySet,
     "Multimodal" -> operators.Multimodal.queries.keySet,
     "StreamingBridge" -> streaming.StreamingBridge.queries.keySet)
 
