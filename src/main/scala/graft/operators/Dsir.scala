@@ -178,6 +178,49 @@ object Dsir {
       .orderBy(col("key_micro").desc, col("doc_id"))
   }
 
+  /** The fitted bucket model as a PERSISTED parquet artifact (one `lr`
+    * part, [[Buckets]] rows) under the same atomic-build protocol as the
+    * BPE/IVF/gate-spec artifacts: training and serving communicate only
+    * through the shipped file. The streaming twin reloads it as a dense
+    * lr-by-bucket array and scores arriving micro-batches row-locally. */
+  private val modelMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+
+  private[graft] def modelRoot(spark: SparkSession, dir: String): String = {
+    modelMemo.keys.filter(_._1.sparkContext.isStopped).foreach(modelMemo.remove)
+    modelMemo.getOrElseUpdate((spark,
+        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, "dsirmodel", dir)
+      graft.sources.ArtifactRoots.atomicBuild(root, Seq("lr")) { stage =>
+        lrTable(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$stage/lr")
+      }
+    })
+  }
+
+  /** Row-local DSIR scorer over ANY (doc_id, lang, text) frame under a
+    * SHIPPED model (dense lr-by-bucket array): weight = fold over the
+    * doc's own grams of lr[bucket(gram)] — an independent derivation of
+    * Σ_b c_b·lr_b (the batch side's aggregate dot product), so the
+    * streaming twin passing the SAME oracle is a real cross-derivation
+    * check, not a replay. No join, no shuffle, no state: per-doc output
+    * depends only on the doc and the artifact, which is what makes
+    * micro-batched append value-identical to the corpus pass. */
+  private[graft] def scoreFrame(docs: DataFrame, lrByBucket: Array[Long]): DataFrame = {
+    require(lrByBucket.length == Buckets, s"model must have $Buckets buckets")
+    val lrArr = array(lrByBucket.map(lit(_)): _*)
+    val tk = TextFunctions.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"), tk.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("tk"), TextFunctions.wordShinglesFromTokens(col("tk"), 2))
+          .as("grams"))
+      .select(col("doc_id"), col("lang"),
+        size(col("grams")).cast("long").as("n_grams"),
+        aggregate(col("grams"), lit(0L),
+          (acc, g) => acc + element_at(lrArr, (bucketOf(g) + 1).cast("int")))
+          .as("weight_nano"))
+  }
+
   /** Drop and unpersist the memoized count stage so the pass genuinely
     * re-executes — ConfigInvarianceSpec discipline. */
   def clearMemo(): Unit = {
@@ -185,6 +228,7 @@ object Dsir {
       try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
     }
     countsMemo.clear()
+    modelMemo.clear()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

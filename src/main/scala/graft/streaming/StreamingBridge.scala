@@ -1094,6 +1094,45 @@ object StreamingBridge {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Streaming DSIR scoring — the importance-resampling family's
+    * artifact-reuse pairing: the batch side fits the hashed-n-gram
+    * bucket models once and ships the per-bucket log-likelihood-ratio
+    * table as a persisted parquet artifact (`Dsir.modelRoot`, atomic
+    * build protocol); the stream reloads it as a dense lr-by-bucket
+    * array (256 longs — driver literals, no broadcast needed) and
+    * scores each arriving micro-batch ROW-LOCALLY with
+    * `Dsir.scoreFrame`: weight = fold over the doc's own grams of
+    * lr[bucket(gram)], an INDEPENDENT derivation of the batch side's
+    * Σ_b c_b·lr_b aggregate dot product. Per-doc output depends only on
+    * the doc and the shipped model, so batch-wise append is
+    * value-identical to the corpus pass — the SAME oracle as batch
+    * dsir_weights gates the result. This is the production ingest
+    * shape: fit the selection model on the resident corpus, score new
+    * documents at the door. */
+  def streamDsirWeightsEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dsir
+    val root = graft.sources.ArtifactRoots.assertComplete(
+      Dsir.modelRoot(spark, dir))
+    val lrByBucket = Array.ofDim[Long](Dsir.Buckets)
+    spark.read.parquet(s"$root/lr").select("bucket", "lr_nano").collect()
+      .foreach(r => lrByBucket(r.getLong(0).toInt) = r.getLong(1))
+    val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "lang", "text"))
+    val schema = spark.read.parquet(docsDir).schema
+    val outDir = graft.sources.TempDirs.create("graft_stream_dsir_out_")
+    val ck = graft.sources.TempDirs.create("graft_stream_dsir_ck_")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dsir.scoreFrame(batch, lrByBucket)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** Streaming decontamination — the fourth artifact-reuse pairing
     * (after IVF ingest, BPE encode, quality gate), closing the batch/
     * streaming gap for the decontamination family: the benchmark split's
@@ -1628,6 +1667,7 @@ object StreamingBridge {
     "stream_quarantine_eq" -> scoped(streamQuarantineEq),
     "stream_bpe_encode_eq" -> scoped(streamBpeEncodeEq),
     "stream_quality_gate_eq" -> scoped(streamQualityGateEq),
+    "stream_dsir_weights_eq" -> scoped(streamDsirWeightsEq),
     "stream_decontaminate_eq" -> scoped(streamDecontaminateEq),
     "stream_bm25_refresh_eq" -> scoped(streamBm25RefreshEq),
     "stream_chunk_retrieval_eq" -> scoped(streamChunkRetrievalEq),
@@ -1650,6 +1690,10 @@ object StreamingBridge {
     // identical to batch quality_gate: corpus-trained spec (thresholds +
     // tie roster) applied per micro-batch must admit the same doc set
     "stream_quality_gate_eq" -> graft.operators.TextAnalysis.oracle("quality_gate"),
+    // identical to batch dsir_weights: per-doc importance weight under
+    // the SAME persisted bucket-model artifact, scored per micro-batch
+    // by a gram-fold instead of the corpus-wide aggregate dot product
+    "stream_dsir_weights_eq" -> graft.operators.Dsir.oracle("dsir_weights"),
     // identical to batch decontaminate_bloom: per-doc screen-then-verify
     // against the persisted benchmark-gram artifact, applied per
     // micro-batch instead of in one corpus join

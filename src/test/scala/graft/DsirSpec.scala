@@ -98,6 +98,27 @@ class DsirSpec extends SparkSpec {
     assert(keys == keys.sorted, "sample not ordered by (key desc, doc_id)")
   }
 
+  test("shipped model: the gram-fold scorer reproduces the aggregate dot product doc-for-doc") {
+    // the streaming twin's scoring path: reload the persisted LLR
+    // artifact and fold per-doc grams — must equal the batch aggregate
+    // derivation exactly (both are Σ_b c_b·lr_b in BIGINT)
+    val root = graft.sources.ArtifactRoots.assertComplete(
+      Dsir.modelRoot(spark, sf))
+    val lrByBucket = Array.ofDim[Long](Dsir.Buckets)
+    spark.read.parquet(s"$root/lr").select("bucket", "lr_nano").collect()
+      .foreach(r => lrByBucket(r.getLong(0).toInt) = r.getLong(1))
+    val folded = Dsir.scoreFrame(
+        graft.sources.Tables.documents(spark, sf)
+          .select("doc_id", "lang", "text"), lrByBucket)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = Dsir.dsirWeights(spark, sf)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(folded == batch, {
+      val d = folded.zip(batch).filter { case (a, b) => a != b }.take(3)
+      s"gram-fold scorer diverged from the aggregate derivation: $d"
+    })
+  }
+
   test("plans: sample is a TakeOrdered top-k, weights carry no cartesian product and broadcast the LLR table") {
     val sp = Dsir.dsirSample(spark, sf).queryExecution.executedPlan.toString
     assert(sp.contains("TakeOrderedAndProject"), s"sample not top-k:\n$sp")
