@@ -32,6 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max: adaptive heap growth re-sizes the
+  // young gen differently run-to-run, and the resulting gc_s swing (r18:
+  // 32.5 vs 15.1 s between two same-code med-of-3 runs) is pure bench
+  // noise. A fixed-size G1 heap makes collector behavior reproducible.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseG1GC",
   // One JVM runs the 230+-query bench and generates thousands of
   // whole-stage-codegen classes; the JDK default 240m code cache forces
   // sweeping + C2 re-queues late in the run, and a hot generated method

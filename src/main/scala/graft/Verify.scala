@@ -7,13 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.sources.SpillSafety.tune(SparkSession.builder(),
+    val builder = graft.sources.SpillSafety.tune(SparkSession.builder(),
         cpus.toInt, 0.6)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // probe hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" lets a probe drive
+    // the SAME oracle gate under a conf override (e.g. the 10k-bucket
+    // DSIR run: spark.graft.dsirBuckets=10000). The driver never sets
+    // it, so the contracted default-conf behavior is unchanged.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

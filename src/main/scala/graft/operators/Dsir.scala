@@ -44,11 +44,20 @@ import graft.sources.Tables
   */
 object Dsir {
 
-  /** Hash-feature dimensionality. The paper uses 10k buckets for
+  /** Default hash-feature dimensionality. The paper uses 10k buckets for
     * CommonCrawl; 256 keeps every bucket populated at the test SFs while
     * exercising the identical dataflow (the bucket-model aggregate is
-    * O(Buckets) regardless). */
+    * O(buckets) regardless). Overridable per session via
+    * `spark.graft.dsirBuckets` for paper-scale probes — the ORACLE
+    * strings are only valid at the default width (the standard-run
+    * contract; the 10k probe carries its own DuckDB re-derivation). */
   val Buckets = 256
+
+  /** Effective bucket width for this session (conf override or the
+    * default). Every memo below keys on this — a mid-session width
+    * change must be a cache miss, same discipline as artifactVersion. */
+  private def bucketsOf(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dsirBuckets").map(_.toInt).getOrElse(Buckets)
 
   /** Docs kept by the resample (the paper keeps a target token budget;
     * a fixed doc count keeps the oracle's LIMIT exact). */
@@ -66,8 +75,8 @@ object Dsir {
           .as("grams"))
   }
 
-  private def bucketOf(gram: Column): Column =
-    conv(substring(md5(gram), 1, 6), 16, 10).cast("long") % Buckets
+  private def bucketOf(gram: Column, width: Int): Column =
+    conv(substring(md5(gram), 1, 6), 16, 10).cast("long") % width
 
   /** Per-(doc, bucket) gram counts — the ONE tokenization pass, memoized
     * per (session, dataset identity) and persisted, same discipline as
@@ -82,12 +91,13 @@ object Dsir {
     * and persist() spills to disk, so it is the cheap side of the
     * recompute-vs-materialize tradeoff at any scale. */
   private val countsMemo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, Int), (String, DataFrame)]
 
   private def docBucketCounts(spark: SparkSession, dir: String): DataFrame = {
     countsMemo.keys.filter(_._1.sparkContext.isStopped).foreach(countsMemo.remove)
+    val w = bucketsOf(spark)
     val fp = graft.sources.DatasetId.fingerprint(dir)
-    val k = (spark, dir)
+    val k = (spark, dir, w)
     countsMemo.get(k) match {
       case Some((`fp`, df)) => df
       case stale =>
@@ -97,7 +107,7 @@ object Dsir {
         }
         val df = gramsDf(spark, dir)
           .select(col("doc_id"), col("lang"), explode(col("grams")).as("g"))
-          .select(col("doc_id"), col("lang"), bucketOf(col("g")).as("bucket"))
+          .select(col("doc_id"), col("lang"), bucketOf(col("g"), w).as("bucket"))
           .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("c"))
           .persist()
         countsMemo.put(k, (fp, df))
@@ -105,28 +115,63 @@ object Dsir {
     }
   }
 
-  /** Per-bucket smoothed log-likelihood-ratio table: exactly [[Buckets]]
-    * rows (bucket, target_grams, raw_grams, lr_nano). Add-1 smoothing on
-    * both models; lr_nano = floor(1e9 · ln(p_target/p_raw)). Folds the
-    * already-combined (doc, bucket) counts, so this second aggregate
-    * shuffles at most |docs|·min(|buckets|, doc_len) rows into 256 keys. */
+  /** One fitted bucket-model row: (bucket, target_grams, raw_grams,
+    * lr_nano). */
+  final case class LrRow(bucket: Long, target_grams: Long, raw_grams: Long,
+      lr_nano: Long)
+
+  /** The fitted per-bucket model, computed ON THE DRIVER: the width-key
+    * aggregate is collected (O(buckets) rows — a ~KB result at any
+    * corpus size) and lr_nano = floor(1e9 · ln(p_target/p_raw)) with
+    * add-1 smoothing is evaluated ONCE, with ONE log implementation
+    * (java.lang.Math.log), then shipped as LITERALS to both the engine
+    * plan and the oracle SQL — the Similarity ndcgDiscPpm /
+    * TextAnalysis "no log in the kernel" discipline (ADVICE r18: Spark's
+    * and DuckDB's ln are each not correctly rounded, so an independent
+    * re-derivation risks a 1-ulp flip across a floor boundary; counts
+    * stay independently re-derived in the oracle, so the cross-engine
+    * check of the tokenize→bucket→count dataflow is undiminished). */
+  private val lrMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, Int), (String, IndexedSeq[LrRow])]
+
+  /** Last model fitted in this process, for the data-dependent oracle
+    * literals (Verify dumps oracle SQL AFTER running the queries, so the
+    * model for the verified dataset is always the one memoized last). */
+  @volatile private var lastLr: IndexedSeq[LrRow] = null
+
+  private def lrRows(spark: SparkSession, dir: String): IndexedSeq[LrRow] = {
+    lrMemo.keys.filter(_._1.sparkContext.isStopped).foreach(lrMemo.remove)
+    val w = bucketsOf(spark)
+    val fp = graft.sources.DatasetId.fingerprint(dir)
+    val rows = lrMemo.get((spark, dir, w)) match {
+      case Some((`fp`, r)) => r
+      case _ =>
+        val counts = docBucketCounts(spark, dir)
+          .groupBy("bucket")
+          .agg(sum("c").as("raw_g"),
+            sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_g"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val rTot = counts.valuesIterator.map(_._1).sum
+        val tTot = counts.valuesIterator.map(_._2).sum
+        val r = (0L until w.toLong).map { b =>
+          val (raw, tgt) = counts.getOrElse(b, (0L, 0L))
+          LrRow(b, tgt, raw, math.floor(math.log(
+            ((tgt + 1).toDouble * (rTot + w).toDouble) /
+              ((raw + 1).toDouble * (tTot + w).toDouble)) * 1e9).toLong)
+        }
+        lrMemo.put((spark, dir, w), (fp, r))
+        r
+    }
+    lastLr = rows
+    rows
+  }
+
+  /** The model as a literal DataFrame (the broadcast side of the scoring
+    * join; also the dsir_bucket_stats result frame). */
   private def lrTable(spark: SparkSession, dir: String): DataFrame = {
-    val counts = docBucketCounts(spark, dir)
-      .groupBy("bucket")
-      .agg(sum("c").as("raw_g"),
-        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tgt_g"))
-    val totals = counts.agg(
-      sum("raw_g").as("rTot"), sum("tgt_g").as("tTot"))
-    val domain = spark.range(Buckets).select(col("id").as("bucket"))
-    domain.join(counts, Seq("bucket"), "left")
-      .na.fill(0L, Seq("raw_g", "tgt_g"))
-      .crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        col("tgt_g").as("target_grams"), col("raw_g").as("raw_grams"),
-        floor(log(
-          ((col("tgt_g") + 1).cast("double") * (col("rTot") + Buckets).cast("double")) /
-            ((col("raw_g") + 1).cast("double") * (col("tTot") + Buckets).cast("double"))
-        ) * lit(1e9)).cast("long").as("lr_nano"))
+    import spark.implicits._
+    lrRows(spark, dir).toDF()
   }
 
   /** doc roster with the integer importance weight; empty-token docs get
@@ -160,21 +205,23 @@ object Dsir {
   /** Gumbel-top-k importance resample: key(d) = λ(d) + Gumbel(d), kept
     * set = top [[SampleK]] keys — samples without replacement with
     * P(keep) ∝ exp(λ), per the Gumbel-max trick, but from hash-derived
-    * uniforms so the draw is deterministic. Selection is by the raw
-    * double key (TakeOrderedAndProject); the EMITTED key is floored to
-    * micro-units and the final display sort uses the emitted column so
-    * engine and oracle order ties identically. */
+    * uniforms so the draw is deterministic. The top-k CUT selects on the
+    * pre-floored INTEGER key (key_micro) with the doc_id tiebreak — in
+    * both the engine and the oracle — so which doc sits at rank SampleK
+    * depends only on integers (ADVICE r18: cutting on the raw double let
+    * a 1-ulp ln() divergence between engines flip the boundary doc).
+    * The single residual exposure is a ln() ulp landing EXACTLY on a
+    * 1e-6 floor boundary — accepted and documented, per the advisory. */
   def dsirSample(spark: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 6),
       16, 10).cast("long")
     val u = (h + 1).cast("double") / expr(HexDenom)
     val key = col("weight_nano").cast("double") / lit(1e9) - log(-log(u))
     weighted(spark, dir)
-      .withColumn("key", key)
-      .orderBy(col("key").desc, col("doc_id"))
+      .withColumn("key_micro", floor(key * 1e6).cast("long"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
       .limit(SampleK)
-      .select(col("doc_id"), col("lang"), col("weight_nano"),
-        floor(col("key") * 1e6).cast("long").as("key_micro"))
+      .select(col("doc_id"), col("lang"), col("weight_nano"), col("key_micro"))
       .orderBy(col("key_micro").desc, col("doc_id"))
   }
 
@@ -188,9 +235,13 @@ object Dsir {
 
   private[graft] def modelRoot(spark: SparkSession, dir: String): String = {
     modelMemo.keys.filter(_._1.sparkContext.isStopped).foreach(modelMemo.remove)
+    // non-default widths get their own artifact kind: a 10k-bucket model
+    // must never be served where a 256-bucket reader expects one
+    val w = bucketsOf(spark)
+    val kind = if (w == Buckets) "dsirmodel" else s"dsirmodel-b$w"
     modelMemo.getOrElseUpdate((spark,
-        graft.sources.ArtifactRoots.memoKey(spark, dir)), {
-      val root = graft.sources.ArtifactRoots.rootFor(spark, "dsirmodel", dir)
+        s"$kind|${graft.sources.ArtifactRoots.memoKey(spark, dir)}"), {
+      val root = graft.sources.ArtifactRoots.rootFor(spark, kind, dir)
       graft.sources.ArtifactRoots.atomicBuild(root, Seq("lr")) { stage =>
         lrTable(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$stage/lr")
       }
@@ -206,18 +257,27 @@ object Dsir {
     * depends only on the doc and the artifact, which is what makes
     * micro-batched append value-identical to the corpus pass. */
   private[graft] def scoreFrame(docs: DataFrame, lrByBucket: Array[Long]): DataFrame = {
-    require(lrByBucket.length == Buckets, s"model must have $Buckets buckets")
+    // the shipped model's own length IS the bucket width — a scorer under
+    // a 10k-bucket artifact hashes into 10k, no session conf consulted
+    val w = lrByBucket.length
+    require(w > 0, "empty model")
     val lrArr = array(lrByBucket.map(lit(_)): _*)
     val tk = TextFunctions.tokens(col("text"))
     docs
       .select(col("doc_id"), col("lang"), tk.as("tk"))
       .select(col("doc_id"), col("lang"),
-        concat(col("tk"), TextFunctions.wordShinglesFromTokens(col("tk"), 2))
-          .as("grams"))
+        // null text tokenizes to null and would propagate NULL through
+        // concat/size/aggregate; the batch twin scores such a doc (0, 0)
+        // via the roster left-join fill, so score the empty gram bag here
+        // too (ADVICE r18 — keeps micro-batched append value-identical
+        // to the corpus pass even with null texts in the corpus)
+        coalesce(
+          concat(col("tk"), TextFunctions.wordShinglesFromTokens(col("tk"), 2)),
+          array().cast("array<string>")).as("grams"))
       .select(col("doc_id"), col("lang"),
         size(col("grams")).cast("long").as("n_grams"),
         aggregate(col("grams"), lit(0L),
-          (acc, g) => acc + element_at(lrArr, (bucketOf(g) + 1).cast("int")))
+          (acc, g) => acc + element_at(lrArr, (bucketOf(g, w) + 1).cast("int")))
           .as("weight_nano"))
   }
 
@@ -228,6 +288,7 @@ object Dsir {
       try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
     }
     countsMemo.clear()
+    lrMemo.clear()
     modelMemo.clear()
   }
 
@@ -242,28 +303,65 @@ object Dsir {
   private val toksSql =
     "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+'), t -> len(t) > 0)"
 
-  /** Shared CTE chain ending in `dlr(bucket, target_grams, raw_grams,
-    * lr_nano)` + `ddoc(doc_id, lang, grams)` — mirrors the engine's
-    * dataflow with an independent SQL derivation (window-free, list
+  /** Oracle-side bucket width: follows the width of the last model
+    * fitted in-process (Verify dumps oracle SQL AFTER running the
+    * queries, so the two always agree — including under a
+    * `spark.graft.dsirBuckets` override, which is how the 10k-bucket
+    * probe gets a genuinely re-derived DuckDB gate at paper width). */
+  private def oracleWidth: Int = {
+    val lr = lastLr
+    if (lr != null) lr.length else Buckets
+  }
+
+  /** Shared CTE chain through the independent COUNT derivation —
+    * `dbc(bucket, raw_g, tgt_g)` + `dexp` + `ddoc(doc_id, lang, grams)`
+    * — mirrors the engine's dataflow in SQL (window-free, list
     * comprehensions instead of explode where DuckDB prefers them). */
-  private val baseCtes =
+  private def countsCtes =
     s"dtk AS (SELECT doc_id, lang, $toksSql AS tk FROM documents), " +
       "ddoc AS (SELECT doc_id, lang, list_concat(tk, " +
       "list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS grams FROM dtk), " +
       "dexp AS (SELECT doc_id, lang, " +
-      "CAST('0x' || substr(md5(unnest(grams)), 1, 6) AS BIGINT) % " + Buckets + " AS bucket FROM ddoc), " +
+      "CAST('0x' || substr(md5(unnest(grams)), 1, 6) AS BIGINT) % " + oracleWidth + " AS bucket FROM ddoc), " +
       "dbc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS raw_g, " +
       "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tgt_g FROM dexp GROUP BY bucket), " +
       "dtot AS (SELECT CAST(sum(raw_g) AS BIGINT) AS rTot, CAST(sum(tgt_g) AS BIGINT) AS tTot FROM dbc), " +
-      s"ddom AS (SELECT unnest(generate_series(0, ${Buckets - 1})) AS bucket), " +
+      s"ddom AS (SELECT unnest(generate_series(0, ${oracleWidth - 1})) AS bucket)"
+
+  /** `dlr` from the DRIVER-FITTED model literals (the Similarity
+    * pattern): the counts stay DuckDB-derived — a wrong engine-side
+    * tokenize/bucket/count still fails the compare — while lr_nano is
+    * the single driver-computed table both engines consume, closing the
+    * dueling-ln() 1-ulp floor-boundary exposure (ADVICE r18). */
+  private def litDlrCte(rows: IndexedSeq[LrRow]): String =
+    "lrlit(bucket, lr_nano) AS (SELECT * FROM (VALUES " +
+      rows.map(r => s"(${r.bucket}, ${r.lr_nano})").mkString(", ") + ") v(bucket, lr_nano)), " +
       "dlr AS (SELECT CAST(ddom.bucket AS BIGINT) AS bucket, " +
       "CAST(coalesce(tgt_g, 0) AS BIGINT) AS target_grams, " +
       "CAST(coalesce(raw_g, 0) AS BIGINT) AS raw_grams, " +
-      s"CAST(floor(ln((CAST(coalesce(tgt_g, 0) + 1 AS DOUBLE) * CAST(rTot + $Buckets AS DOUBLE)) / " +
-      s"(CAST(coalesce(raw_g, 0) + 1 AS DOUBLE) * CAST(tTot + $Buckets AS DOUBLE))) * 1e9) AS BIGINT) AS lr_nano " +
+      "CAST(lrlit.lr_nano AS BIGINT) AS lr_nano " +
+      "FROM ddom LEFT JOIN dbc ON ddom.bucket = dbc.bucket " +
+      "JOIN lrlit ON ddom.bucket = lrlit.bucket)"
+
+  /** Fallback `dlr` re-deriving ln() in DuckDB — only reachable when the
+    * oracle is dumped without the dsir queries having run in-process
+    * (never the driver's Verify, which runs every query first); carries
+    * the documented 1-ulp exposure the literal path closes. */
+  private def lnDlrCte =
+    "dlr AS (SELECT CAST(ddom.bucket AS BIGINT) AS bucket, " +
+      "CAST(coalesce(tgt_g, 0) AS BIGINT) AS target_grams, " +
+      "CAST(coalesce(raw_g, 0) AS BIGINT) AS raw_grams, " +
+      s"CAST(floor(ln((CAST(coalesce(tgt_g, 0) + 1 AS DOUBLE) * CAST(rTot + $oracleWidth AS DOUBLE)) / " +
+      s"(CAST(coalesce(raw_g, 0) + 1 AS DOUBLE) * CAST(tTot + $oracleWidth AS DOUBLE))) * 1e9) AS BIGINT) AS lr_nano " +
       "FROM ddom LEFT JOIN dbc ON ddom.bucket = dbc.bucket CROSS JOIN dtot)"
 
-  private val weightCtes =
+  private def baseCtes: String = {
+    val lr = lastLr
+    countsCtes + ", " +
+      (if (lr != null) litDlrCte(lr) else lnDlrCte)
+  }
+
+  private def weightCtes: String =
     baseCtes + ", " +
       "ddc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM dexp GROUP BY doc_id, bucket), " +
       "dw AS (SELECT doc_id, CAST(sum(c * lr_nano) AS BIGINT) AS weight_nano " +
@@ -277,14 +375,15 @@ object Dsir {
       s"WITH $weightCtes SELECT doc_id, lang, n_grams, weight_nano FROM dwfull ORDER BY doc_id",
     "dsir_bucket_stats" ->
       s"WITH $baseCtes SELECT bucket, target_grams, raw_grams, lr_nano FROM dlr ORDER BY bucket",
+    // the top-k cut selects on the pre-floored integer key with the
+    // doc_id tiebreak — the same integers the engine cuts on
     "dsir_sample" ->
       (s"WITH $weightCtes, " +
         "dkeyed AS (SELECT doc_id, lang, weight_nano, " +
-        "CAST(weight_nano AS DOUBLE) / 1e9 - ln(-ln(" +
+        "CAST(floor((CAST(weight_nano AS DOUBLE) / 1e9 - ln(-ln(" +
         "(CAST(CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 1 AS DOUBLE)" +
-        s" / $HexDenom))) AS skey FROM dwfull), " +
-        s"dtop AS (SELECT * FROM dkeyed ORDER BY skey DESC, doc_id LIMIT $SampleK) " +
-        "SELECT doc_id, lang, weight_nano, CAST(floor(skey * 1e6) AS BIGINT) AS key_micro " +
-        "FROM dtop ORDER BY key_micro DESC, doc_id"),
+        s" / $HexDenom)))) * 1e6) AS BIGINT) AS key_micro FROM dwfull) " +
+        s"SELECT doc_id, lang, weight_nano, key_micro FROM dkeyed " +
+        s"ORDER BY key_micro DESC, doc_id LIMIT $SampleK"),
   )
 }

@@ -1113,9 +1113,12 @@ object StreamingBridge {
     import graft.operators.Dsir
     val root = graft.sources.ArtifactRoots.assertComplete(
       Dsir.modelRoot(spark, dir))
-    val lrByBucket = Array.ofDim[Long](Dsir.Buckets)
-    spark.read.parquet(s"$root/lr").select("bucket", "lr_nano").collect()
-      .foreach(r => lrByBucket(r.getLong(0).toInt) = r.getLong(1))
+    // the artifact's own row count IS the model width — a 10k-bucket
+    // model scores at 10k; the serving side never consults session conf
+    val lrRows = spark.read.parquet(s"$root/lr")
+      .select("bucket", "lr_nano").collect()
+    val lrByBucket = Array.ofDim[Long](lrRows.length)
+    lrRows.foreach(r => lrByBucket(r.getLong(0).toInt) = r.getLong(1))
     val docsDir = stageDocsRanged(spark, dir, 3, Seq("doc_id", "lang", "text"))
     val schema = spark.read.parquet(docsDir).schema
     val outDir = graft.sources.TempDirs.create("graft_stream_dsir_out_")

@@ -106,4 +106,150 @@ class StreamPlanAuditSpec extends SparkSpec {
       assert(bad.isEmpty, s"stream inner-plan violations:\n${bad.mkString("\n")}")
     } finally session.listenerManager.unregister(listener)
   }
+
+  test("streaming inner plans, full roster: the remaining 28 stream rows' micro-batch and foreachBatch plans swept") {
+    // r18 verdict order #2: the five-row sweep above leaves 28
+    // `stream_*_eq` rows structurally unaudited. Two capture channels
+    // close them all:
+    //  - foreachBatch rows: the same QueryExecutionListener as above
+    //    (inner batch actions are named Dataset actions on the cloned
+    //    session), with a per-row temp-dir marker guard proving the
+    //    listener saw INSIDE the foreachBatch body;
+    //  - native-sink rows (memory/file sinks): micro-batch executions
+    //    never reach QueryExecutionListener (they run under a bare
+    //    SQLExecution.withNewExecutionId), so a poller thread samples
+    //    each live query's `lastExecution` (the IncrementalExecution the
+    //    trigger ACTUALLY planned, via GraftStreamingBridge), deduped on
+    //    (runId, batchId) — with a ≥1-captured-batch guard per row so
+    //    this channel can't pass vacuously either.
+    // Every captured plan from EITHER channel gets the same three
+    // structural assertions as the batch sweep: no CartesianProduct, no
+    // unpartitioned Window (ntile arrival-split whitelisted), no >10k-row
+    // LocalRelation.
+    val session = spark.newSession()
+    val qeCaptured =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, QueryExecution)]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = qeCaptured.add((funcName, qe))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = qeCaptured.add((funcName, qe))
+    }
+    val mbCaptured =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, QueryExecution)]()
+    val mbSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+    val stopPoll = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => {
+      while (!stopPoll.get()) {
+        try session.streams.active.foreach { q =>
+          org.apache.spark.sql.GraftStreamingBridge.lastExecution(q).foreach {
+            case (rid, bid, qe) =>
+              if (mbSeen.add((rid, bid))) mbCaptured.add((rid, bid, qe))
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        Thread.sleep(25)
+      }
+    }, "graft-stream-plan-poller")
+    poller.setDaemon(true)
+    // marker = None: native-sink row, gated on the micro-batch channel;
+    // marker = Some(prefix): foreachBatch row, gated on inner actions
+    // touching its private temp dir
+    val rows: Seq[(String, Option[String])] = Seq(
+      "stream_cdc_eq" -> Some("graft_cdc_state_"),
+      "stream_ivf_ingest_eq" -> Some("graft_stream_ivf_"),
+      "stream_quarantine_eq" -> Some("graft_stream_quar_"),
+      "stream_foreachbatch_eq" -> Some("graft_stream_feb_out_"),
+      "stream_bpe_encode_eq" -> Some("graft_stream_bpe_out_"),
+      "stream_quality_gate_eq" -> Some("graft_stream_qg_out_"),
+      "stream_dsir_weights_eq" -> Some("graft_stream_dsir_out_"),
+      "stream_decontaminate_eq" -> Some("graft_stream_decon_out_"),
+      "stream_hourly_eq" -> None,
+      "stream_file_sink_eq" -> None,
+      "stream_incremental_eq" -> None,
+      "stream_latest_eq" -> None,
+      "stream_latest_tws_eq" -> None,
+      "stream_latest_warm_eq" -> None,
+      "stream_sessionize_eq" -> None,
+      "stream_session_window_eq" -> None,
+      "stream_sessionize_tws_eq" -> None,
+      "stream_sessionize_incr_eq" -> None,
+      "stream_attribution_eq" -> None,
+      "stream_dedup_eq" -> None,
+      "stream_enrich_eq" -> None,
+      "stream_dedup_incr_eq" -> None,
+      "stream_dedup_wm_eq" -> None,
+      "stream_ewma_eq" -> None,
+      "stream_type_hist_eq" -> None,
+      "stream_recent3_eq" -> None,
+      "stream_join_eq" -> None,
+      "stream_left_join_eq" -> None)
+    // completeness pin: these 28 + the 5 in the heavy-row test above must
+    // BE the full stream_* roster — a new stream row can't dodge the sweep
+    val heavy = Set("stream_setsim_dedup_eq", "stream_substring_dedup_eq",
+      "stream_hybrid_rrf_eq", "stream_bm25_refresh_eq", "stream_chunk_retrieval_eq")
+    val roster = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
+    assert(rows.map(_._1).toSet ++ heavy == roster,
+      s"sweep roster drifted: missing ${roster -- rows.map(_._1).toSet -- heavy}, " +
+        s"stale ${(rows.map(_._1).toSet ++ heavy) -- roster}")
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Window => LWindow}
+    session.listenerManager.register(listener)
+    poller.start()
+    try {
+      val failures = Seq.newBuilder[String]
+      rows.foreach { case (name, marker) =>
+        qeCaptured.clear(); mbCaptured.clear()
+        SparkEntry.queries(name)(session, sf).collect()
+        org.apache.spark.GraftListenerBridge
+          .drainListenerBus(session.sparkContext, 60000L)
+        val qePlans = {
+          val b = Seq.newBuilder[(String, QueryExecution)]
+          val it = qeCaptured.iterator()
+          while (it.hasNext) b += it.next()
+          b.result()
+        }
+        val mbPlans = {
+          val b = Seq.newBuilder[(String, QueryExecution)]
+          val it = mbCaptured.iterator()
+          while (it.hasNext) { val (rid, bid, qe) = it.next(); b += (s"microbatch-$rid-$bid" -> qe) }
+          b.result()
+        }
+        marker match {
+          case Some(m) =>
+            val inner = qePlans.count { case (_, qe) =>
+              try qe.executedPlan.toString.contains(m)
+              catch { case _: Exception => false }
+            }
+            if (inner < 1)
+              failures += s"$name: no captured plan touches $m — inner foreachBatch actions not captured"
+          case None =>
+            if (mbPlans.isEmpty)
+              failures += s"$name: zero micro-batch executions captured — poller channel vacuous"
+        }
+        (qePlans ++ mbPlans).zipWithIndex.foreach { case ((fn, qe), i) =>
+          try {
+            if (qe.executedPlan.toString.contains("CartesianProduct"))
+              failures += s"$name[$i/$fn]: CartesianProduct in physical plan"
+            val badWins = qe.analyzed.collect {
+              case w: LWindow if w.partitionSpec.isEmpty &&
+                !w.windowExpressions.exists(_.toString.contains("ntile")) => w
+            }
+            if (badWins.nonEmpty)
+              failures += s"$name[$i/$fn]: ${badWins.size} unpartitioned window(s)"
+            val bigLocal = qe.analyzed.collect {
+              case l: LocalRelation if l.data.size > 10000 => l.data.size
+            }
+            if (bigLocal.nonEmpty)
+              failures += s"$name[$i/$fn]: LocalRelation of ${bigLocal.max} rows"
+          } catch { case e: Exception =>
+            failures += s"$name[$i/$fn]: sweep threw ${e.getClass.getSimpleName}: ${e.getMessage}"
+          }
+        }
+      }
+      val bad = failures.result()
+      assert(bad.isEmpty, s"stream inner-plan violations:\n${bad.mkString("\n")}")
+    } finally {
+      stopPoll.set(true)
+      session.listenerManager.unregister(listener)
+    }
+  }
 }

@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""Standing same-session A/B bench protocol (r18 verdict order #4).
+
+Cross-night bench totals on this host drift +-30% (PLANS.md anchor
+tables), so the ONLY comparison that adjudicates a perf question is an
+adjacent pair run back-to-back in one session. r18 ran two such A/Bs by
+hand; this script makes the discipline mechanical:
+
+    python3 tools/bench_ab.py --base <prev-round-ref> \
+        [--head <ref|WORKTREE>] [--order BHHB] [--passes 4] \
+        [--sf /root/testdata/sf0.1] [--cpus 32] [--out BENCH_rN_ab.json]
+
+  - the BASE side builds+runs in a scratch `git worktree` at the given
+    ref; the HEAD side runs in the repo working tree as-is (the code
+    being shipped);
+  - runs interleave per --order (default BHHB: linear host drift cancels
+    to first order across the palindrome);
+  - each run is one Bench JVM with SPARK_GRAFT_PASSES steady passes;
+    its BENCH_DETAIL.json is snapshotted (per-query wall_med_s);
+  - output: per-side run totals + med-of-runs, the common-row delta
+    (the adjudicating number), new-row cost, top per-query movers, and
+    a per-query cross-run variance table per side (the order-#5 band
+    diagnosis).
+
+Both sbt compiles happen BEFORE the first timed run so compilation never
+rides a measurement.
+"""
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, cwd, env=None, check=True):
+    print(f"[ab] $ {' '.join(cmd)}  (cwd={cwd})", flush=True)
+    r = subprocess.run(cmd, cwd=cwd, env=env)
+    if check and r.returncode != 0:
+        sys.exit(f"[ab] command failed ({r.returncode}): {' '.join(cmd)}")
+    return r.returncode
+
+
+def bench_once(workdir, env):
+    t0 = time.time()
+    run(["sbt", "-batch", "runMain graft.Bench"], cwd=workdir, env=env)
+    wall = time.time() - t0
+    detail_path = os.path.join(workdir, "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        detail = json.load(f)
+    return wall, detail
+
+
+def side_summary(runs):
+    meds = [d.get("med_total", -1) for _, d in runs]
+    p1s = [d.get("value", -1) for _, d in runs]
+    return {
+        "pass1_totals": p1s,
+        "med_totals": meds,
+        "med_of_meds": statistics.median([m for m in meds if m >= 0]) if any(
+            m >= 0 for m in meds) else -1,
+        "gc_s": [d.get("gc_s") for _, d in runs],
+        "jit_s": [d.get("jit_s") for _, d in runs],
+        "load_avg": [d.get("load_avg") for _, d in runs],
+    }
+
+
+def per_query_meds(runs):
+    """query -> median of wall_med_s across the side's runs."""
+    acc = {}
+    for _, d in runs:
+        for q, v in d.get("queries", {}).items():
+            w = v.get("wall_med_s", v.get("wall_s", -1))
+            if w is not None and w >= 0:
+                acc.setdefault(q, []).append(w)
+    return {q: statistics.median(ws) for q, ws in acc.items()}
+
+
+def variance_table(runs):
+    """query -> (min, max, spread) of wall_med_s across the side's runs."""
+    acc = {}
+    for _, d in runs:
+        for q, v in d.get("queries", {}).items():
+            w = v.get("wall_med_s", v.get("wall_s", -1))
+            if w is not None and w >= 0:
+                acc.setdefault(q, []).append(w)
+    out = {}
+    for q, ws in acc.items():
+        if len(ws) >= 2:
+            out[q] = {"min": min(ws), "max": max(ws),
+                      "spread": round(max(ws) - min(ws), 3)}
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", required=True, help="git ref of the previous round's HEAD")
+    ap.add_argument("--head", default="WORKTREE",
+                    help="git ref for the head side, or WORKTREE (default) for the repo as-is")
+    ap.add_argument("--order", default="BHHB",
+                    help="run order, e.g. BHHB / BHBH / HHHH")
+    ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--out", default="BENCH_ab.json")
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = args.sf
+    env["SPARK_GRAFT_CPUS"] = args.cpus
+    env["SPARK_GRAFT_PASSES"] = str(args.passes)
+
+    base_dir = "/tmp/graft_ab_base"
+    if os.path.isdir(base_dir):
+        subprocess.run(["git", "worktree", "remove", "--force", base_dir],
+                       cwd=REPO)
+        shutil.rmtree(base_dir, ignore_errors=True)
+    run(["git", "worktree", "add", "--detach", base_dir, args.base], cwd=REPO)
+
+    head_dir = REPO
+    if args.head != "WORKTREE":
+        head_dir = "/tmp/graft_ab_head"
+        if os.path.isdir(head_dir):
+            subprocess.run(["git", "worktree", "remove", "--force", head_dir],
+                           cwd=REPO)
+            shutil.rmtree(head_dir, ignore_errors=True)
+        run(["git", "worktree", "add", "--detach", head_dir, args.head], cwd=REPO)
+
+    # compile both sides BEFORE any timed run
+    run(["sbt", "-batch", "compile"], cwd=base_dir, env=env)
+    run(["sbt", "-batch", "compile"], cwd=head_dir, env=env)
+
+    runs = {"B": [], "H": []}
+    for i, side in enumerate(args.order):
+        workdir = base_dir if side == "B" else head_dir
+        print(f"[ab] === run {i + 1}/{len(args.order)}: side {side} ===", flush=True)
+        wall, detail = bench_once(workdir, env)
+        runs[side].append((wall, detail))
+        snap = os.path.join(REPO, f"/tmp/graft_ab_detail_{i + 1}_{side}.json")
+        shutil.copy(os.path.join(workdir, "BENCH_DETAIL.json"), snap)
+
+    out = {
+        "protocol": "same-session adjacent A/B, order " + args.order,
+        "base_ref": subprocess.check_output(
+            ["git", "rev-parse", "--short", args.base], cwd=REPO).decode().strip(),
+        "head_ref": (subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO).decode().strip()
+            if args.head == "WORKTREE" else args.head),
+        "sf": args.sf, "passes": args.passes,
+    }
+    for side, key in (("B", "base"), ("H", "head")):
+        if runs[side]:
+            out[key] = side_summary(runs[side])
+            out[key]["variance"] = {
+                q: v for q, v in sorted(variance_table(runs[side]).items(),
+                                        key=lambda kv: -kv[1]["spread"])[:15]}
+
+    if runs["B"] and runs["H"]:
+        bq, hq = per_query_meds(runs["B"]), per_query_meds(runs["H"])
+        common = sorted(set(bq) & set(hq))
+        new_rows = sorted(set(hq) - set(bq))
+        gone_rows = sorted(set(bq) - set(hq))
+        b_sum = sum(bq[q] for q in common)
+        h_sum = sum(hq[q] for q in common)
+        movers = sorted(((q, round(hq[q] - bq[q], 3)) for q in common),
+                        key=lambda kv: -abs(kv[1]))[:12]
+        out["common_rows"] = {
+            "n": len(common),
+            "base_med_sum": round(b_sum, 1),
+            "head_med_sum": round(h_sum, 1),
+            "delta_pct": round(100 * (h_sum - b_sum) / b_sum, 2) if b_sum else None,
+        }
+        out["new_rows"] = {"names": new_rows,
+                           "cost_s": round(sum(hq[q] for q in new_rows), 2)}
+        if gone_rows:
+            out["removed_rows"] = gone_rows
+        out["top_movers"] = movers
+
+    out_path = os.path.join(REPO, args.out)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[ab] wrote {out_path}")
+    print(json.dumps(out.get("common_rows"), indent=1))
+
+
+if __name__ == "__main__":
+    main()
