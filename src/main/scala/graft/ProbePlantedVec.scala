@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   *    documented SemDeDup cross-cell blind spot — measured and
   *    reported, with the split verified from the emitted assignments.
   *  - `ivf_search` (nprobe = 2 as configured): each planted neighbor
-  *    sits at cosine ≈ .9995 of its query — far above every organic
-  *    candidate — so it must surface at rank 1 UNLESS its assigned cell
-  *    fell outside the query's probed cells (the classic recall/cost
+  *    sits at cosine ≈ 1−1e-8 of its query — 1.000000 at the engine's
+  *    6-dp ranking precision, strictly above every organic candidate
+  *    (the 10× corpus's replicated base vectors reach ≈ .999992; the
+  *    probe's first run planted at .9995 and the engine CORRECTLY
+  *    ranked organics first — a probe-truth bug, not an engine one) —
+  *    so it must surface at rank 1 UNLESS its assigned cell fell
+  *    outside the query's probed cells (the classic recall/cost
   *    trade). Found + explained-by-pruning must cover all 10; an
   *    unexplained miss FAILS the probe.
   *

@@ -21,10 +21,14 @@ graft.ProbePlantedVec:
     probabilistic (the SemDeDup trade): same-cell pairs are exact
     contracts for dedup_semantic, split-cell pairs are reported.
   - 10 QNN neighbors: for each fixed query vector q (vec_id < 10), a
-    planted neighbor at cosine ~0.9995 under a fresh id. ivf_search
-    (nprobe=2 as configured) must surface it at rank 1 unless the
-    neighbor's assigned cell fell outside the query's probed cells —
-    the only legitimate excuse, checked per miss.
+    planted neighbor at cosine ~1-1e-8 under a fresh id — rounds to
+    1.000000 at the engine's 6-dp ranking precision, strictly above
+    every organic candidate (the 10x corpus's replicated base vectors
+    sit at ~0.999992; the probe's first run planted at 0.9995 and the
+    engine CORRECTLY ranked organics first). ivf_search (nprobe=2 as
+    configured) must surface it at rank 1 unless the neighbor's
+    assigned cell fell outside the query's probed cells — the only
+    legitimate excuse, checked per miss.
 
 Planted ids start at 40000 (organic 10x range is 0..19999). Truth ->
 planted_vec_pairs.parquet (family, id1, id2). Only embeddings.parquet
@@ -79,7 +83,7 @@ for a, b in NEAR:
     rows.append((b, perturb(vecs[a], 0.995), -1))
     pairs.append(("near", a, b))
 for q, b in QNN:
-    rows.append((b, perturb(vecs[q], 0.9995), -1))
+    rows.append((b, perturb(vecs[q], 1 - 1e-8), -1))
     pairs.append(("qnn", q, b))
 
 con.sql("CREATE TEMP TABLE newvecs (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
