@@ -134,10 +134,22 @@ object Dsir {
   private val lrMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, Int), (String, IndexedSeq[LrRow])]
 
-  /** Last model fitted in this process, for the data-dependent oracle
-    * literals (Verify dumps oracle SQL AFTER running the queries, so the
-    * model for the verified dataset is always the one memoized last). */
-  @volatile private var lastLr: IndexedSeq[LrRow] = null
+  /** The fitted models available for the data-dependent oracle literals:
+    * every live (session not stopped) entry of [[lrMemo]], distinct by
+    * content. [[oracle]] takes the literal path only when this resolves
+    * to EXACTLY ONE model — the one-dataset-then-dump flow Verify runs.
+    * A process that fits models for several dirs/widths before dumping
+    * (test suites, future multi-SF runs) is ambiguous: a parameterless
+    * oracle cannot know which dataset DuckDB will run against, and the
+    * old last-writer-wins global silently embedded whichever was fitted
+    * most recently (ADVICE r19 — a fragile implicit ordering contract).
+    * Ambiguity now falls back to [[lnDlrCte]], which re-derives the
+    * model IN DuckDB and is correct for any dataset, carrying only the
+    * documented 1-ulp ln() exposure the literal path exists to close. */
+  private def liveModels: Seq[IndexedSeq[LrRow]] =
+    lrMemo.toSeq.collect {
+      case ((s, _, _), (_, rows)) if !s.sparkContext.isStopped => rows
+    }.distinct
 
   private def lrRows(spark: SparkSession, dir: String): IndexedSeq[LrRow] = {
     lrMemo.keys.filter(_._1.sparkContext.isStopped).foreach(lrMemo.remove)
@@ -163,7 +175,6 @@ object Dsir {
         lrMemo.put((spark, dir, w), (fp, r))
         r
     }
-    lastLr = rows
     rows
   }
 
@@ -303,14 +314,18 @@ object Dsir {
   private val toksSql =
     "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]+', '', 'g'), '\\s+'), t -> len(t) > 0)"
 
-  /** Oracle-side bucket width: follows the width of the last model
-    * fitted in-process (Verify dumps oracle SQL AFTER running the
-    * queries, so the two always agree — including under a
-    * `spark.graft.dsirBuckets` override, which is how the 10k-bucket
-    * probe gets a genuinely re-derived DuckDB gate at paper width). */
+  /** Oracle-side bucket width: the width of the single model fitted
+    * in-process when unambiguous (Verify dumps oracle SQL AFTER running
+    * the queries on one dataset, so the two always agree — including
+    * under a `spark.graft.dsirBuckets` override, which is how the
+    * 10k-bucket probe gets a genuinely re-derived DuckDB gate at paper
+    * width); the compiled default otherwise. */
   private def oracleWidth: Int = {
-    val lr = lastLr
-    if (lr != null) lr.length else Buckets
+    val widths = liveModels.map(_.length).distinct
+    widths match {
+      case Seq(w) => w
+      case _ => Buckets
+    }
   }
 
   /** Shared CTE chain through the independent COUNT derivation —
@@ -343,10 +358,12 @@ object Dsir {
       "FROM ddom LEFT JOIN dbc ON ddom.bucket = dbc.bucket " +
       "JOIN lrlit ON ddom.bucket = lrlit.bucket)"
 
-  /** Fallback `dlr` re-deriving ln() in DuckDB — only reachable when the
-    * oracle is dumped without the dsir queries having run in-process
-    * (never the driver's Verify, which runs every query first); carries
-    * the documented 1-ulp exposure the literal path closes. */
+  /** Fallback `dlr` re-deriving ln() in DuckDB — reachable when the
+    * oracle is dumped without the dsir queries having run in-process, or
+    * when MORE THAN ONE model is live (multi-dataset/width process —
+    * see [[liveModels]]; never the driver's Verify, which runs every
+    * query on one dataset first); correct for any dataset, carrying the
+    * documented 1-ulp exposure the literal path closes. */
   private def lnDlrCte =
     "dlr AS (SELECT CAST(ddom.bucket AS BIGINT) AS bucket, " +
       "CAST(coalesce(tgt_g, 0) AS BIGINT) AS target_grams, " +
@@ -355,11 +372,12 @@ object Dsir {
       s"(CAST(coalesce(raw_g, 0) + 1 AS DOUBLE) * CAST(tTot + $oracleWidth AS DOUBLE))) * 1e9) AS BIGINT) AS lr_nano " +
       "FROM ddom LEFT JOIN dbc ON ddom.bucket = dbc.bucket CROSS JOIN dtot)"
 
-  private def baseCtes: String = {
-    val lr = lastLr
+  private def baseCtes: String =
     countsCtes + ", " +
-      (if (lr != null) litDlrCte(lr) else lnDlrCte)
-  }
+      (liveModels match {
+        case Seq(one) => litDlrCte(one)
+        case _ => lnDlrCte // none fitted, or ambiguous (multi-dataset)
+      })
 
   private def weightCtes: String =
     baseCtes + ", " +

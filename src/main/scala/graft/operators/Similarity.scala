@@ -255,7 +255,7 @@ object Similarity {
     * the probe shape — the cell cast, the tie-break, the self-exclusion
     * — cannot silently diverge the three and break their documented
     * "differences are attributable to X alone" comparisons. */
-  private def ivfProbeTopK(spark: SparkSession, dir: String, k: Int,
+  private[graft] def ivfProbeTopK(spark: SparkSession, dir: String, k: Int,
       admitted: Option[DataFrame]): DataFrame = {
     val q = emb(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -472,7 +472,17 @@ object Similarity {
     * top-`depth` per query via the TopKAggregator partial-agg fold, then
     * integer reciprocal-rank fusion with the given vector-leg ranking. */
   private def rrfFuseWithLex(spark: SparkSession, dir: String,
-      ann: DataFrame, admitted: Option[DataFrame], depth: Int): DataFrame = {
+      ann: DataFrame, admitted: Option[DataFrame], depth: Int): DataFrame =
+    rrfFuse(ann, hybridLexTopK(spark, dir, depth, admitted))
+      .orderBy("qid", "rrf_rank")
+
+  /** The hybrids' lexical leg on its own — (qid, cand_id, lr) — exposed
+    * for the planted-recall probe (ProbePlantedVec r20: the fused-rank
+    * contract decomposes into the two measured leg ranks, and the probe
+    * needs THIS leg, not a re-derivation that could fork the qterm cut
+    * or the tie-break). */
+  private[graft] def hybridLexTopK(spark: SparkSession, dir: String,
+      depth: Int, admitted: Option[DataFrame]): DataFrame = {
     val scored = TextAnalysis.bm25Scored(spark, dir)
     val wQt = Window.partitionBy("doc_id").orderBy(desc("bm25"), asc("word"))
     val qterms = scored.filter(col("doc_id") < 10)
@@ -481,9 +491,8 @@ object Similarity {
       .select(col("doc_id").as("qid"), col("word"))
     val lexCands = scored.join(broadcast(qterms), "word")
       .filter(col("doc_id") =!= col("qid"))
-    val lex = lexTopK(admitted.fold(lexCands)(k =>
+    lexTopK(admitted.fold(lexCands)(k =>
       lexCands.join(k, Seq("doc_id"), "left_semi")), depth)
-    rrfFuse(ann, lex).orderBy("qid", "rrf_rank")
   }
 
   /** Per-query lexical top-`depth` from (qid, doc_id, bm25) candidate
@@ -561,6 +570,21 @@ object Similarity {
   }
 
   def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("qid").orderBy(asc("dist"), asc("cand_id"))
+    ivfPqScored(spark, dir)
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select("qid", "cand_id", "dist", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** The IVF-PQ ADC scores BEFORE the top-3 cut — (qid, cand_id, dist)
+    * for every candidate in the query's probed cells. Exposed for the
+    * planted-recall probe (ProbePlantedVec r20): adjudicating a planted
+    * neighbor's miss as quantization loss requires the ENGINE's own ADC
+    * distance for that candidate, not a probe-side re-derivation that
+    * could fork the LUT rounding or the subspace split. */
+  private[graft] def ivfPqScored(spark: SparkSession, dir: String): DataFrame = {
     val root = ivfIndexRoot(spark, dir)
     val cellOf = spark.read.parquet(s"$root/lists")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
@@ -575,7 +599,6 @@ object Similarity {
       .select(col("qid"), col("m"), col("cid").as("code"),
         round(pqD2(col("qsv"), col("cv")), 6).as("qdist"))
     val dAt = (j: Int) => max(when(col("m") === j, col("qdist"))).as(s"qd$j")
-    val wRank = Window.partitionBy("qid").orderBy(asc("dist"), asc("cand_id"))
     pqCodes(spark, dir)
       .join(cellOf, "vec_id")
       .join(broadcast(probes), "cell")
@@ -585,10 +608,6 @@ object Similarity {
       .agg(dAt(0), dAt(1), dAt(2), dAt(3))
       .select(col("qid"), col("vec_id").as("cand_id"),
         (col("qd0") + col("qd1") + col("qd2") + col("qd3")).as("dist"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select("qid", "cand_id", "dist", "rn")
-      .orderBy("qid", "rn")
   }
 
   /** Recall of the COMPOSED IVF-PQ path vs exact cosine — the eval that

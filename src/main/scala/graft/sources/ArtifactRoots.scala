@@ -307,6 +307,21 @@ object ArtifactRoots {
       case scala.util.control.NonFatal(_) =>
         try deleteRecursively(tmp)
         catch { case scala.util.control.NonFatal(_) => () }
+        // Distinguish contention from damage by what the failure left
+        // behind: if the stage EXISTS, another claimant won — the caller
+        // waits on its outcome, which is self-pacing. If the stage does
+        // NOT exist, the failure was environmental (root dir swept
+        // between rootFor and the claim, persistent IO error) and
+        // awaitOutcome would return Vanished instantly — without repair
+        // and pacing here the claim loop is a tight busy-spin for the
+        // whole 600 s deadline (ADVICE r19). Re-create the root so the
+        // next attempt can succeed, and pace the retry.
+        if (!java.nio.file.Files.exists(stage)) {
+          try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+          catch { case scala.util.control.NonFatal(_) => () }
+          try Thread.sleep(25)
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        }
         None
     }
   }
@@ -358,6 +373,23 @@ object ArtifactRoots {
     def owned(): Boolean =
       try new String(java.nio.file.Files.readAllBytes(ownerF), "UTF-8") == nonce
       catch { case scala.util.control.NonFatal(_) => false }
+    // Tri-state ownership probe for the BEAT only (the destructive-step
+    // fences above stay binary-conservative: any doubt aborts the step).
+    // 1 = owned; -1 = deliberately lost (a DIFFERENT nonce in .owner, or
+    // the claim path gone — a takeover moved it); 0 = transient IO
+    // failure (NFS hiccup, momentary EMFILE), which says nothing about
+    // ownership and must NOT count toward the kill threshold — three
+    // transient hiccups in ~3/8 of a lease would otherwise silently kill
+    // the beat of a healthy long build, guaranteeing a wasted
+    // usurp-and-rebuild (ADVICE r19).
+    def ownershipProbe(): Int =
+      try {
+        if (new String(java.nio.file.Files.readAllBytes(ownerF), "UTF-8") == nonce) 1
+        else -1
+      } catch {
+        case _: java.nio.file.NoSuchFileException => -1
+        case scala.util.control.NonFatal(_) => 0
+      }
     val pause = testPostClaimPause
     if (pause != null) pause.run()
     val beat = new Thread(() => {
@@ -366,26 +398,32 @@ object ArtifactRoots {
       while (running && !Thread.interrupted()) {
         // Fence each beat: after a takeover the path .build/.hb belongs
         // to the USURPER's claim — touching it would be this dead hand
-        // keeping someone else's heartbeat alive. But a SINGLE failed
+        // keeping someone else's heartbeat alive. But a SINGLE lost
         // ownership read must not stop the beat: a mistaken takeover
         // being rolled back (the post-move restore in atomicBuild) makes
-        // the claim vanish-and-reappear within one cycle, and a
-        // transient touch failure (NFS hiccup, momentary EMFILE) is
-        // likewise recoverable — stopping on the first miss would get a
-        // healthy long build usurped and aborted at publish. Three
-        // consecutive misses (claim gone for ~3/8 of the lease) means
-        // the takeover is real; a genuinely-usurped beat never touches
-        // the usurper's file meanwhile, because the touch is gated on
-        // owned().
-        if (owned()) {
-          misses = 0
-          try java.nio.file.Files.setLastModifiedTime(hb,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-          catch {
-            case _: InterruptedException => running = false
-            case scala.util.control.NonFatal(_) => misses += 1
-          }
-        } else misses += 1
+        // the claim vanish-and-reappear within one cycle — stopping on
+        // the first miss would get a healthy long build usurped and
+        // aborted at publish. Three consecutive DELIBERATE misses (claim
+        // gone or re-owned for ~3/8 of the lease) means the takeover is
+        // real; transient IO failures never count (see ownershipProbe);
+        // a genuinely-usurped beat never touches the usurper's file
+        // meanwhile, because the touch is gated on the probe.
+        ownershipProbe() match {
+          case 1 =>
+            misses = 0
+            try java.nio.file.Files.setLastModifiedTime(hb,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+            catch {
+              case _: InterruptedException => running = false
+              // hb gone while .owner still reads our nonce: a takeover
+              // move is in flight — deliberate, counts
+              case _: java.nio.file.NoSuchFileException => misses += 1
+              // transient touch failure: recoverable, not a miss
+              case scala.util.control.NonFatal(_) => ()
+            }
+          case -1 => misses += 1
+          case _ => () // transient read failure: no information, no count
+        }
         if (misses >= 3) running = false
         if (running)
           try Thread.sleep(math.max(1L, leaseMs / 8))
@@ -429,14 +467,31 @@ object ArtifactRoots {
       // first would open a window where a second builder re-claims,
       // rebuilds, and crashes ATOMIC_MOVE-ing onto the already-published
       // part directories.
-      java.nio.file.Files.createFile(marker)
+      // An ALREADY-EXISTING marker here is success, not failure: a
+      // usurped victim that resumed during the residual lease window —
+      // paused between ITS marker fence and createFile, woken after this
+      // builder's takeover — can have published the marker first (ADVICE
+      // r19). The root is complete either way; treating the collision as
+      // a build failure would run the owned() cleanup, deleting the
+      // just-published parts while LEAVING the marker — a root that
+      // permanently passes assertComplete with missing parts.
+      try java.nio.file.Files.createFile(marker)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
       beat.interrupt()
       releaseStage(stage)
       true
     } catch {
       case e: Throwable =>
         beat.interrupt()
-        if (owned()) {
+        if (java.nio.file.Files.exists(marker)) {
+          // The marker exists ⇒ by reader contract the root is COMPLETE
+          // (published by a resumed victim during the residual window —
+          // see the createFile note above). Never delete parts from
+          // under a published marker, whatever exception landed here;
+          // release our claim if still held and report the root built.
+          if (owned()) releaseStage(stage)
+          false // re-enter the loop; it returns on the marker immediately
+        } else if (owned()) {
           // A genuinely-failed build must undo everything this ATTEMPT
           // landed — any parts already moved into the root and then the
           // claim itself — or the root is poisoned for the marker-wait
@@ -446,12 +501,12 @@ object ArtifactRoots {
             deleteRecursively(stage)
           } catch { case scala.util.control.NonFatal(_) => () }
           throw e
-        }
-        // Lease lost (LeaseLost from a fence, or any exception whose root
-        // cause is the claim being moved out from under us): nothing under
-        // the root is ours to clean OR to throw about — the usurper owns
-        // the rebuild; the caller re-enters the wait loop.
-        false
+        } else
+          // Lease lost (LeaseLost from a fence, or any exception whose root
+          // cause is the claim being moved out from under us): nothing under
+          // the root is ours to clean OR to throw about — the usurper owns
+          // the rebuild; the caller re-enters the wait loop.
+          false
     }
   }
 

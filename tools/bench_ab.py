@@ -45,6 +45,32 @@ def run(cmd, cwd, env=None, check=True):
     return r.returncode
 
 
+HEAP_PIN_SBT = """\
+// bench_ab heap-pin overlay (r19 verdict order #3): the r19 close compared
+// a pinned HEAD against an UNPINNED base (the -Xms=-Xmx pin lives in HEAD's
+// build.sbt), so the base side's 36.7% same-code band polluted the
+// adjudication. sbt auto-loads *.sbt in the base dir, so dropping this file
+// into a worktree at an older ref gives BOTH sides the same fixed-size-G1
+// bench JVM. Duplicate -Xms/-Xmx/-XX flags are harmless (last wins), so
+// this is a no-op on refs that already carry the pin.
+javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseG1GC",
+  "-XX:ReservedCodeCacheSize=512m",
+)
+"""
+
+
+def overlay_heap_pin(workdir):
+    """Drop the pin overlay into a scratch worktree (never the live repo:
+    its build.sbt already carries the pin, and we must not dirty it)."""
+    path = os.path.join(workdir, "zz-ab-heappin.sbt")
+    with open(path, "w") as f:
+        f.write(HEAP_PIN_SBT)
+    print(f"[ab] heap-pin overlay -> {path}", flush=True)
+
+
 def bench_once(workdir, env):
     t0 = time.time()
     run(["sbt", "-batch", "runMain graft.Bench"], cwd=workdir, env=env)
@@ -120,6 +146,7 @@ def main():
                        cwd=REPO)
         shutil.rmtree(base_dir, ignore_errors=True)
     run(["git", "worktree", "add", "--detach", base_dir, args.base], cwd=REPO)
+    overlay_heap_pin(base_dir)
 
     head_dir = REPO
     if args.head != "WORKTREE":
@@ -129,6 +156,7 @@ def main():
                            cwd=REPO)
             shutil.rmtree(head_dir, ignore_errors=True)
         run(["git", "worktree", "add", "--detach", head_dir, args.head], cwd=REPO)
+        overlay_heap_pin(head_dir)
 
     # compile both sides BEFORE any timed run
     run(["sbt", "-batch", "compile"], cwd=base_dir, env=env)
@@ -140,16 +168,17 @@ def main():
         print(f"[ab] === run {i + 1}/{len(args.order)}: side {side} ===", flush=True)
         wall, detail = bench_once(workdir, env)
         runs[side].append((wall, detail))
-        snap = os.path.join(REPO, f"/tmp/graft_ab_detail_{i + 1}_{side}.json")
+        snap = f"/tmp/graft_ab_detail_{i + 1}_{side}.json"
         shutil.copy(os.path.join(workdir, "BENCH_DETAIL.json"), snap)
 
     out = {
         "protocol": "same-session adjacent A/B, order " + args.order,
         "base_ref": subprocess.check_output(
             ["git", "rev-parse", "--short", args.base], cwd=REPO).decode().strip(),
-        "head_ref": (subprocess.check_output(
-            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO).decode().strip()
-            if args.head == "WORKTREE" else args.head),
+        "head_ref": subprocess.check_output(
+            ["git", "rev-parse", "--short",
+             "HEAD" if args.head == "WORKTREE" else args.head],
+            cwd=REPO).decode().strip(),
         "sf": args.sf, "passes": args.passes,
     }
     for side, key in (("B", "base"), ("H", "head")):
