@@ -23,7 +23,18 @@ hand; this script makes the discipline mechanical:
     diagnosis).
 
 Both sbt compiles happen BEFORE the first timed run so compilation never
-rides a measurement.
+rides a measurement. Every SCRATCH worktree side gets the -Xms=-Xmx+G1
+heap-pin overlay (zz-ab-heappin.sbt) so both sides run the same
+fixed-size bench JVM regardless of what their build.sbt pinned at that
+ref (r19 verdict order #3: the r19 close compared pinned HEAD against
+unpinned base, and the base side's 36.7% same-code band polluted the
+adjudication).
+
+Canonical round-close invocation (PLANS "Round close protocol"):
+
+    python3 tools/bench_ab.py --base <prev-round-HEAD> --order BHHB \
+        --passes 4 --sf /root/testdata/sf0.1 --cpus 32 \
+        --out BENCH_rN_ab.json
 """
 import argparse
 import json
