@@ -1670,12 +1670,20 @@ object Dedup {
     * subtree appears twice but its exchange is reused (identical
     * subplans), so positions are hashed and shuffled once. */
   private def dupPosOf(input: DataFrame): DataFrame = {
-    val byDoc = winByDoc(input)
-    val recurring = byDoc.groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    byDoc
-      .join(recurring.hint("shuffle_hash"), "h")
-      .select(col("doc_id"), explode(col("is")).as("i"))
+    val wh = winHashes(input)
+    // "≥ 2 distinct docs" as min(doc)≠max(doc): partial+final
+    // HashAggregate, so the corpus-sized position frame is map-side
+    // combined to one row per distinct hash per partition BEFORE the
+    // exchange. The former shape grouped (h, doc) with collect_list —
+    // every position row crossed that exchange un-combined, and the
+    // grouped frame was then RE-shuffled by h for the recurrence join
+    // (and, being referenced twice, the whole collect_list stage ran
+    // twice). Positions now ride the one h-keyed shuffle-hash join only.
+    val recurring = wh.groupBy("h")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
+    wh.join(recurring.hint("shuffle_hash"), "h")
+      .select(col("doc_id"), col("i"))
   }
 
   private[graft] def substringCoverage(input: DataFrame): DataFrame =

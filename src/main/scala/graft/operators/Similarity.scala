@@ -29,18 +29,41 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
 
+  /** Per-group top-`k` fold through the TopKAggregator UDAF — the O(k)
+    * partial-agg replacement for every corpus-sized `row_number()` window
+    * in this module (guide §2.3 "aggregate before you shuffle"): each map
+    * task folds its candidate rows into a k-item buffer, buffers combine
+    * map-side, and only |groups|·k rows cross the exchange — where the
+    * window formulation shuffles EVERY candidate row into #groups
+    * partitions (10 hot partitions at a 10-query panel, corpus-sized at
+    * 100 TB). Ordering is (value desc, id asc), identical to the windows
+    * it replaces for every value `round()` can emit (round never produces
+    * -0.0, and the corpus QA gate tracks non-finites). Output columns:
+    * groupCols ++ (id, value, rn). For an ASCENDING metric (PQ distances)
+    * pass the negated column; `-x` is an exact sign flip, so the caller
+    * recovers the metric with a second negation. */
+  private def topKFold(df: DataFrame, groupCols: Seq[String], value: Column,
+      id: Column, k: Int): DataFrame = {
+    import graft.functions.{TopKAggregator, TopKItem}
+    val topk = udaf(new TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[TopKItem])
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk(value.cast("double"), id).as("top"))
+      .select(groupCols.map(col) :+ posexplode(col("top.items")): _*)
+      .select(groupCols.map(col) ++ Seq(col("col.id").as("id"),
+        col("col.value").as("value"), (col("pos") + 1).cast("int").as("rn")): _*)
+  }
+
   /** Exact top-5 cosine neighbors for each query vector (vec_id < 10). */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(vec_cosine(col("qv"), col("v")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("qid", "vec_id", "cos", "rn")
+    topKFold(scored, Seq("qid"), col("cos"), col("vec_id"), 5)
+      .select(col("qid"), col("id").as("vec_id"), col("value").as("cos"), col("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -154,15 +177,21 @@ object Similarity {
   /** Nearest-centroid assignment: every vector scores only the broadcast
     * K-row centroid table and keeps its best cell — map-only + one
     * per-vector window, the 100 TB-friendly build shape. */
-  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    // Aggregate-argmax instead of a row_number window: max(struct(sim,
+    // -cid, v)) picks exactly the window's (sim desc, cid asc) winner —
+    // struct ordering is Spark's own SortOrder comparator field by field —
+    // but folds map-side, so the exchange carries ONE struct per vector
+    // instead of K scored copies of every vector (guide §2.3). `v` rides
+    // as the last struct field (never compared: cid is unique per
+    // centroid) so the winner's vector needs no join-back.
     e.join(broadcast(cents), col("vec_id") =!= lit(-1))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(vec_cosine(col("v"), col("cv")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
-  }
+      .select(col("vec_id"),
+        struct(round(vec_cosine(col("v"), col("cv")), 6).as("sim"),
+          (lit(0L) - col("cid")).as("nc"), col("v").as("v")).as("c"))
+      .groupBy("vec_id")
+      .agg(max(col("c")).as("c"))
+      .select(col("vec_id"), col("c.v").as("v"), (lit(0L) - col("c.nc")).as("cell"))
 
   /** One deterministic k-means (Lloyd) step from the first-K seed
     * quantizer: assign to seeds, then per-cell element-wise mean. Means
@@ -275,16 +304,17 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cell").cast("long").as("cell"))
     val probes = probeCellsOf(q, cents).join(q, "qid")
-    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
     val cands = probes.join(lists, "cell")
-    admitted.fold(cands)(keep =>
+    val scored = admitted.fold(cands)(keep =>
         cands.join(keep, col("cand_id") === col("doc_id"), "left_semi"))
       .filter(col("cand_id") =!= col("qid"))
       .select(col("qid"), col("cand_id"),
         round(vec_cosine(col("qv"), col("cv2")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= k)
-      .select("qid", "cand_id", "cos", "rn")
+    // per-query top-k via the TopKAggregator fold: probed cells hold a
+    // corpus FRACTION (nprobe/K of N), so a #queries-partition window
+    // here is still a hot-spot at scale — same shape as the lexical leg
+    topKFold(scored, Seq("qid"), col("cos"), col("cand_id"), k)
+      .select(col("qid"), col("id").as("cand_id"), col("value").as("cos"), col("rn"))
   }
 
   /** IVF probe search against the PERSISTED index: each query ranks the
@@ -374,15 +404,15 @@ object Similarity {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wAnn = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
     val annCands = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("qv"), col("v")), 6).as("cos"))
-    admitted.fold(annCands)(k =>
+    val admittedCands = admitted.fold(annCands)(k =>
         annCands.join(k, col("cand_id") === col("doc_id"), "left_semi"))
-      .withColumn("ar", row_number().over(wAnn))
-      .filter(col("ar") <= depth)
-      .select("qid", "cand_id", "ar")
+    // corpus-sized candidate set → the TopKAggregator fold, never a
+    // #queries-partition window (the hybrid lexical leg's shape)
+    topKFold(admittedCands, Seq("qid"), col("cos"), col("cand_id"), depth)
+      .select(col("qid"), col("id").as("cand_id"), col("rn").as("ar"))
   }
 
   /** Hybrid RRF retrieval with the PRODUCTION vector leg: the persisted
@@ -569,14 +599,14 @@ object Similarity {
       .select(col("qid"), col("cid").as("cell"))
   }
 
-  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy("qid").orderBy(asc("dist"), asc("cand_id"))
-    ivfPqScored(spark, dir)
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select("qid", "cand_id", "dist", "rn")
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
+    // ascending metric through the (desc) fold: value = -dist, recovered
+    // by a second exact sign flip
+    topKFold(ivfPqScored(spark, dir), Seq("qid"),
+        lit(0.0) - col("dist"), col("cand_id"), 3)
+      .select(col("qid"), col("id").as("cand_id"),
+        (lit(0.0) - col("value")).as("dist"), col("rn"))
       .orderBy("qid", "rn")
-  }
 
   /** The IVF-PQ ADC scores BEFORE the top-3 cut — (qid, cand_id, dist)
     * for every candidate in the query's probed cells. Exposed for the
@@ -622,13 +652,11 @@ object Similarity {
     val approx = ivfPqSearch(spark, dir).select("qid", "cand_id")
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    val exact = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+    val exactScored = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("v"), col("qv")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select("qid", "cand_id")
+    val exact = topKFold(exactScored, Seq("qid"), col("cos"), col("cand_id"), 3)
+      .select(col("qid"), col("id").as("cand_id"))
     val overlap = approx.join(exact, Seq("qid", "cand_id"))
       .groupBy("qid").agg(count(lit(1)).as("n"))
     qv.select(col("qid"))
@@ -661,14 +689,12 @@ object Similarity {
     val e = emb(spark, dir)
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    val exact = e.join(keep, col("vec_id") === col("doc_id"), "left_semi")
+    val exactScored = e.join(keep, col("vec_id") === col("doc_id"), "left_semi")
       .join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("v"), col("qv")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("cand_id"))
+    val exact = topKFold(exactScored, Seq("qid"), col("cos"), col("cand_id"), 3)
+      .select(col("qid"), col("id").as("cand_id"))
     val returned = approx.groupBy("qid").agg(count(lit(1)).as("nr"))
     val overlap = approx.join(exact, Seq("qid", "cand_id"))
       .groupBy("qid").agg(count(lit(1)).as("n"))
@@ -801,13 +827,11 @@ object Similarity {
     val e = emb(spark, dir)
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), asc("cand_id"))
-    val exact = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+    val exactScored = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("v"), col("qv")), 6).as("cos"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select("qid", "cand_id")
+    val exact = topKFold(exactScored, Seq("qid"), col("cos"), col("cand_id"), 3)
+      .select(col("qid"), col("id").as("cand_id"))
     def overlap(root: String, as: String) =
       ivfServeTopK(spark, root, qv, 3, admitted = None)
         .select("qid", "cand_id")
@@ -989,12 +1013,16 @@ object Similarity {
   private def pqCodebook(e: DataFrame, m: Int): DataFrame = {
     val seeds = e.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), pqSubv(col("v"), m).as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    // aggregate-argmin (min(struct(d2, cid, sv)) ≡ the former (d2 asc,
+    // cid asc) window winner — see assignCells): one struct per vector
+    // crosses the exchange instead of K scored copies
     e.join(broadcast(seeds), col("vec_id") =!= lit(-1))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(pqD2(pqSubv(col("v"), m), col("cv")), 6).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("cid").as("code"), posexplode(pqSubv(col("v"), m)).as(Seq("pos", "x")))
+      .select(col("vec_id"),
+        struct(round(pqD2(pqSubv(col("v"), m), col("cv")), 6).as("d2"),
+          col("cid"), pqSubv(col("v"), m).as("sv")).as("c"))
+      .groupBy("vec_id")
+      .agg(min(col("c")).as("c"))
+      .select(col("c.cid").as("code"), posexplode(col("c.sv")).as(Seq("pos", "x")))
       .groupBy("code", "pos")
       .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mx"))
       .groupBy("code")
@@ -1051,14 +1079,17 @@ object Similarity {
     * exploded sub-vectors, per-(vec, m) argmin with the (d2, cid)
     * tie-break. Shared by the memoized corpus encode and pq_refresh's
     * stale/fresh encodes so the assignment semantics cannot fork. */
-  private def pqEncodeWith(e: DataFrame, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cid"))
+  private def pqEncodeWith(e: DataFrame, books: DataFrame): DataFrame =
+    // aggregate-argmin: min(struct(d2, cid)) is the (d2 asc, cid asc)
+    // winner with map-side combine — the K-way scored explode never
+    // crosses an exchange (the former per-(vec, m) window shuffled and
+    // sorted all K candidates per sub-vector)
     pqSubRows(e).join(broadcast(books), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cid"),
-        round(pqD2(col("sv"), col("cv")), 6).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"), col("d2"))
-  }
+      .select(col("vec_id"), col("m"),
+        struct(round(pqD2(col("sv"), col("cv")), 6).as("d2"), col("cid")).as("c"))
+      .groupBy("vec_id", "m")
+      .agg(min(col("c")).as("c"))
+      .select(col("vec_id"), col("m"), col("c.cid").as("code"), col("c.d2").as("d2"))
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     pqMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqMemo.remove)
@@ -1095,10 +1126,21 @@ object Similarity {
   def pqRefresh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val resident = e.filter(col("vec_id") % 10 =!= 0)
+    // Materialization barriers on the shared stages (localCheckpoint —
+    // cleaned by the ContextCleaner when the frame is unreferenced, so
+    // repeated bench passes don't pin blocks): staleCodes is referenced
+    // by BOTH the stale-SSE branch and the fresh-books train, and without
+    // a barrier the DataFrame DAG inlines the 4-codebook build subtree
+    // into every reference — the final plan then carries the stale
+    // codebook train MULTIPLICATIVELY (the r20 close measured a 215 s
+    // pass-1 on this row when the duplicated subtrees landed behind a C2
+    // backlog; the steady-state median was ~8 s). The books frames are
+    // 64 rows, staleCodes is 4 rows per vector — cents of memory.
     val staleBooks = (0 until PqM)
       .map(m => pqCodebook(resident, m).withColumn("m", lit(m)))
       .reduce(_.unionByName(_))
-    val staleCodes = pqEncodeWith(e, staleBooks)
+      .localCheckpoint()
+    val staleCodes = pqEncodeWith(e, staleBooks).localCheckpoint()
     // one Lloyd step from the stored assignment: per (m, code) exact
     // means of the accumulated corpus's assigned sub-vectors
     val freshBooks = pqSubRows(e)
@@ -1110,6 +1152,7 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
         s => s.getField("mx")).as("cv"))
       .select(col("m"), col("code").as("cid"), col("cv"))
+      .localCheckpoint()
     val freshCodes = pqEncodeWith(e, freshBooks)
     def sse(codes: DataFrame, as: String) = codes.groupBy("m")
       .agg(count(lit(1)).as(s"n_$as"),
@@ -1178,10 +1221,9 @@ object Similarity {
     val qv = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), round(pqD2(col("v"), col("qv")), 6).as("dist"))
-    val w = Window.partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
     def top5(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select("qid", "vec_id")
+      topKFold(df, Seq("qid"), lit(0.0) - col("dist"), col("vec_id"), 5)
+        .select(col("qid"), col("id").as("vec_id"))
     val overlap = top5(adc).join(top5(exact), Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n"))
     qv.select(col("qid"))
@@ -1206,9 +1248,12 @@ object Similarity {
     val p = scoredLshPairs(spark, dir)
     val sym = p.select(col("id1").as("src"), col("id2").as("dst"), col("cos"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst"), col("cos")))
-    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
-    sym.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    // per-node top-3 via the TopKAggregator fold: per-node candidate
+    // lists are LSH-occupancy-bounded, but the SUM over nodes is
+    // pair-table-sized — fold map-side rather than shuffle every
+    // symmetrized pair into a per-src window sort
+    topKFold(sym, Seq("src"), col("cos"), col("dst"), 3)
+      .select(col("src"), col("id").as("dst"), col("value").as("cos"), col("rn"))
   }
 
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
@@ -1309,14 +1354,12 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val truth = cosineTopk(spark, dir).select(col("qid"), col("vec_id"))
-    val w = Window.partitionBy("qid").orderBy(desc("pcos"), asc("vec_id"))
     val prefixTops = Seq(8, 16, 32).map { p =>
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), lit(p).as("prefix_dim"),
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
           round(vec_cosine(slice(col("qv"), 1, p), slice(col("v"), 1, p)), 6).as("pcos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("qid", "vec_id", "prefix_dim")
+      topKFold(scored, Seq("qid"), col("pcos"), col("vec_id"), 5)
+        .select(col("qid"), col("id").as("vec_id"), lit(p).as("prefix_dim"))
     }.reduce(_.unionAll(_))
     truth.crossJoin(spark.range(1).select(explode(array(lit(8), lit(16), lit(32))).as("prefix_dim")))
       .join(prefixTops.withColumn("hit", lit(1L)), Seq("qid", "vec_id", "prefix_dim"), "left")

@@ -308,17 +308,21 @@ class PlanAuditSpec extends SparkSpec {
       s"projection grew a join/aggregate:\n$p")
   }
 
-  test("pq_encode broadcasts the codebooks and windows per (vec, subspace) only") {
+  test("pq_encode broadcasts the codebooks and argmins per (vec, subspace) as a partial agg") {
     val p = plan(graft.operators.Similarity.pqEncode(spark, sf))
     assert(!p.contains("SortMergeJoin"),
       s"codebook join shuffles the vector side:\n$p")
-    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    // every window is per-vector (build windows) and the encode argmin
-    // additionally keys on the subspace — never a global/corpus window
-    assert(specs.nonEmpty && specs.forall(_.contains("vec_id#")),
-      s"window not per-vector:\n$p")
-    assert(specs.exists(s => s.contains("vec_id#") && s.contains("m#")),
-      s"encode argmin window not partitioned by (vec_id, m):\n$p")
+    // r21: the per-(vec, m) argmin is an aggregate fold — min(struct(d2,
+    // cid)) with map-side partial_min — so no scored candidate row crosses
+    // an exchange un-combined, and NO window remains anywhere in the
+    // encode path (the former shape shuffled and sorted every scored
+    // candidate copy into a per-(vec, m) row_number window)
+    assert(!p.contains("windowspecdefinition"),
+      s"encode grew a corpus window back:\n$p")
+    assert(p.contains("partial_min"),
+      s"encode argmin not partially aggregated (no map-side combine):\n$p")
+    assert("key=\\[vec_id#\\d+L?, m#\\d+".r.findFirstIn(p).nonEmpty,
+      s"encode argmin not keyed by (vec_id, m):\n$p")
   }
 
   test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
