@@ -227,10 +227,28 @@ object ProbePlantedVec {
               // from an actual quantization gap (a float32 perturbation
               // flipped a code assignment): reported, either is a
               // legitimate ADC outcome
-              if (db == d1) tieAtMin += 1
+              if (db == d1) {
+                tieAtMin += 1
+                // ADVICE r20: a tie-at-min loss is only arithmetically
+                // coherent if EVERY returned candidate shares the plant's
+                // exact ADC distance (db == d1 ≤ each dist ≤ d3, and the
+                // miss condition forces db == d3 — so any returned dist
+                // differing from db means the engine's scores are
+                // inconsistent, not a tie). Assert it so the tie
+                // adjudication can never pass vacuously on bad scores.
+                rows.find(r => r._3 != db).foreach { r =>
+                  failures += s"ivf_pq_search: $fam plant $b of query $qid tied at the global ADC min ($db) but returned rank-${r._4} candidate ${r._2} carries a DIFFERENT dist ${r._3}"
+                }
+              }
             } else failures += s"ivf_pq_search: $fam plant $b of query $qid has ADC key ($db,$b) beating rank-3 ($d3,$id3) yet was not returned"
         }
       }
+      // ADVICE r20 vacuity flag: found + pruned == 0 means not a single
+      // plant ever surfaced through coarse-prune × ADC and the contract
+      // passed on tie-arithmetic adjudication alone — legitimate for
+      // same-code plants (r20's committed run), but the artifact must
+      // SAY so rather than read as planted recall.
+      val pqVacuous = plants.nonEmpty && found + pruned == 0
       // context the judge asked the decomposition to sit against: the PQ
       // reconstruction error (quantization residual) — corpus-wide vs
       // the planted rows (near-identical to panel queries, so their
@@ -239,7 +257,7 @@ object ProbePlantedVec {
       val corpusR = reconDf.agg(avg("err_total"), max("err_total")).head()
       val plantR = reconDf.filter(col("vec_id").isin(plantIds.toSeq: _*))
         .agg(avg("err_total"), max("err_total")).head()
-      s""""pq_plants": {"planted": ${plants.length}, "found": $found, "missed_explained_by_pruning": $pruned, "missed_explained_by_quantization_tie": $quant, "ties_at_global_adc_min": $tieAtMin}, """ +
+      s""""pq_plants": {"planted": ${plants.length}, "found": $found, "missed_explained_by_pruning": $pruned, "missed_explained_by_quantization_tie": $quant, "ties_at_global_adc_min": $tieAtMin, "tie_adjudication_only": $pqVacuous}, """ +
         s""""pq_recon_error": {"corpus_avg": ${f"${corpusR.getDouble(0)}%.6f"}, "corpus_max": ${f"${corpusR.getDouble(1)}%.6f"}, "plants_avg": ${f"${plantR.getDouble(0)}%.6f"}, "plants_max": ${f"${plantR.getDouble(1)}%.6f"}}"""
     }
 

@@ -62,6 +62,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Disambiguate data-dependent oracle literals for multi-model
+    // processes: this dump targets exactly (spark conf, sfDir).
+    graft.operators.Dsir.setOracleTarget(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -146,10 +146,35 @@ object Dsir {
     * Ambiguity now falls back to [[lnDlrCte]], which re-derives the
     * model IN DuckDB and is correct for any dataset, carrying only the
     * documented 1-ulp ln() exposure the literal path exists to close. */
-  private def liveModels: Seq[IndexedSeq[LrRow]] =
-    lrMemo.toSeq.collect {
-      case ((s, _, _), (_, rows)) if !s.sparkContext.isStopped => rows
-    }.distinct
+  private def liveModels: Seq[IndexedSeq[LrRow]] = {
+    val live = lrMemo.toSeq.collect {
+      case ((s, _, w), (fp, rows)) if !s.sparkContext.isStopped => (fp, w, rows)
+    }
+    // ADVICE r20: in a process that fitted models for SEVERAL dirs/widths,
+    // a parameterless dump used to fall back to the compiled default
+    // width — a 256-bucket oracle for runs fitted under a dsirBuckets
+    // override (spurious gate failure). The dumper that KNOWS its target
+    // dataset (Verify) threads it via [[setOracleTarget]]; when the hint
+    // matches a live model by (dataset fingerprint, width), that model
+    // disambiguates. No hint, or no match → the old resolution.
+    val hinted = oracleTargetHint match {
+      case Some((fp, w)) => live.collect { case (`fp`, `w`, rows) => rows }.distinct
+      case None => Nil
+    }
+    if (hinted.nonEmpty) hinted else live.map(_._3).distinct
+  }
+
+  /** (dataset fingerprint, bucket width) of the dataset the next oracle
+    * dump targets — see [[liveModels]]. Cleared by [[resetMemo]]. */
+  @volatile private var oracleTargetHint: Option[(String, Int)] = None
+
+  /** Disambiguate the oracle dump for multi-dataset/width processes: the
+    * dump that follows targets `dir` as bucketed under `spark`'s current
+    * `spark.graft.dsirBuckets`. Verify calls this right before
+    * serializing [[SparkEntry.oracleSql]]. */
+  def setOracleTarget(spark: SparkSession, dir: String): Unit =
+    oracleTargetHint =
+      Some((graft.sources.DatasetId.fingerprint(dir), bucketsOf(spark)))
 
   private def lrRows(spark: SparkSession, dir: String): IndexedSeq[LrRow] = {
     lrMemo.keys.filter(_._1.sparkContext.isStopped).foreach(lrMemo.remove)
@@ -301,6 +326,7 @@ object Dsir {
     countsMemo.clear()
     lrMemo.clear()
     modelMemo.clear()
+    oracleTargetHint = None
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

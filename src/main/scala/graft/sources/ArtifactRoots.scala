@@ -478,19 +478,56 @@ object ArtifactRoots {
       try java.nio.file.Files.createFile(marker)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       beat.interrupt()
-      releaseStage(stage)
-      true
+      // Ownership re-check BEFORE the release (ADVICE r20): a victim
+      // paused between its marker fence and createFile can reach here
+      // AFTER a takeover — `.build` is the USURPER's claim now, and an
+      // unconditional releaseStage would destroy its live claim and
+      // in-flight work-<nonce> scratch (the usurper's part-moves then
+      // fail into the marker-exists catch, permanently publishing a
+      // marker over missing parts). If ownership is gone, touch nothing
+      // and re-enter the wait loop; the usurper finishes the publish.
+      if (owned()) { releaseStage(stage); true }
+      else false
     } catch {
       case e: Throwable =>
         beat.interrupt()
-        if (java.nio.file.Files.exists(marker)) {
-          // The marker exists ⇒ by reader contract the root is COMPLETE
-          // (published by a resumed victim during the residual window —
-          // see the createFile note above). Never delete parts from
-          // under a published marker, whatever exception landed here;
-          // release our claim if still held and report the root built.
+        // Marker ⇒ complete holds only if the part dirs are actually
+        // there: a resumed victim's marker can have landed AFTER this
+        // takeover's leftover-clear deleted the victim's parts (ADVICE
+        // r20). Verify before trusting it.
+        val markerExists = java.nio.file.Files.exists(marker)
+        val partsPresent = markerExists && parts.forall(p =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(root, p)))
+        if (markerExists && partsPresent) {
+          // The marker exists and every part is present ⇒ by reader
+          // contract the root is COMPLETE (published by a resumed victim
+          // during the residual window — see the createFile note above).
+          // Never delete parts from under a published marker, whatever
+          // exception landed here; release our claim if still held and
+          // report the root built.
           if (owned()) releaseStage(stage)
           false // re-enter the loop; it returns on the marker immediately
+        } else if (markerExists && owned()) {
+          // Torn publish: a usurped victim's marker over parts THIS
+          // builder's leftover-clear removed — the exact half-read state
+          // the marker contract forbids. We hold the claim (the mutual
+          // exclusion), so deleting the torn marker is safe and restores
+          // marker ⇒ complete; then fail this attempt like any genuine
+          // build failure (cleanup + rethrow; the caller's retry loop
+          // rebuilds from a clean root).
+          try java.nio.file.Files.deleteIfExists(marker)
+          catch { case scala.util.control.NonFatal(_) => () }
+          try {
+            parts.foreach(p => deleteRecursively(java.nio.file.Paths.get(root, p)))
+            deleteRecursively(stage)
+          } catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+        } else if (markerExists) {
+          // Marker present, parts missing, claim not ours: the live
+          // owner (the usurper mid-publish, or the next claimant's
+          // torn-marker branch above) completes or heals it — nothing
+          // here is ours to touch.
+          false
         } else if (owned()) {
           // A genuinely-failed build must undo everything this ATTEMPT
           // landed — any parts already moved into the root and then the

@@ -64,7 +64,27 @@ HEAP_PIN_SBT = """\
 // into a worktree at an older ref gives BOTH sides the same fixed-size-G1
 // bench JVM. Duplicate -Xms/-Xmx/-XX flags are harmless (last wins), so
 // this is a no-op on refs that already carry the pin.
+//
+// r21 (ADVICE r20): javaOptions is IGNORED by sbt's in-process `run` —
+// on a base ref whose build.sbt lacks `run / fork := true` the pin was a
+// silent no-op and the heap asymmetry quietly returned. Force the fork
+// here, with the JDK-17 module opens a forked Spark 4 driver needs (a ref
+// old enough to lack fork also lacks those; duplicates are harmless) and
+// the verbatim stdout strategy the harness' JSON parse relies on.
+run / fork := true
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 javaOptions ++= Seq(
+  "java.base/java.lang", "java.base/java.lang.invoke",
+  "java.base/java.lang.reflect", "java.base/java.io",
+  "java.base/java.net", "java.base/java.nio",
+  "java.base/java.util", "java.base/java.util.concurrent",
+  "java.base/java.util.concurrent.atomic",
+  "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+  "java.base/sun.security.action", "java.base/sun.util.calendar",
+).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+javaOptions ++= Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
@@ -174,9 +194,17 @@ def main():
     run(["sbt", "-batch", "compile"], cwd=head_dir, env=env)
 
     runs = {"B": [], "H": []}
+    pre_load = {"B": [], "H": []}
     for i, side in enumerate(args.order):
         workdir = base_dir if side == "B" else head_dir
-        print(f"[ab] === run {i + 1}/{len(args.order)}: side {side} ===", flush=True)
+        # r21 (r20 verdict order #3): the r20 close's residual band was
+        # ambient host load (load_avg 1.8 -> 5.1 between the sides'
+        # windows). Record the 1-min load BEFORE each run so the output
+        # carries a load-balance verdict alongside the band adjudication.
+        load1 = os.getloadavg()[0]
+        pre_load[side].append(round(load1, 2))
+        print(f"[ab] === run {i + 1}/{len(args.order)}: side {side} "
+              f"(pre-run load_avg {load1:.2f}) ===", flush=True)
         wall, detail = bench_once(workdir, env)
         runs[side].append((wall, detail))
         snap = f"/tmp/graft_ab_detail_{i + 1}_{side}.json"
@@ -219,6 +247,33 @@ def main():
         if gone_rows:
             out["removed_rows"] = gone_rows
         out["top_movers"] = movers
+
+    # Load-balance verdict (r20 verdict order #3): windows are balanced
+    # when the sides' mean pre-run + in-run loads sit within 2x of each
+    # other; an imbalanced pair cannot hide a regression behind (or eat a
+    # win with) an unlucky window, so flag it for a retry.
+    def side_loads(side):
+        ls = list(pre_load[side])
+        ls += [d.get("load_avg") for _, d in runs[side]
+               if isinstance(d.get("load_avg"), (int, float))]
+        return [l for l in ls if l is not None and l >= 0]
+
+    if runs["B"] and runs["H"]:
+        bl, hl = side_loads("B"), side_loads("H")
+        b_mean = sum(bl) / len(bl) if bl else None
+        h_mean = sum(hl) / len(hl) if hl else None
+        verdict = "unknown"
+        ratio = None
+        if b_mean and h_mean:
+            lo, hi = sorted([max(b_mean, 0.1), max(h_mean, 0.1)])
+            ratio = round(hi / lo, 2)
+            verdict = "balanced" if ratio <= 2.0 else "IMBALANCED (retry advised)"
+        out["load_balance"] = {
+            "pre_run_load": pre_load,
+            "base_mean": round(b_mean, 2) if b_mean is not None else None,
+            "head_mean": round(h_mean, 2) if h_mean is not None else None,
+            "ratio": ratio, "verdict": verdict,
+        }
 
     out_path = os.path.join(REPO, args.out)
     with open(out_path, "w") as f:
