@@ -153,6 +153,8 @@ object Bench {
         () => { operators.TextAnalysis.lexIndexWarm(spark, sfDir); () }),
       ("chain_pq_codes", Set("pq_encode", "pq_recon_error", "ivf_pq_search", "ivf_pq_recall"),
         () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
+      ("chain_line_frames", Set("line_dedup_apply", "line_dedup_keep_first"),
+        () => { operators.Dedup.lineFramesWarm(spark, sfDir); () }),
     )
     val chainResults = chainDefs.collect {
       case (label, consumers, build) if consumers.exists(names.contains) =>

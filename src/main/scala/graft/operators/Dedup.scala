@@ -1877,6 +1877,11 @@ object Dedup {
 
   def lineDedupApplyOf(docs: DataFrame, k: Int): DataFrame = {
     val (lined, ex) = linedFrames(docs)
+    lineDedupApplyFrames(lined, ex, k)
+  }
+
+  private def lineDedupApplyFrames(lined: DataFrame, ex: DataFrame,
+      k: Int): DataFrame = {
     val recurring = ex.groupBy("fp")
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= k).select("fp")
     reassemble(lined,
@@ -1898,6 +1903,11 @@ object Dedup {
     * the keeper. */
   def lineDedupKeepFirstOf(docs: DataFrame, k: Int): DataFrame = {
     val (lined, ex) = linedFrames(docs)
+    lineDedupKeepFirstFrames(lined, ex, k)
+  }
+
+  private def lineDedupKeepFirstFrames(lined: DataFrame, ex: DataFrame,
+      k: Int): DataFrame = {
     val keepers = ex.groupBy("fp")
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("keeper"))
@@ -1916,15 +1926,41 @@ object Dedup {
   /** Reflow grid width for the synthetic single-line corpus. */
   val LineWords = 8
 
-  def lineDedupApply(spark: SparkSession, dir: String): DataFrame =
-    lineDedupApplyOf(
-      Tables.documentsKernelWide(spark, dir)
-        .select(col("doc_id"), col("text")), LineDupK)
+  /** Memoized shared line-reflow frames (r21, guide §2.3/§5): BOTH
+    * line-dedup policies consume the same tokenize→reflow(→explode→md5)
+    * pipeline, and within one policy the plan referenced it three times
+    * (recurrence aggregate, join-back side, reassembly accounting) —
+    * measured: 3 parquet scans + 7 reflow-transform evaluations per
+    * query, ~16 CPU-s each at sf0.1, the lambda-heavy tokenizer
+    * defeating exchange reuse (the scoredDocs/docBucketCounts
+    * precedent). Persisted once per (session, dataset), the pipeline
+    * runs once; Bench bills the build as `chain_line_frames`. The
+    * frames are corpus-linear ((doc_id, lines) + the exploded
+    * (doc_id, pos, line, fp)); persist() spills past memory. */
+  private def linedFramesMemo(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (l, e) = linedFrames(Tables.documentsKernelWide(spark, dir)
+      .select(col("doc_id"), col("text")))
+    (memoized(spark, dir, "line_lined") { l.persist() },
+      memoized(spark, dir, "line_ex") { e.persist() })
+  }
 
-  def lineDedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
-    lineDedupKeepFirstOf(
-      Tables.documentsKernelWide(spark, dir)
-        .select(col("doc_id"), col("text")), LineDupK)
+  /** Public warm-up for Bench: bill the shared reflow build separately
+    * from the two policies' marginal cost. */
+  def lineFramesWarm(spark: SparkSession, dir: String): Unit = {
+    val (l, e) = linedFramesMemo(spark, dir)
+    l.count(); e.count(); ()
+  }
+
+  def lineDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val (lined, ex) = linedFramesMemo(spark, dir)
+    lineDedupApplyFrames(lined, ex, LineDupK)
+  }
+
+  def lineDedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val (lined, ex) = linedFramesMemo(spark, dir)
+    lineDedupKeepFirstFrames(lined, ex, LineDupK)
+  }
 
   /** Asymmetric containment on the verified candidate pairs:
     * C = |A∩B| / |smaller| — the measure that catches SUBSET duplication
