@@ -325,6 +325,42 @@ class PlanAuditSpec extends SparkSpec {
       s"encode argmin not keyed by (vec_id, m):\n$p")
   }
 
+  test("approx_distinct: the HLL sketch aggregates per event_type only — never keyed by user") {
+    // r21: mixing countDistinct with approx_count_distinct in ONE agg
+    // made Spark's single-distinct rewrite key the partial aggregate by
+    // (event_type, user_id) — a 1,638-long HLL++ sketch materialized and
+    // shuffled per DISTINCT USER (Results [1641] partials). The split
+    // formulation must keep every sketch aggregate keyed by the bounded
+    // group column alone, with the two sides joined by broadcast.
+    val p = plan(Analytics.approxDistinct(spark, sf))
+    val sections = p.split("\n\\(\\d+\\) ").toSeq
+    val sketch = sections.filter(_.contains("approx_count_distinct"))
+    assert(sketch.nonEmpty, s"no HLL aggregate in plan:\n$p")
+    sketch.foreach { s =>
+      val keys = "Keys \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      assert(!keys.contains("user_id"),
+        s"HLL sketch aggregate keyed by user_id — a ~13 KB sketch per distinct user rides the exchange:\n$s")
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"exact/approx sides not joined by broadcast:\n$p")
+  }
+
+  test("line dedup rows read the memoized reflow frames — tokenize runs once in the shared build") {
+    // r21: both policies (and three branches within each) re-derived the
+    // tokenize→reflow(→explode→md5) pipeline per reference; the shared
+    // frames are now chain-memoized (chain_line_frames), so each policy's
+    // plan must read InMemoryTableScan leaves, not re-tokenize.
+    Seq(
+      "line_dedup_apply" -> graft.operators.Dedup.lineDedupApply(spark, sf),
+      "line_dedup_keep_first" -> graft.operators.Dedup.lineDedupKeepFirst(spark, sf)
+    ).foreach { case (n, df) =>
+      val p = plan(df)
+      assert(p.contains("InMemoryTableScan"),
+        s"$n does not read the memoized reflow frames:\n$p")
+    }
+  }
+
   test("dedup_keep_best ranks inside clusters only — window partitioned by cluster_id") {
     val p = plan(graft.operators.Dedup.dedupKeepBest(spark, sf))
     val windows = "Window \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
