@@ -238,11 +238,16 @@ object Analytics {
     // bounded group-key table. HLL++ register maxima are merge-order-
     // independent, so the estimate — and the row hash — is unchanged.
     val ev = Tables.events(spark, dir)
-    val approx = ev.groupBy("event_type")
+    val approx = ev.groupBy(col("event_type").as("a_event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"))
+    // Null-safe join key (r21 ADVICE): both sides group the SAME column of
+    // the same table, so a NULL event_type group — none exist today, but
+    // the single-agg formulation this replaced kept it — must survive the
+    // split exactly as the oracle's GROUP BY keeps it. `<=>` is a valid
+    // hash-join key, so the plan stays a BroadcastHashJoin.
     ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
-      .join(broadcast(approx), "event_type")
+      .join(broadcast(approx), col("event_type") <=> col("a_event_type"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users") <= 0.05).as("within_5pct"))

@@ -166,13 +166,17 @@ object Dedup {
         col("sig")(2 * j + 1).as("h2"))
     }: _*)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.h1"), col("e.h2"))
+    // UNSORTED by design (guide §2.4 — an orderBy used only for
+    // determinism is a range exchange + sampling pass): every consumer
+    // either sorts on top (dedup_minhash_lsh via the verified chain) or
+    // aggregates/joins the pair set where order is immaterial
+    // (lsh_exact_eval, lsh_recall_audit, the verify stage).
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
           col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-      .orderBy("id1", "id2")
   }
 
   /** Candidate-driven exact-Jaccard verification — the scale-safe verify
@@ -1346,9 +1350,17 @@ object Dedup {
     * guarded ([[wedgeBudgetGuarded]]): listing triangles of a
     * mass-duplicate clique refuses loudly instead of emitting Θ(k³). */
   def dedupTriangles(spark: SparkSession, dir: String): DataFrame =
+    // checkpoint the guarded edges ONCE: trianglesOf references its edge
+    // frame 3× (both wedge sides + the closing join), and each reference
+    // re-executes the 1-row budget gate's aggregate + broadcast subplan
+    // (r22 plan audit: the un-truncated local_cc variant carried 228
+    // Exchanges / 130 cache scans for a verified-pair-sized input). The
+    // guarded list is tiny — bounded by LSH bucket occupancy — and an
+    // over-budget graph still refuses loudly, at the checkpoint instead
+    // of the first wedge.
     Graph.trianglesOf(wedgeBudgetGuarded(spark,
       verifiedCandidates(spark, dir).filter(col("is_dup") === 1).select("id1", "id2"),
-      "dedup_triangles"))
+      "dedup_triangles").localCheckpoint(true))
       .orderBy("a", "b", "c")
 
   /** Per-node local clustering coefficient of the verified dup graph —
@@ -1370,17 +1382,28 @@ object Dedup {
     * instead of melting — the r16 probe finding); integer ppm via
     * `div`, exact cross-engine. */
   def dedupLocalCc(spark: SparkSession, dir: String): DataFrame = {
+    // Checkpoint the guarded edges ONCE (guide §3.3): the frame is
+    // referenced 7× downstream (deg 2×, former wedge self-join 4×, the
+    // closing join 1×) and every reference re-executed the 1-row wedge
+    // budget gate — its union + aggregate + broadcast + BNLJ subplan ran
+    // 7 times per query (r22 plan audit: 228 Exchanges / 130 cache scans
+    // / 2440 plan lines before; a leaf scan after). The verified pair
+    // list is LSH-occupancy-bounded, so the checkpoint is tiny; an
+    // over-budget graph still refuses loudly, at the checkpoint.
     val e = wedgeBudgetGuarded(spark,
       verifiedCandidates(spark, dir).filter(col("is_dup") === 1)
         .select("id1", "id2"),
-      "dedup_local_cc")
+      "dedup_local_cc").localCheckpoint(true)
     val edges = e.unionByName(e.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = edges.groupBy("id1").agg(count(lit(1)).as("deg"))
-    val wedges = edges.select(col("id1").as("v"), col("id2").as("a"))
-      .join(edges.select(col("id1").as("v"), col("id2").as("b")), Seq("v"))
-      .filter(col("a") < col("b"))
-    val tri = wedges
-      .join(e.select(col("id1").as("a"), col("id2").as("b")), Seq("a", "b"), "left_semi")
+    // Per-node triangle counts from the ORIENTED enumeration (a<b<c, the
+    // trianglesOf kernel) instead of closing symmetric wedges at every
+    // corner: the oriented wedge join generates ≈¼ the candidates of the
+    // symmetric Σ deg(v)² self-join (guide §2.3 — fewer rows into the
+    // exchange), and exploding each triangle to its 3 corners counts
+    // exactly the triangles incident to v — the same n_tri.
+    val tri = Graph.trianglesOf(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("tri"))
     deg.join(tri, col("id1") === col("v"), "left")
       .select(col("id1").as("doc_id"), col("deg"),

@@ -303,7 +303,13 @@ object Similarity {
     val lists = spark.read.parquet(s"$root/lists")
       .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cell").cast("long").as("cell"))
-    val probes = probeCellsOf(q, cents).join(q, "qid")
+    // qv rides THROUGH the probe window instead of a join-back on qid:
+    // the former `probeCellsOf(q, cents).join(q, "qid")` re-scanned the
+    // query frame and paid one more broadcast exchange per serve (r22
+    // plan audit: ivf_search dropped a scan + BroadcastHashJoin). The
+    // window's ordering columns are untouched — qv is payload — so the
+    // probed cells are identical.
+    val probes = probeCellsCarrying(q, cents)
     val cands = probes.join(lists, "cell")
     val scored = admitted.fold(cands)(keep =>
         cands.join(keep, col("cand_id") === col("doc_id"), "left_semi"))
@@ -589,14 +595,21 @@ object Similarity {
     * cells. Tie-break (csim desc, cid asc) and the 6-dp rounding are
     * part of the oracle contract; a forked copy diverging on either
     * silently shifts which cells open. */
-  private def probeCellsOf(q: DataFrame, cents: DataFrame): DataFrame = {
+  private def probeCellsOf(q: DataFrame, cents: DataFrame): DataFrame =
+    probeCellsCarrying(q, cents).select(col("qid"), col("cell"))
+
+  /** probeCellsOf with the query vector carried through as payload —
+    * (qid, qv, cell) — so serving consumers need no join-back on qid.
+    * The window's partition/order columns are unchanged; qv never
+    * participates in the ranking, so the probed cells are identical. */
+  private def probeCellsCarrying(q: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy("qid").orderBy(desc("csim"), asc("cid"))
     q.join(broadcast(cents), lit(true))
-      .select(col("qid"), col("cid"),
+      .select(col("qid"), col("qv"), col("cid"),
         round(vec_cosine(col("qv"), col("cv")), 6).as("csim"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfProbes)
-      .select(col("qid"), col("cid").as("cell"))
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
   }
 
   def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
@@ -830,8 +843,14 @@ object Similarity {
     val exactScored = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vec_cosine(col("v"), col("qv")), 6).as("cos"))
+    // Checkpoint the exact ground truth (guide §3.3): it is referenced by
+    // BOTH overlap branches, and without a barrier the corpus-sized
+    // exact-top-k subtree inlines into each — two full corpus scans +
+    // folds where one suffices (r22 plan audit: ivf_refresh 729 plan
+    // lines / 40 Exchanges before). The checkpointed frame is 10·k rows.
     val exact = topKFold(exactScored, Seq("qid"), col("cos"), col("cand_id"), 3)
       .select(col("qid"), col("id").as("cand_id"))
+      .localCheckpoint(true)
     def overlap(root: String, as: String) =
       ivfServeTopK(spark, root, qv, 3, admitted = None)
         .select("qid", "cand_id")

@@ -180,7 +180,15 @@ object ArtifactRoots {
     // Overall bound: generous per attempt; with takeover in play a dead
     // winner costs one lease, not the whole deadline.
     val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-    while (!java.nio.file.Files.exists(marker)) {
+    // Completeness is marker AND parts (r21 ADVICE): a resumed victim can
+    // createFile the marker after a usurper's leftover-clear removed the
+    // parts and then both die — marker-without-parts is a TORN publish,
+    // not a readable root. Publish order is parts-then-marker, so a
+    // mid-publish root never has the marker yet and is never misjudged.
+    def complete(): Boolean =
+      java.nio.file.Files.exists(marker) && parts.forall(p =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(root, p)))
+    while (!complete()) {
       if (System.nanoTime() > deadline)
         sys.error(s"timed out building artifact at $root — if no builder " +
           s"is live, delete $stage to release the claim manually")
@@ -189,9 +197,14 @@ object ArtifactRoots {
           // Re-check after claiming: a winner that finished between our
           // marker check and our claim has deleted its stage, letting us
           // re-create it.
-          if (java.nio.file.Files.exists(marker)) {
+          if (complete()) {
             releaseStage(stage); return root
           }
+          // Torn marker under OUR claim (the mutual exclusion): delete it
+          // so marker ⇒ complete is restored, then rebuild as winner —
+          // buildAsWinner's leftover-clear sweeps any residual part dirs.
+          try java.nio.file.Files.deleteIfExists(marker)
+          catch { case scala.util.control.NonFatal(_) => () }
           if (buildAsWinner(root, stage, marker, parts, leaseMs, nonce)(write))
             return root
           // else: lease lost to a takeover mid-build — the claim (and any
@@ -206,7 +219,11 @@ object ArtifactRoots {
           // claim race immediately instead of waiting out the old 300 s
           // marker timeout.
           awaitOutcome(marker, stage, leaseMs, deadline) match {
-            case Outcome.Marker => return root
+            // re-enter the loop instead of returning: the while condition
+            // re-judges marker AND parts, so a torn marker sends this
+            // waiter into the claim race to heal it rather than handing
+            // the caller a half-read root
+            case Outcome.Marker => ()
             case Outcome.Vanished => () // re-loop to claim
             case Outcome.Stale =>
               // Atomic takeover: of N waiters that saw the same stale

@@ -333,13 +333,18 @@ class PlanAuditSpec extends SparkSpec {
     // formulation must keep every sketch aggregate keyed by the bounded
     // group column alone, with the two sides joined by broadcast.
     val p = plan(Analytics.approxDistinct(spark, sf))
-    val sections = p.split("\n\\(\\d+\\) ").toSeq
-    val sketch = sections.filter(_.contains("approx_count_distinct"))
+    // plan() is TREE format (executedPlan.toString): each aggregate is one
+    // line "HashAggregate(keys=[...], functions=[...])" — match the keys
+    // group on the lines that carry the HLL function (the former
+    // formatted-mode "Keys [n]" pattern never appears here and made the
+    // assertion vacuously pass — r21 ADVICE)
+    val sketch = p.linesIterator.filter(_.contains("approx_count_distinct")).toSeq
     assert(sketch.nonEmpty, s"no HLL aggregate in plan:\n$p")
     sketch.foreach { s =>
-      val keys = "Keys \\[\\d+\\]: \\[([^\\]]*)\\]".r
-        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-      assert(!keys.contains("user_id"),
+      val keys = "HashAggregate\\(keys=\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(s).map(_.group(1))
+      assert(keys.nonEmpty, s"HLL function outside a HashAggregate line:\n$s")
+      assert(!keys.get.contains("user_id"),
         s"HLL sketch aggregate keyed by user_id — a ~13 KB sketch per distinct user rides the exchange:\n$s")
     }
     assert(p.contains("BroadcastHashJoin"),

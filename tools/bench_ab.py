@@ -264,7 +264,9 @@ def main():
         h_mean = sum(hl) / len(hl) if hl else None
         verdict = "unknown"
         ratio = None
-        if b_mean and h_mean:
+        # `is not None`: a legitimate 0.0 mean load (idle host) is data,
+        # not missing data — the 0.1 clamp below already handles it
+        if b_mean is not None and h_mean is not None:
             lo, hi = sorted([max(b_mean, 0.1), max(h_mean, 0.1)])
             ratio = round(hi / lo, 2)
             verdict = "balanced" if ratio <= 2.0 else "IMBALANCED (retry advised)"
