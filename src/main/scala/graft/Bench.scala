@@ -155,6 +155,9 @@ object Bench {
         () => { operators.Similarity.pqCodes(spark, sfDir).count(); () }),
       ("chain_line_frames", Set("line_dedup_apply", "line_dedup_keep_first"),
         () => { operators.Dedup.lineFramesWarm(spark, sfDir); () }),
+      ("chain_dsir_counts", Set("dsir_bucket_stats", "dsir_weights",
+          "dsir_sample", "stream_dsir_weights_eq"),
+        () => { operators.Dsir.dsirCountsWarm(spark, sfDir); () }),
     )
     val chainResults = chainDefs.collect {
       case (label, consumers, build) if consumers.exists(names.contains) =>

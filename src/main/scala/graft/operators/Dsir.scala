@@ -227,6 +227,18 @@ object Dsir {
       .na.fill(0L, Seq("n_grams", "weight_nano"))
   }
 
+  /** Public warm-up for Bench: force the one-time shared stages — the
+    * memoized per-(doc, bucket) count pass (the corpus tokenization) and
+    * the driver-side model fit — so the build is billed as its own
+    * `chain_dsir_counts` entry instead of landing on whichever dsir
+    * consumer runs first alphabetically (dsir_bucket_stats: 7.9 s cold
+    * vs 0.24 s steady at sf0.1 — almost all of it this build). */
+  def dsirCountsWarm(spark: SparkSession, dir: String): Unit = {
+    docBucketCounts(spark, dir).count()
+    lrRows(spark, dir)
+    ()
+  }
+
   /** Per-document DSIR importance weight in nano-nats. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     weighted(spark, dir)
