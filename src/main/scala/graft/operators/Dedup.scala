@@ -279,7 +279,13 @@ object Dedup {
     * re-deriving the explode→df-join→window pass per consumer. */
   private def setsimPrefixMemo(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "setsim_prefix") {
-      setsimIndexFrames(shingleGramSets(spark, dir))._2.persist()
+      // checkpoint the vocab-sized df so the prefix plan references a
+      // leaf instead of inlining the explode + full gram-count aggregate
+      // a second time (the tok stream feeds BOTH the df aggregate and
+      // the rank join — guide §3.3)
+      val tok = setsimTok(shingleGramSets(spark, dir))
+      val df = setsimDf(tok).localCheckpoint(true)
+      prefixOf(tok.join(df, "gram")).persist()
     }
 
   /** Memoized exact pair set (UNSORTED — the registered query adds the
@@ -355,10 +361,21 @@ object Dedup {
     * under the batch self-join, the persisted setsimidx artifact, and
     * the spec fixtures — the candidate-generation order cannot fork
     * between build and probe. */
+  /** The exploded (doc_id, sz, gram) token stream and its gram document
+    * frequencies — the two sub-frames of [[setsimIndexFrames]], exposed
+    * so a caller that MATERIALIZES the df (artifact write, checkpoint)
+    * can build the prefix from the barrier without re-aggregating —
+    * while the ranking definition itself stays in one place. */
+  private[graft] def setsimTok(gramSets: DataFrame): DataFrame =
+    gramSets.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
+
+  private[graft] def setsimDf(tok: DataFrame): DataFrame =
+    tok.groupBy("gram").agg(count(lit(1)).as("cnt"))
+
   private[graft] def setsimIndexFrames(gramSets: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val tok = gramSets.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
-    val docFreq = tok.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val tok = setsimTok(gramSets)
+    val docFreq = setsimDf(tok)
     (docFreq, prefixOf(tok.join(docFreq, "gram")), gramSets)
   }
 
@@ -404,11 +421,16 @@ object Dedup {
       val root = graft.sources.ArtifactRoots.rootFor(spark, "setsimidx", dir)
       graft.sources.ArtifactRoots.atomicBuild(root,
           Seq("df", "prefix", "grams")) { stage =>
-        val (df, prefix, grams) = setsimIndexFrames(
-          shingleGramSets(spark, dir).filter(col("doc_id") % 10 =!= 0))
-        df.write.mode("overwrite").parquet(s"$stage/df")
-        prefix.write.mode("overwrite").parquet(s"$stage/prefix")
-        grams.write.mode("overwrite").parquet(s"$stage/grams")
+        val gramSets = shingleGramSets(spark, dir).filter(col("doc_id") % 10 =!= 0)
+        setsimDf(setsimTok(gramSets)).write.mode("overwrite").parquet(s"$stage/df")
+        // the prefix pass reads the df part JUST WRITTEN instead of
+        // re-aggregating document frequencies in-plan (guide §3.3 — the
+        // write is the materialization barrier; the former shape paid
+        // the explode + full gram-count aggregate twice per build)
+        prefixOf(setsimTok(gramSets)
+            .join(spark.read.parquet(s"$stage/df"), "gram"))
+          .write.mode("overwrite").parquet(s"$stage/prefix")
+        gramSets.write.mode("overwrite").parquet(s"$stage/grams")
       }
     })
   }
