@@ -250,12 +250,21 @@ object AdvancedSql {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // Size the filter to the BUILD SIDE, not a constant (guide §3.2:
+    // expectedNumItems ≥ the true count, ~10 bits/item ≈ 1% fpp): the
+    // former fixed 1.6 Mbit filter was a ~200 KB literal baked into the
+    // probe's generated code at EVERY scale — oversized (slow codegen,
+    // fat broadcast) at bench SFs and undersized past ~170 k urgent
+    // orders. Order count is a metadata-only parquet count; urgent is
+    // ~1/5 of orders (n/4 for slack). False positives are removed by the
+    // exact semi-join either way, so the result is sizing-invariant.
+    val expected = math.max(1000L, Tables.orders(spark, dir).count() / 4)
     // bloom_filter_agg / might_contain are registry-internal (the pair
     // InjectRuntimeFilter plants); the bridge builds them directly
     val bfBytes = urgent
       .agg(GraftColumnBridge.column(new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(col("o_orderkey"))),
-        Literal(100000L), Literal(1600000L)).toAggregateExpression()).as("bf"))
+        Literal(expected), Literal(expected * 10)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
       Literal(bfBytes, org.apache.spark.sql.types.BinaryType),

@@ -589,7 +589,12 @@ object Dedup {
     * n_truth = n_hit + n_missed in the oracle comparison. */
   def lshExactEval(spark: SparkSession, dir: String): DataFrame = {
     val truth = setsimPairs(spark, dir).select("id1", "id2")
-    val cands = lshPairsFromSigs(cachedSignatures(spark, dir))
+    // the memoized verified stage's pair columns ARE the LSH candidate
+    // set (both sides of every candidate passed the ≥3-token gate that
+    // admits docs into the band join — the dedup_minhash_lsh invariant),
+    // so read the cache instead of re-running the band self-join +
+    // distinct per eval
+    val cands = verifiedCandidates(spark, dir).select("id1", "id2")
     val vc = verifiedCandidates(spark, dir)
     val c = vc.agg(count(lit(1)).as("n_cands"),
       coalesce(sum((col("inter") * 3 >= col("tot")).cast("long")), lit(0L)).as("n_hit"))
